@@ -1,0 +1,151 @@
+"""Label propagation — synchronous, weighted, seeded.
+
+Semantics from ``algo.labelPropagation`` (reference:
+algo/.../LabelPropagationProc.java:54-57 defaults; impl
+algo/.../impl/LabelPropagation.java):
+
+- seed label = the node's ``partition`` property when present, else the
+  node's own id (LabelPropagation.java:221-228);
+- a node gathers votes over its relationships in the configured
+  direction: ``votes[label(nbr)] += edgeWeight(v,nbr) · nodeWeight(nbr)``
+  (LabelPropagation.java:310-319), then adopts the argmax label
+  (:290-308);
+- stops when an iteration changes no label, or at ``max_iterations``;
+  reports ``ran_iterations`` / ``did_converge``
+  (LabelPropagation.java:127-154).
+
+DOCUMENTED DEVIATION (SURVEY.md §2.3): the reference updates labels
+asynchronously in randomized order with hash-map-order tie-breaking —
+explicitly nondeterministic (LabelPropagation.java:268,296-301,335-389;
+its own test comments acknowledge oscillation,
+tests/.../LabelPropagation420Test.java:61-81). This engine runs the
+**synchronous** variant with a deterministic tie-break (highest vote,
+then smallest label), so results are reproducible; equality with the
+reference is asserted on converged fixtures (community partitions), as
+the reference's tests themselves do.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from neo4j_graph_algorithms_spark.plans.checkpoint import CheckpointManager
+
+__all__ = ["label_propagation", "LabelPropagationResult"]
+
+
+@dataclass
+class LabelPropagationResult:
+    labels: DataFrame  # (id: long, label: long)
+    ran_iterations: int
+    did_converge: bool
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+def label_propagation(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iterations: int = 10,
+    direction: str = "out",
+    partition_col: str | None = "partition",
+    node_weight_col: str | None = "weight",
+    min_iterations: int = 0,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    spark: SparkSession | None = None,
+) -> LabelPropagationResult:
+    """Run synchronous LPA.
+
+    ``direction``: which neighbors a node listens to — ``out`` gathers
+    from its out-neighbors (the reference's OUTGOING,
+    LabelPropagation.java:310-319 iterates v's out-relationships and
+    reads the *target*'s label), ``in`` from in-neighbors, ``both`` from
+    all. ``min_iterations`` forces at least that many rounds even after
+    convergence (used for fixed-k oracle comparison; a converged sync
+    LPA state is a fixed point, so extra rounds are no-ops).
+    """
+    spark = spark or vertices.sparkSession
+
+    # (v listens_to u) pairs with the edge weight of the relationship.
+    w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
+    out_pairs = edges.select(F.col("src").alias("v"), F.col("dst").alias("u"),
+                             w.alias("ew"))
+    in_pairs = edges.select(F.col("dst").alias("v"), F.col("src").alias("u"),
+                            w.alias("ew"))
+    if direction == "out":
+        pairs = out_pairs
+    elif direction == "in":
+        pairs = in_pairs
+    else:
+        pairs = out_pairs.union(in_pairs)
+
+    # Node weights (LabelPropagation's "weight" property, default 1.0).
+    if node_weight_col and node_weight_col in vertices.columns:
+        nw = vertices.select(
+            F.col("id").alias("u"),
+            F.coalesce(F.col(node_weight_col).cast("double"), F.lit(1.0)).alias("nw"),
+        )
+    else:
+        nw = vertices.select(F.col("id").alias("u"), F.lit(1.0).alias("nw"))
+    pairs = pairs.join(nw, "u", "left").na.fill({"nw": 1.0})
+    pairs = pairs.withColumn("vote_w", F.col("ew") * F.col("nw")).select(
+        "v", "u", "vote_w"
+    )
+    pairs = pairs.repartition("u").persist()
+    pairs.count()
+
+    # Seed labels: partition property else own id (LabelPropagation.java:221-228).
+    if partition_col and partition_col in vertices.columns:
+        labels = vertices.select(
+            "id",
+            F.coalesce(F.col(partition_col).cast("long"), F.col("id")).alias("label"),
+        )
+    else:
+        labels = vertices.select("id", F.col("id").alias("label"))
+
+    ckpt = CheckpointManager(spark, checkpoint_dir, checkpoint_interval,
+                             algorithm="labelprop")
+    resumed = ckpt.resume()
+    if resumed is not None:
+        start_it, labels = resumed
+    else:
+        start_it = 0
+
+    did_converge = False
+    it = start_it
+    argmax_w = Window.partitionBy("v").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    for it in range(start_it + 1, max_iterations + 1):
+        votes = (
+            pairs.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy("v", "label")
+            .agg(F.sum("vote_w").alias("votes"))
+        )
+        winners = (
+            votes.withColumn("_rn", F.row_number().over(argmax_w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("v").alias("id"), F.col("label").alias("_new"))
+        )
+        new_labels = (
+            labels.join(winners, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+                F.col("label").alias("_prev"),
+            )
+        )
+        new_labels = ckpt.maybe_checkpoint(new_labels, it)
+        changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
+        ckpt.metrics[-1]["changed"] = changed
+        labels = new_labels.select("id", "label")
+        if changed == 0 and it >= min_iterations:
+            did_converge = True
+            break
+
+    pairs.unpersist()
+    return LabelPropagationResult(labels, it, did_converge, list(ckpt.metrics))

@@ -1,0 +1,289 @@
+"""PageRank as iterative DataFrame message-passing supersteps.
+
+Semantics match ``algo.pageRank`` (reference:
+algo/.../PageRankProc.java:56-60 defaults damping=0.85, iterations=20;
+impl algo/.../impl/pagerank/PageRank.java + BaseComputeStep.java):
+
+- per-node formulation ``pr(v) = (1-d) + d·Σ_{u→v} pr(u)·f(u→v)`` with
+  ``f = 1/outDegree(u)`` (BaseComputeStep.java:118-121,151-164) — scores
+  are NOT normalized to sum 1 (reference goldens exceed 1).
+- dangling nodes (outDegree 0) push nothing — no dangling-mass
+  redistribution (NonWeightedComputeStep.java:54).
+- weighted variant: ``f = w(u→v)/Σw(u)``, edges with ``w <= 0`` skipped
+  (WeightedComputeStep.java:51-80, :70).
+- personalized: source nodes start (and keep base) ``1-d``, everything
+  else 0 (BaseComputeStep.java:99-111).
+- tolerance-based convergence (``max|Δrank| < tol``) is an extension the
+  north-star requires; this fork is fixed-iteration only
+  (PageRank.java:352-367) — pass ``tol=0`` for bit-faithful fixed-k runs.
+
+NOT replicated: the reference transports deltas as ``int(100_000·x)``
+(NonWeightedComputeStep.java:56) — a 1e-5 quantization artifact of its
+atomic-free shared-memory design. We sum float64 (needed for the 1e-6
+convergence target); reference goldens are asserted at their own 1e-2
+tolerance, the float64 oracle at 1e-6.
+
+Two physical strategies:
+
+- ``dataframe`` (default): per superstep one shuffle join
+  (edges ⋈ ranks on src — both sides pre-partitioned on the join key, so
+  only the rank side moves) + one hash aggregation on dst (map-side
+  partial combine ≡ the reference's per-partition score buffers +
+  transpose, PageRank.java:390-408). All JVM/codegen, zero Python in the
+  hot loop.
+- ``csr``: per-partition CSR blocks (sorted src offsets + packed dst
+  arrays in Arrow buffers) built ONCE, then each superstep runs a cogrouped
+  Arrow-vectorized gather-scatter SpMV in pandas/NumPy, followed by a
+  final dst-sum — the north-star layout. Ranks flow to blocks by the
+  same hash partitioning every round.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neo4j_graph_algorithms_spark.plans.checkpoint import CheckpointManager
+
+__all__ = ["pagerank", "PageRankResult"]
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id: long, rank: double)
+    iterations: int
+    converged: bool
+    max_delta: float
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+def _edge_factors(edges: DataFrame, weighted: bool) -> DataFrame:
+    """(src, dst, factor) with factor = 1/outdeg or w/Σw(src).
+
+    One shuffle to compute degrees; the degree table is vertex-sized, so
+    the join back onto edges broadcasts when small and sort-merges when
+    not — Catalyst/AQE decide.
+    """
+    if weighted:
+        e = edges.filter(F.col("weight") > 0.0)
+        sums = e.groupBy("src").agg(F.sum("weight").alias("_wsum"))
+        return (
+            e.join(sums, "src")
+            .select("src", "dst", (F.col("weight") / F.col("_wsum")).alias("factor"))
+        )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    return (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("factor"))
+    )
+
+
+def _init_ranks(vertices: DataFrame, damping: float,
+                source_ids: Iterable[int] | None) -> DataFrame:
+    """(id, rank, base). base is the per-node constant term of the update."""
+    alpha = 1.0 - damping
+    if source_ids is None:
+        return vertices.select(
+            "id", F.lit(alpha).alias("rank"), F.lit(alpha).alias("base")
+        )
+    srcs = list(source_ids)
+    is_src = F.col("id").isin(srcs)
+    base = F.when(is_src, F.lit(alpha)).otherwise(F.lit(0.0))
+    return vertices.select("id", base.alias("rank"), base.alias("base"))
+
+
+# ---------------------------------------------------------------------------
+# CSR block strategy
+# ---------------------------------------------------------------------------
+
+_BLOCK_SCHEMA = (
+    "pid int, chunk int, src_ids array<long>, src_offsets array<int>, "
+    "dsts array<long>, factors array<double>"
+)
+
+
+def _build_csr_blocks(edge_factors: DataFrame, num_blocks: int,
+                      chunk_edges: int = 2_000_000) -> DataFrame:
+    """Pack each hash-block of edges into CSR rows (built once, persisted).
+
+    Layout per row: sorted unique ``src_ids`` + ``src_offsets`` (CSR
+    indptr) into packed ``dsts``/``factors`` arrays — the Arrow-buffer
+    adjacency the north-star mandates; ≡ the reference's AdjacencyMatrix
+    offsets+targets arrays (core/.../heavyweight/AdjacencyMatrix.java:47-118)
+    per partition instead of per JVM. Rows are chunked at ``chunk_edges``
+    so a 100 TB hub partition still yields bounded Arrow batches.
+    """
+    import numpy as np
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["pid"].iloc[0])
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        fac = pdf["factor"].to_numpy()
+        rows = []
+        for chunk_no, lo in enumerate(range(0, len(pdf), chunk_edges)):
+            hi = min(lo + chunk_edges, len(pdf))
+            s, d, f = src[lo:hi], dst[lo:hi], fac[lo:hi]
+            uniq, counts = np.unique(s, return_counts=True)
+            offsets = np.zeros(len(uniq) + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            rows.append(
+                (pid, chunk_no, uniq.tolist(), offsets.tolist(), d.tolist(), f.tolist())
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["pid", "chunk", "src_ids", "src_offsets", "dsts", "factors"],
+        )
+
+    keyed = edge_factors.withColumn(
+        "pid", F.pmod(F.hash("src"), F.lit(num_blocks)).cast("int")
+    )
+    return keyed.groupBy("pid").applyInPandas(pack, _BLOCK_SCHEMA)
+
+
+def _csr_superstep(ranks: DataFrame, blocks: DataFrame, num_blocks: int) -> DataFrame:
+    """One gather-scatter SpMV over CSR blocks → (dst, msg) partial sums.
+
+    Ranks are hashed to the block that owns their src adjacency
+    (one shuffle of the vertex-sized rank table), the NumPy kernel
+    gathers ranks by searchsorted over the sorted src ids, scatters
+    ``rank·factor`` along the packed dst arrays with an in-kernel
+    partial sum (pandas groupby ≡ map-side combine), and a final
+    dst-keyed hash agg combines across blocks.
+    """
+    import numpy as np
+
+    def spmv(key: tuple, ranks_pdf: pd.DataFrame, blocks_pdf: pd.DataFrame):
+        if blocks_pdf.empty or ranks_pdf.empty:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                                 "msg": pd.Series(dtype="float64")})
+        rid = ranks_pdf["id"].to_numpy()
+        rval = ranks_pdf["rank"].to_numpy()
+        order = np.argsort(rid, kind="mergesort")
+        rid, rval = rid[order], rval[order]
+        outs = []
+        for _, row in blocks_pdf.iterrows():
+            src_ids = np.asarray(row["src_ids"], dtype=np.int64)
+            offsets = np.asarray(row["src_offsets"], dtype=np.int64)
+            dsts = np.asarray(row["dsts"], dtype=np.int64)
+            factors = np.asarray(row["factors"], dtype=np.float64)
+            pos = np.searchsorted(rid, src_ids)
+            pos = np.clip(pos, 0, len(rid) - 1)
+            src_rank = np.where(rid[pos] == src_ids, rval[pos], 0.0)
+            per_edge = np.repeat(src_rank, np.diff(offsets)) * factors
+            s = pd.Series(per_edge).groupby(dsts).sum()
+            outs.append(pd.DataFrame({"dst": s.index.to_numpy(), "msg": s.to_numpy()}))
+        out = pd.concat(outs, ignore_index=True)
+        return out.groupby("dst", as_index=False)["msg"].sum()
+
+    ranks_keyed = ranks.withColumn(
+        "pid", F.pmod(F.hash("id"), F.lit(num_blocks)).cast("int")
+    ).select("pid", "id", "rank")
+    partial = (
+        ranks_keyed.groupBy("pid")
+        .cogroup(blocks.groupBy("pid"))
+        .applyInPandas(spmv, "dst long, msg double")
+    )
+    return partial.groupBy("dst").agg(F.sum("msg").alias("msg"))
+
+
+# ---------------------------------------------------------------------------
+# Driver loop
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 0.0,
+    weighted: bool = False,
+    source_ids: Iterable[int] | None = None,
+    strategy: str = "dataframe",
+    num_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    spark: SparkSession | None = None,
+) -> PageRankResult:
+    """Run PageRank to ``max_iterations`` or until ``max|Δ| < tol``.
+
+    ``tol=0`` reproduces the reference's fixed-iteration semantics
+    (PageRank.java:352-367); ``tol>0`` is the convergence extension.
+    """
+    spark = spark or vertices.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    num_blocks = num_blocks or shuffle_n
+
+    ef = _edge_factors(edges, weighted)
+    if strategy == "csr":
+        blocks = _build_csr_blocks(ef, num_blocks).persist()
+        blocks.count()
+        plan_side = None
+    else:
+        # Pre-partition the (large) edge side on the join key once; every
+        # superstep's sort-merge join then only shuffles the rank side.
+        plan_side = ef.repartition(num_blocks, "src").persist()
+        plan_side.count()
+        blocks = None
+
+    ckpt = CheckpointManager(
+        spark, checkpoint_dir, checkpoint_interval, algorithm="pagerank"
+    )
+    resumed = ckpt.resume()
+    if resumed is not None:
+        start_it, ranks = resumed
+    else:
+        start_it, ranks = 0, _init_ranks(vertices, damping, source_ids)
+    init_ranks = ranks.persist()
+    init_ranks.count()
+
+    max_delta = math.inf
+    converged = False
+    it = start_it
+    for it in range(start_it + 1, max_iterations + 1):
+        if strategy == "csr":
+            msgs = _csr_superstep(ranks.select("id", "rank"), blocks, num_blocks)
+        else:
+            msgs = (
+                plan_side.join(ranks.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("factor")).alias("msg"))
+            )
+        new_ranks = (
+            ranks.join(msgs, ranks["id"] == msgs["dst"], "left")
+            .select(
+                ranks["id"],
+                (F.col("base") + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+                 ).alias("rank"),
+                "base",
+                ranks["rank"].alias("_prev"),
+            )
+        )
+        new_ranks = ckpt.maybe_checkpoint(new_ranks, it)
+        if tol > 0.0:
+            max_delta = new_ranks.agg(
+                F.max(F.abs(F.col("rank") - F.col("_prev")))
+            ).first()[0] or 0.0
+            ckpt.metrics[-1]["max_delta"] = max_delta
+        ranks = new_ranks.select("id", "rank", "base")
+        if tol > 0.0 and max_delta < tol:
+            converged = True
+            break
+
+    result = ranks.select("id", "rank")
+    metrics = list(ckpt.metrics)
+    if ranks is not init_ranks:
+        init_ranks.unpersist()
+    if blocks is not None:
+        blocks.unpersist()
+    if plan_side is not None:
+        plan_side.unpersist()
+    return PageRankResult(result, it, converged, max_delta, metrics)

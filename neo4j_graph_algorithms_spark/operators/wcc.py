@@ -1,0 +1,167 @@
+"""Weakly connected components (union-find / WCC).
+
+Semantics match ``algo.unionFind`` (reference:
+algo/.../UnionFindProc.java:51-91, impl GraphUnionFind.java:57-99 +
+DisjointSetStruct.java): edges union their endpoints; an optional
+``threshold`` unions only when ``weight >= threshold``
+(GraphUnionFind.java:82-99; config UnionFindProcExec.java:283-299).
+
+Output: ``(id, component)`` where ``component`` is the **minimum member
+id** of the component. The reference emits DSS roots — implementation
+artifacts; its own tests assert only partition equivalence
+(tests/.../UnionFindsTest.java:128-154) — so min-member canonicalization
+is the documented deterministic choice.
+
+Physical plan (not a port of the DSS merge tree — its distributed
+restatement):
+
+1. optional **partition-local union-find** inside ``mapInPandas``
+   (≡ the local DSS each ``UnionFindTask`` builds over its edge batch,
+   ParallelUnionFindQueue.java:117-153): each task collapses its edge
+   partition to star edges ``(node → local min)``, shrinking the edge
+   set before any shuffle;
+2. iterated **min-label propagation + pointer jumping** over the
+   (symmetrized) star edges (≡ the pairwise DSS ``merge`` reduction,
+   DisjointSetStruct.java:61-75): per round every node takes the min
+   label among itself and its neighbors, then follows its label's label
+   (pointer doubling) — convergence in ~log(diameter) rounds;
+3. stop when no label changes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neo4j_graph_algorithms_spark.plans.checkpoint import CheckpointManager
+
+__all__ = ["connected_components", "WccResult"]
+
+
+@dataclass
+class WccResult:
+    components: DataFrame  # (id: long, component: long)
+    iterations: int
+    converged: bool
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+def _local_dss_collapse(edges_sym: DataFrame) -> DataFrame:
+    """Per-partition union-find → star edges (node, root=local min member).
+
+    Runs once over the raw edge partitions; pure per-partition work, no
+    shuffle. Path-halving union-by-value keeps the min id at the root so
+    output labels are already locally canonical.
+    """
+
+    def collapse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                rs, rd = find(int(s)), find(int(d))
+                if rs != rd:
+                    # union by min id — keeps labels canonical locally
+                    lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                    parent[hi] = lo
+        if parent:
+            nodes = list(parent.keys())
+            yield pd.DataFrame(
+                {"src": nodes, "dst": [find(n) for n in nodes]}
+            ).astype("int64")
+
+    return edges_sym.mapInPandas(collapse, "src long, dst long")
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    threshold: float | None = None,
+    max_iterations: int = 50,
+    local_dss: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    spark: SparkSession | None = None,
+) -> WccResult:
+    """Compute WCC labels ``(id, component=min member id)``."""
+    spark = spark or vertices.sparkSession
+
+    e = edges
+    if threshold is not None:
+        # union only if weight >= threshold (GraphUnionFind.java:82-99)
+        e = e.filter(F.col("weight") >= float(threshold))
+    e = e.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    if local_dss:
+        stars = _local_dss_collapse(sym).dropDuplicates(["src", "dst"])
+        work = stars.union(
+            stars.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).filter(F.col("src") != F.col("dst"))
+    else:
+        work = sym
+    work = work.persist()
+    work.count()
+
+    labels = vertices.select("id", F.col("id").alias("component"))
+    ckpt = CheckpointManager(spark, checkpoint_dir, checkpoint_interval,
+                             algorithm="wcc")
+    resumed = ckpt.resume()
+    if resumed is not None:
+        start_it, labels = resumed
+    else:
+        start_it = 0
+
+    converged = False
+    it = start_it
+    for it in range(start_it + 1, max_iterations + 1):
+        nbr_min = (
+            work.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("_nmin"))
+        )
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                        ).alias("component"),
+                F.col("component").alias("_prev"),
+            )
+        )
+        # pointer jump: component ← component(component)
+        jump_tbl = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("_jump")
+        )
+        new_labels = (
+            stepped.join(jump_tbl, "component", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("_jump"), F.col("component"))
+                        ).alias("component"),
+                "_prev",
+            )
+        )
+        new_labels = ckpt.maybe_checkpoint(new_labels, it)
+        changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
+        ckpt.metrics[-1]["changed"] = changed
+        labels = new_labels.select("id", "component")
+        if changed == 0:
+            converged = True
+            break
+
+    work.unpersist()
+    return WccResult(labels, it, converged, list(ckpt.metrics))

@@ -1,0 +1,135 @@
+"""PageRank fixtures — goldens from the reference's own tests
+(PageRankTest.java:126-174, PageRankWikiTest.java:63-166) re-expressed
+per FIXTURES.md §1–2, plus float64-oracle convergence checks."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_edges
+from tests.oracles import pagerank_oracle
+from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+
+LABEL1_NAMES = list("abcdefghij")
+LABEL1_EDGES = [
+    ("b", "c"), ("c", "b"), ("d", "a"), ("d", "b"), ("e", "b"),
+    ("e", "d"), ("e", "f"), ("f", "b"), ("f", "e"),
+]
+LABEL1_GOLDEN = {
+    "a": 0.243007, "b": 1.9183995, "c": 1.7806315, "d": 0.21885,
+    "e": 0.243007, "f": 0.21885, "g": 0.15, "h": 0.15, "i": 0.15, "j": 0.15,
+}
+
+WIKI_NAMES = list("abcdefghijk")
+WIKI_EDGES = [
+    ("b", "c"), ("c", "b"), ("d", "a"), ("d", "b"), ("e", "b"), ("e", "d"),
+    ("e", "f"), ("f", "b"), ("f", "e"), ("g", "b"), ("g", "e"), ("h", "b"),
+    ("h", "e"), ("i", "b"), ("i", "e"), ("j", "e"), ("k", "e"),
+]
+WIKI_GOLDEN = {
+    "a": 0.3040965, "b": 3.5658695, "c": 3.180981, "d": 0.3625935,
+    "e": 0.7503465, "f": 0.3625935, "g": 0.15, "h": 0.15, "i": 0.15,
+    "j": 0.15, "k": 0.15,
+}
+
+
+def _vertices(spark, names):
+    return spark.createDataFrame([(i,) for i in range(len(names))], "id long")
+
+
+def _run(spark, names, edge_pairs, golden, strategy, **kw):
+    v = _vertices(spark, names)
+    e = make_edges(spark, edge_pairs, names)
+    res = pagerank(v, e, max_iterations=40, strategy=strategy, **kw)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    for i, n in enumerate(names):
+        assert got[i] == pytest.approx(golden[n], abs=1e-2), (n, got[i], golden[n])
+    return res
+
+
+@pytest.mark.parametrize("strategy", ["dataframe", "csr"])
+def test_pr_label1_golden(spark, strategy):
+    _run(spark, LABEL1_NAMES, LABEL1_EDGES, LABEL1_GOLDEN, strategy)
+
+
+def test_pr_wiki_golden_with_dangling(spark):
+    # node a is dangling — pushes nothing (NonWeightedComputeStep.java:54)
+    _run(spark, WIKI_NAMES, WIKI_EDGES, WIKI_GOLDEN, "dataframe")
+
+
+@pytest.mark.parametrize("strategy", ["dataframe", "csr"])
+def test_pr_tolerance_convergence_vs_oracle(spark, strategy):
+    names = WIKI_NAMES
+    v = _vertices(spark, names)
+    e = make_edges(spark, WIKI_EDGES, names)
+    res = pagerank(v, e, max_iterations=200, tol=1e-9, strategy=strategy)
+    assert res.converged
+    idx = {n: i for i, n in enumerate(names)}
+    oracle = pagerank_oracle(
+        len(names), [(idx[s], idx[d]) for s, d in WIKI_EDGES],
+        iterations=500, tol=1e-12,
+    )
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    for i in range(len(names)):
+        assert got[i] == pytest.approx(oracle[i], abs=1e-6)
+
+
+def test_weighted_pagerank(spark):
+    # weighted: f = w/Σw(src); w<=0 skipped (WeightedComputeStep.java:70)
+    names = list("abcd")
+    pairs = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 1.0),
+             ("c", "a", 2.0), ("d", "a", -5.0)]
+    v = _vertices(spark, names)
+    e = make_edges(spark, pairs, names)
+    res = pagerank(v, e, max_iterations=100, tol=1e-10, weighted=True)
+    idx = {n: i for i, n in enumerate(names)}
+    oracle = pagerank_oracle(
+        4, [(idx[s], idx[d]) for s, d, _ in pairs],
+        weights=[w for _, _, w in pairs], iterations=500, tol=1e-12,
+    )
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    for i in range(4):
+        assert got[i] == pytest.approx(oracle[i], abs=1e-6)
+
+
+def test_personalized_pagerank(spark):
+    names = WIKI_NAMES
+    idx = {n: i for i, n in enumerate(names)}
+    v = _vertices(spark, names)
+    e = make_edges(spark, WIKI_EDGES, names)
+    srcs = [idx["e"], idx["b"]]
+    res = pagerank(v, e, max_iterations=100, tol=1e-10, source_ids=srcs)
+    oracle = pagerank_oracle(
+        len(names), [(idx[s], idx[d]) for s, d in WIKI_EDGES],
+        sources=srcs, iterations=500, tol=1e-12,
+    )
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    for i in range(len(names)):
+        assert got[i] == pytest.approx(oracle[i], abs=1e-6)
+    # non-source, unreachable-from-source nodes stay at 0
+    assert got[idx["k"]] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pagerank_checkpoint_resume(spark, tmp_path):
+    names = LABEL1_NAMES
+    v = _vertices(spark, names)
+    e = make_edges(spark, LABEL1_EDGES, names)
+    ckdir = str(tmp_path / "pr_ck")
+    res1 = pagerank(v, e, max_iterations=10, checkpoint_dir=ckdir,
+                    checkpoint_interval=5)
+    # resume continues from iteration 10's committed state
+    res2 = pagerank(v, e, max_iterations=40, checkpoint_dir=ckdir,
+                    checkpoint_interval=5)
+    full = pagerank(v, e, max_iterations=40)
+    got2 = {r["id"]: r["rank"] for r in res2.ranks.collect()}
+    gotf = {r["id"]: r["rank"] for r in full.ranks.collect()}
+    assert res1.iterations == 10
+    for i in gotf:
+        assert got2[i] == pytest.approx(gotf[i], abs=1e-12)
+
+
+def test_pagerank_metrics_recorded(spark):
+    v = _vertices(spark, LABEL1_NAMES)
+    e = make_edges(spark, LABEL1_EDGES, LABEL1_NAMES)
+    res = pagerank(v, e, max_iterations=5, tol=1e-12)
+    assert len(res.metrics) == 5
+    assert all("max_delta" in m for m in res.metrics)
