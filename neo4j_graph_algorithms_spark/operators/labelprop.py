@@ -18,11 +18,16 @@ DOCUMENTED DEVIATION (SURVEY.md §2.3): the reference updates labels
 asynchronously in randomized order with hash-map-order tie-breaking —
 explicitly nondeterministic (LabelPropagation.java:268,296-301,335-389;
 its own test comments acknowledge oscillation,
-tests/.../LabelPropagation420Test.java:61-81). This engine runs the
-**synchronous** variant with a deterministic tie-break (highest vote,
-then smallest label), so results are reproducible; equality with the
-reference is asserted on converged fixtures (community partitions), as
-the reference's tests themselves do.
+tests/.../LabelPropagation420Test.java:61-81). This engine runs a
+**red-black semi-synchronous** variant with a deterministic tie-break
+(highest vote, then smallest label): each iteration updates the even-id
+class first, then the odd-id class against the refreshed labels — a
+deterministic Gauss-Seidel sweep that kills the pure-sync 2-cycle
+oscillation (mutually-following node pairs flipping forever) the same
+way the reference's async order does, while remaining two set-oriented
+join+agg jobs per iteration. Results are reproducible; equality with
+the reference is asserted on converged fixtures (community partitions),
+as the reference's tests themselves do.
 """
 
 from __future__ import annotations
@@ -120,9 +125,14 @@ def label_propagation(
     argmax_w = Window.partitionBy("v").orderBy(
         F.desc("votes"), F.asc("label")
     )
-    for it in range(start_it + 1, max_iterations + 1):
+
+    def _phase(labels_df, parity):
+        """Update the listener class ``id % 2 == parity`` against the
+        current labels; other class passes through unchanged."""
         votes = (
-            pairs.join(labels.withColumnRenamed("id", "u"), "u")
+            pairs.filter(F.pmod(F.col("v"), F.lit(2)) == parity)
+            .join(labels_df.select(F.col("id").alias("u"),
+                                   F.col("label")), "u")
             .groupBy("v", "label")
             .agg(F.sum("vote_w").alias("votes"))
         )
@@ -131,17 +141,26 @@ def label_propagation(
             .filter(F.col("_rn") == 1)
             .select(F.col("v").alias("id"), F.col("label").alias("_new"))
         )
-        new_labels = (
-            labels.join(winners, "id", "left")
+        return (
+            labels_df.join(winners, "id", "left")
             .select(
                 "id",
                 F.coalesce(F.col("_new"), F.col("label")).alias("label"),
-                F.col("label").alias("_prev"),
+                *([F.col("_prev")] if "_prev" in labels_df.columns else []),
             )
         )
-        new_labels = ckpt.maybe_checkpoint(new_labels, it)
-        changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
-        ckpt.metrics[-1]["changed"] = changed
+
+    for it in range(start_it + 1, max_iterations + 1):
+        base = labels.select("id", "label", F.col("label").alias("_prev"))
+        red = _phase(base, 0)       # even ids see last iteration's labels
+        new_labels = _phase(red, 1)  # odd ids see the refreshed even labels
+        new_labels, info = ckpt.maybe_checkpoint(
+            new_labels, it,
+            action=lambda df: {
+                "changed": df.filter(F.col("label") != F.col("_prev")).count()
+            },
+        )
+        changed = info["changed"]
         labels = new_labels.select("id", "label")
         if changed == 0 and it >= min_iterations:
             did_converge = True

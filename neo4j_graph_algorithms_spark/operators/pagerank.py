@@ -267,16 +267,19 @@ def pagerank(
                 ranks["rank"].alias("_prev"),
             )
         )
-        new_ranks = ckpt.maybe_checkpoint(new_ranks, it)
+        action = None
         if tol > 0.0:
-            max_delta = new_ranks.agg(
-                F.max(F.abs(F.col("rank") - F.col("_prev")))
-            ).first()[0] or 0.0
-            ckpt.metrics[-1]["max_delta"] = max_delta
+            def action(df):  # noqa: B023 — evaluated immediately below
+                d = df.agg(F.max(F.abs(F.col("rank") - F.col("_prev")))).first()[0]
+                return {"max_delta": float(d or 0.0)}
+
+        new_ranks, info = ckpt.maybe_checkpoint(new_ranks, it, action=action)
         ranks = new_ranks.select("id", "rank", "base")
-        if tol > 0.0 and max_delta < tol:
-            converged = True
-            break
+        if tol > 0.0:
+            max_delta = info["max_delta"]
+            if max_delta < tol:
+                converged = True
+                break
 
     result = ranks.select("id", "rank")
     metrics = list(ckpt.metrics)

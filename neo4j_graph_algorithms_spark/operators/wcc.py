@@ -155,9 +155,13 @@ def connected_components(
                 "_prev",
             )
         )
-        new_labels = ckpt.maybe_checkpoint(new_labels, it)
-        changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
-        ckpt.metrics[-1]["changed"] = changed
+        new_labels, info = ckpt.maybe_checkpoint(
+            new_labels, it,
+            action=lambda df: {
+                "changed": df.filter(F.col("component") != F.col("_prev")).count()
+            },
+        )
+        changed = info["changed"]
         labels = new_labels.select("id", "component")
         if changed == 0:
             converged = True

@@ -1,0 +1,106 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_knn_bruteforce` — exact top-k by cosine: the baseline.
+  The query side is broadcast; the dot product is a JVM higher-order
+  ``zip_with``/``aggregate`` fold in float64 (no Python, no shuffle of
+  the corpus side beyond the scan).
+- :func:`sign_lsh_buckets` — random-hyperplane-free sign LSH: bucket =
+  sign bits of the first ``n_bits`` dimensions. The scale path: ANN
+  candidates come from equality joins on the bucket id; a 100 TB corpus
+  shuffles once by bucket instead of cross-joining.
+- :func:`cosine_knn_lsh` — bucketed ANN: exact rerank within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+__all__ = ["cosine_knn_bruteforce", "sign_lsh_buckets", "cosine_knn_lsh"]
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_knn_bruteforce(emb: DataFrame, *, n_queries: int, k: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Exact kNN: queries = ids < n_queries vs the whole corpus.
+
+    Output (query_id, neighbor_id, rank, sim) with rank 1..k by
+    (sim desc, neighbor_id asc).
+    """
+    base = emb.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    base = base.withColumn("n", _norm(F.col("v")))
+    q = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"))
+    pairs = base.join(F.broadcast(q), F.col("id") != F.col("query_id"))
+    sims = pairs.select(
+        "query_id", F.col("id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))).alias("_s"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_s", 5).alias("sim"))
+    )
+
+
+def sign_lsh_buckets(emb: DataFrame, *, n_bits: int = 8,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(bucket, n_vecs, min_vec_id) — sign-bit bucketing of the first
+    n_bits dimensions."""
+    bucket = F.lit(0).cast("long")
+    for j in range(n_bits):
+        bucket = bucket + F.when(
+            F.element_at(F.col(vec_col), j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def cosine_knn_lsh(emb: DataFrame, *, k: int, n_bits: int = 8,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Approximate kNN: candidates share a sign-LSH bucket; exact cosine
+    rerank within each bucket (one shuffle by bucket, no cross join)."""
+    bucket = F.lit(0).cast("long")
+    for j in range(n_bits):
+        bucket = bucket + F.when(
+            F.element_at(F.col(vec_col), j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
+        bucket.alias("bucket"),
+    ).withColumn("n", _norm(F.col("v")))
+    a = base.select("bucket", F.col("id").alias("query_id"),
+                    F.col("v").alias("qv"), F.col("n").alias("qn"))
+    b = base.select("bucket", F.col("id").alias("neighbor_id"),
+                    F.col("v").alias("nv"), F.col("n").alias("nn"))
+    cand = a.join(b, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    sims = cand.select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("_s"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_s", 5).alias("sim"))
+    )

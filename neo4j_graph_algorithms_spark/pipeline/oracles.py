@@ -1,0 +1,165 @@
+"""DuckDB oracle SQL for the pipeline operators.
+
+Each statement reproduces its Spark counterpart **bit-for-bit**: the
+same whitespace tokenizer, the same md5-derived integer hashes, the same
+formulas with the same operand order, the same rounding. Keep in sync
+with dedup.py / text.py / ann.py.
+"""
+
+from __future__ import annotations
+
+from neo4j_graph_algorithms_spark.pipeline.text import LANGS, LANG_PROFILES, STOPWORDS
+
+_TOKS = (
+    "toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS tok FROM documents)"
+)
+
+
+def _h15(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def pipeline_oracles() -> dict[str, str]:
+    sql: dict[str, str] = {}
+
+    sql["exact_dedup"] = """
+        SELECT md5(text) AS fingerprint, count(*) AS n_docs,
+               min(doc_id) AS min_doc_id
+        FROM documents GROUP BY 1
+    """
+
+    minhash_aggs = ", ".join(
+        "min({h}) AS h{k}".format(h=_h15("tok || '|{k}'".format(k=k)), k=k)
+        for k in range(4)
+    )
+    sql["minhash_signatures"] = f"""
+        WITH {_TOKS}
+        SELECT doc_id, {minhash_aggs}
+        FROM toks GROUP BY doc_id
+    """
+
+    sql["minhash_lsh_candidates"] = f"""
+        WITH {_TOKS},
+        sigs AS (SELECT doc_id, {minhash_aggs} FROM toks GROUP BY doc_id),
+        c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a
+               JOIN sigs b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+        c2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a
+               JOIN sigs b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)
+        SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    """
+
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    sig_expr = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+    )
+    sql["simhash_signatures"] = f"""
+        WITH {_TOKS},
+        hashed AS (SELECT doc_id, {_h15('tok')} AS h FROM toks),
+        sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM sums
+    """
+
+    sql["token_jaccard_pairs"] = f"""
+        WITH {_TOKS},
+        dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        j AS (SELECT i.doc_a, i.doc_b,
+                     round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+    """
+
+    sql["token_stats"] = f"""
+        WITH {_TOKS}
+        SELECT doc_id, count(*) AS n_tokens,
+               count(DISTINCT tok) AS n_distinct_tokens,
+               round(avg(length(tok)), 6) AS avg_token_len
+        FROM toks GROUP BY doc_id
+    """
+
+    sql["quality_scores"] = f"""
+        WITH {_TOKS},
+        agg AS (SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd,
+                       sum(CASE WHEN tok IN ({_sql_list(STOPWORDS)})
+                           THEN 1 ELSE 0 END) AS ns
+                FROM toks GROUP BY doc_id)
+        SELECT doc_id,
+               round(CAST(ns AS DOUBLE) / n, 6) AS stop_ratio,
+               round(CAST(nd AS DOUBLE) / n, 6) AS ttr,
+               round(0.4 * (CAST(ns AS DOUBLE) / n)
+                     + 0.3 * (CAST(nd AS DOUBLE) / n)
+                     + 0.3 * least(1.0, CAST(n AS DOUBLE) / 200.0), 6) AS quality
+        FROM agg
+    """
+
+    lang_scores = ", ".join(
+        f"sum(CASE WHEN tok IN ({_sql_list(LANG_PROFILES[lang])}) "
+        f"THEN 1 ELSE 0 END) AS s_{lang}"
+        for lang in LANGS
+    )
+    cases = []
+    for lang in LANGS:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in LANGS if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    sql["language_id"] = f"""
+        WITH {_TOKS},
+        scored AS (SELECT doc_id, {lang_scores} FROM toks GROUP BY doc_id)
+        SELECT doc_id, CASE {' '.join(cases)} ELSE '{LANGS[-1]}' END AS pred_lang
+        FROM scored
+    """
+
+    sql["doc_fingerprints"] = """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+        FROM documents
+    """
+
+    onehot_cols = ", ".join(
+        f"CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END AS lang_{lang}"
+        for lang in LANGS
+    )
+    sql["one_hot_lang"] = f"SELECT doc_id, {onehot_cols} FROM documents"
+
+    sql["cosine_knn"] = """
+        WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        nb AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM base),
+        q AS (SELECT id AS query_id, v AS qv, n AS qn FROM nb WHERE id < 50),
+        sims AS (SELECT q.query_id, b.id AS neighbor_id,
+                        list_dot_product(q.qv, b.v) / (q.qn * b.n) AS s
+                 FROM q JOIN nb b ON b.id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, s,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY s DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM sims)
+        SELECT query_id, neighbor_id, rank, round(s, 5) AS sim
+        FROM r WHERE rank <= 5
+    """
+
+    bucket_expr = " + ".join(
+        f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(8)
+    )
+    sql["lsh_sign_buckets"] = f"""
+        WITH b AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket
+                   FROM embeddings)
+        SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+        FROM b GROUP BY bucket
+    """
+
+    return sql

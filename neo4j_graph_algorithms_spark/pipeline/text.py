@@ -1,0 +1,110 @@
+"""Text analysis over the documents table: token stats, quality
+scoring, n-gram-heuristic language ID, document fingerprinting, one-hot
+encoding (the reference's algo.ml.oneHotEncoding, ml/OneHotEncoding.java:33,
+re-expressed over a lang column).
+
+All JVM-side column expressions; ratios are exact-integer divisions so
+the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neo4j_graph_algorithms_spark.pipeline.dedup import tokens_expr
+
+__all__ = ["token_stats", "quality_scores", "language_id", "fingerprints",
+           "one_hot_lang", "LANGS", "STOPWORDS", "LANG_PROFILES"]
+
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+# tiny per-language function-word profiles for the n-gram-free heuristic
+LANG_PROFILES = {
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "en": ["the", "a", "and", "is", "not"],
+    "es": ["el", "la", "y", "es", "no"],
+    "fr": ["le", "la", "et", "est", "pas"],
+    "zh": ["de", "shi", "bu", "le", "wo"],
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, avg_token_len)."""
+    toks = docs.select("doc_id",
+                       F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.round(F.avg(F.length("tok")), 6).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, stop_ratio, ttr, quality): stopword ratio, type-token
+    ratio, and a length/stopword composite — the usual cheap pretraining
+    quality heuristics."""
+    toks = docs.select("doc_id",
+                       F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("tok").alias("nd"),
+        F.sum(F.when(F.col("tok").isin(STOPWORDS), 1).otherwise(0)).alias("ns"),
+    )
+    stop_ratio = F.col("ns").cast("double") / F.col("n")
+    ttr = F.col("nd").cast("double") / F.col("n")
+    length_score = F.least(F.lit(1.0), F.col("n").cast("double") / 200.0)
+    return agg.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(0.4 * stop_ratio + 0.3 * ttr + 0.3 * length_score, 6
+                ).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — argmax of per-language function-word hit
+    counts, deterministic alphabetical tie-break."""
+    toks = docs.select("doc_id",
+                       F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    aggs = [
+        F.sum(F.when(F.col("tok").isin(LANG_PROFILES[lang]), 1).otherwise(0)
+              ).alias(f"s_{lang}")
+        for lang in LANGS
+    ]
+    scored = toks.groupBy("doc_id").agg(*aggs)
+    # first language (alphabetical) achieving the max
+    pred = None
+    for lang in LANGS:
+        cond = True
+        expr = F.col(f"s_{lang}")
+        for other in LANGS:
+            if other != lang:
+                c = expr >= F.col(f"s_{other}")
+                cond = c if cond is True else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return scored.select("doc_id", pred.otherwise(F.lit(LANGS[-1])).alias("pred_lang"))
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — bag fingerprint: md5 of the space-joined sorted
+    distinct token set (order-insensitive near-exact dup detector)."""
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(
+                tokens_expr(F.col(text_col)))))
+        ).alias("fp"),
+    )
+
+
+def one_hot_lang(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_de, …, lang_zh) — one-hot over the lang column
+    (≡ algo.ml.oneHotEncoding with the LANGS vocabulary)."""
+    cols = [
+        F.when(F.col("lang") == lang, 1).otherwise(0).alias(f"lang_{lang}")
+        for lang in LANGS
+    ]
+    return docs.select("doc_id", *cols)

@@ -82,33 +82,46 @@ class CheckpointManager:
             os.fsync(f.fileno())
 
     # -- state snapshots -------------------------------------------------
-    def maybe_checkpoint(self, state: DataFrame, iteration: int,
-                         **extra: Any) -> DataFrame:
+    def maybe_checkpoint(
+        self,
+        state: DataFrame,
+        iteration: int,
+        action=None,
+        **extra: Any,
+    ) -> tuple[DataFrame, dict[str, Any]]:
         """Persist this iteration's state; truncate lineage on the interval.
 
-        Always persists (the superstep loop reads each state twice: once
-        for the convergence agg, once as next input) and unpersists the
-        previous iteration. On checkpoint iterations, durably writes
-        parquet (if a dir is configured) or ``localCheckpoint`` otherwise.
+        ``action(state) -> dict`` is the superstep's own materializing
+        action (convergence agg / changed-count); running it against the
+        freshly-persisted state populates the cache as a side effect, so
+        the loop costs exactly ONE job per iteration (plus the parquet
+        write on durable-checkpoint iterations). Without an action a
+        bare ``count()`` materializes. The previous iteration's cache is
+        dropped afterwards.
         """
         is_ckpt = iteration % self.interval == 0
+        ck: str | None = None
         if is_ckpt and self.dir:
             path = os.path.join(self.dir, f"state_it{iteration:05d}")
             state.write.mode("overwrite").parquet(path)
             state = self.spark.read.parquet(path)
-            row = self.record(iteration, state, checkpoint=path, **extra)
-            self._commit_metrics(row)
+            ck = path
         elif is_ckpt:
             state = state.localCheckpoint(eager=True)
-            self.record(iteration, state, checkpoint="local", **extra)
+            ck = "local"
         else:
             state = state.persist()
-            state.count()  # materialize so we can drop the previous state
-            self.record(iteration, state, **extra)
+        info: dict[str, Any] = action(state) if action is not None else {}
+        if action is None and not is_ckpt:
+            state.count()
+        row = self.record(iteration, state, **({"checkpoint": ck} if ck else {}),
+                          **info, **extra)
+        if ck and ck != "local":
+            self._commit_metrics(row)
         for old in self._persisted:
             old.unpersist()
         self._persisted = [state]
-        return state
+        return state, info
 
     def resume(self) -> tuple[int, DataFrame] | None:
         """Latest committed (iteration, state) from a durable dir, if any."""

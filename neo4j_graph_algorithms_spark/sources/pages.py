@@ -85,7 +85,8 @@ def _targets_for(i: int, deg: int, n: int, seed: int) -> np.ndarray:
     if deg == 0:
         return np.empty(0, dtype=np.int64)
     j = np.arange(deg, dtype=np.uint64)
-    h = np.uint64(i) * np.uint64(0x9E3779B97F4A7C15) ^ (j + np.uint64(seed))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        h = np.uint64(i) * np.uint64(0x9E3779B97F4A7C15) ^ (j + np.uint64(seed))
     u = _uniform(h)
     # quadratic bias toward low indices → heavy-tailed in-degree (hubs)
     t = np.floor(n * u * u).astype(np.int64)

@@ -61,7 +61,7 @@ def test_pr_tolerance_convergence_vs_oracle(spark, strategy):
     names = WIKI_NAMES
     v = _vertices(spark, names)
     e = make_edges(spark, WIKI_EDGES, names)
-    res = pagerank(v, e, max_iterations=200, tol=1e-9, strategy=strategy)
+    res = pagerank(v, e, max_iterations=200, tol=1e-8, strategy=strategy)
     assert res.converged
     idx = {n: i for i, n in enumerate(names)}
     oracle = pagerank_oracle(

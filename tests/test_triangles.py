@@ -1,0 +1,103 @@
+"""Triangle fixtures — TriangleProcTest.java:61-149 ("tri-9"),
+TriangleCountExpTest.java:59-93 ("tri-ring"),
+ClusteringCoefficientTest.java:40-92 ("lcc-6"), per FIXTURES.md §7-9."""
+
+import pytest
+
+from tests.conftest import make_edges
+from tests.oracles import triangles_oracle
+from neo4j_graph_algorithms_spark.operators.triangles import (
+    triangle_count,
+    triangle_stream,
+)
+
+TRI9_NAMES = list("afceibhdg")
+TRI9_EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "h"), ("d", "e"),
+              ("e", "f"), ("f", "d"), ("b", "d"), ("g", "h"), ("h", "i"),
+              ("i", "g")]
+
+
+def test_tri9(spark):
+    v = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    e = make_edges(spark, TRI9_EDGES, TRI9_NAMES)
+    res = triangle_count(v, e)
+    assert res.triangle_count == 3
+    got = {r["id"]: r["triangles"] for r in res.node_counts.collect()}
+    # three node-disjoint triangles → every node in exactly 1
+    assert all(got[i] == 1 for i in range(9))
+
+
+def test_tri_ring_with_hub(spark):
+    n = 1000
+    edges = [(i, (i + 1) % n, 1.0) for i in range(n)]
+    edges += [(n, i, 1.0) for i in range(n)]  # center hub = node 1000
+    v = spark.createDataFrame([(i,) for i in range(n + 1)], "id long")
+    e = make_edges(spark, edges)
+    res = triangle_count(v, e)
+    assert res.triangle_count == 1000
+    got = {r["id"]: r["triangles"] for r in res.node_counts.collect()}
+    assert got[n] == 1000
+    for i in range(0, n, 97):
+        assert got[i] == 2
+    assert res.average_coefficient == pytest.approx(0.666, abs=1e-3)
+
+
+LCC_NAMES = list("abcdef")
+LCC_EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "e"), ("e", "f"),
+             ("c", "d"), ("c", "f"), ("d", "f")]
+LCC_TRIANGLES = {"a": 1, "b": 1, "c": 3, "d": 1, "e": 1, "f": 2}
+LCC_COEF = {"a": 1.0, "b": 1.0, "c": 0.3, "d": 1.0, "e": 1.0, "f": 2 / 3}
+
+
+def test_lcc6(spark):
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = make_edges(spark, LCC_EDGES, LCC_NAMES)
+    res = triangle_count(v, e)
+    idx = {n: i for i, n in enumerate(LCC_NAMES)}
+    tri = {r["id"]: r["triangles"] for r in res.node_counts.collect()}
+    coef = {r["id"]: r["coefficient"] for r in res.node_counts.collect()}
+    for name in LCC_NAMES:
+        assert tri[idx[name]] == LCC_TRIANGLES[name]
+        assert coef[idx[name]] == pytest.approx(LCC_COEF[name], abs=1e-9)
+
+
+def test_triangle_stream_rows(spark):
+    e = make_edges(spark, TRI9_EDGES, TRI9_NAMES)
+    rows = {(r["node_a"], r["node_b"], r["node_c"])
+            for r in triangle_stream(e).collect()}
+    assert len(rows) == 3
+    for a, b, c in rows:
+        assert a < b < c
+
+
+def test_triangles_directed_input_and_self_loops(spark):
+    # directed duplicates + self-loop: projection is undirected+dedup;
+    # self-loops never count (ordering guard)
+    pairs = [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 2, 1.0)]
+    v = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    e = make_edges(spark, pairs)
+    res = triangle_count(v, e)
+    assert res.triangle_count == 1
+    got = {r["id"]: r["triangles"] for r in res.node_counts.collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_vs_oracle_random_graph(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 60
+    und = {(min(a, b), max(a, b))
+           for a, b in rng.randint(0, n, size=(400, 2)) if a != b}
+    und = sorted(und)
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = make_edges(spark, [(a, b, 1.0) for a, b in und])
+    res = triangle_count(v, e)
+    t, coef, total = triangles_oracle(n, und)
+    assert res.triangle_count == total
+    got_t = {r["id"]: r["triangles"] for r in res.node_counts.collect()}
+    got_c = {r["id"]: r["coefficient"] for r in res.node_counts.collect()}
+    for i in range(n):
+        assert got_t[i] == t[i]
+        assert got_c[i] == pytest.approx(coef[i], abs=1e-12)
+    assert res.average_coefficient == pytest.approx(float(coef.mean()), abs=1e-12)
