@@ -176,6 +176,30 @@ def _lpa_unrolled_sql(iters: int) -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{iters}b"
 
 
+def _articlerank_unrolled_sql(iters: int) -> str:
+    """ArticleRank: PageRank loop with factor 1/(outDeg + avgOutDeg)
+    (ArticleRankComputeStep.java)."""
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src)",
+        "avgd AS (SELECT avg(outd) AS a FROM deg)",
+        "fac AS (SELECT e.src, e.dst, 1.0 / (d.outd + (SELECT a FROM avgd)) AS factor "
+        "FROM edges e JOIN deg d ON e.src = d.src)",
+        "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS (SELECT f.dst AS id, sum(r.rank * f.factor) AS msg "
+            f"FROM fac f JOIN r{i-1} r ON f.src = r.id GROUP BY f.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.id, 0.15 + 0.85 * coalesce(m.msg, 0.0) AS rank "
+            f"FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)"
+        )
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(rank, 6) AS score FROM r{iters}")
+
+
 _WCC_SQL = f"""
 WITH RECURSIVE {_EDGES_CTE},
  sym AS (SELECT src, dst FROM edges WHERE src <> dst
@@ -295,6 +319,58 @@ def _q_degree(direction: str, weighted: bool):
             _vertices(e), e, direction=direction, weighted=weighted
         ).select("id", F.round("score", 6).alias("score"))
     return q
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.traversal import bfs_distances
+
+    e = _edges(spark, sf_dir)
+    return bfs_distances(_vertices(e), e, 0).select(
+        "id", F.col("distance").cast("long").alias("distance")
+    )
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted shortest paths (multiplicity-derived weights); no SQL
+    # oracle: weighted-cost recursion explodes in a recursive CTE →
+    # rows-only check (BFS above is the oracle-checked traversal)
+    from neo4j_graph_algorithms_spark.operators.traversal import sssp
+
+    e = _edges_weighted(spark, sf_dir)
+    return sssp(_vertices(e), e, 0).select(
+        "id", F.round("cost", 6).alias("cost")
+    )
+
+
+def _q_articlerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.centrality_variants import (
+        articlerank,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = articlerank(_vertices(e), e, max_iterations=PR_ITERS, tol=0.0)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-iteration L2 normalization is data-dependent → rows-only check
+    from neo4j_graph_algorithms_spark.operators.centrality_variants import (
+        eigenvector_centrality,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = eigenvector_centrality(_vertices(e), e, max_iterations=PR_ITERS,
+                                 normalization="max")
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic hash-sampled walks — engine-native, rows-only check
+    from neo4j_graph_algorithms_spark.operators.traversal import random_walks
+
+    e = _edges(spark, sf_dir)
+    v = _vertices(e).filter(F.col("id") < 50)
+    return random_walks(v, e, walks_per_node=1, walk_length=3)
 
 
 def _q_linkprediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,7 +530,8 @@ def _q_pages_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.graph import id_map
 
     pages = generate_pages(spark, 2000)
-    raw = extract_edges(pages)
+    raw = extract_edges(pages).persist()
+    raw.count()  # id_map + the joins below reuse the extraction
     ids = id_map(
         raw.select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst")),
         node_col="url",
@@ -491,6 +568,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_node": _q_triangles,
         "clustering_coefficient": _q_lcc,
         "triangle_global": _q_triangle_global,
+        "bfs_from_0": _q_bfs,
+        "sssp_from_0": _q_sssp,
+        "articlerank": _q_articlerank,
+        "eigenvector": _q_eigenvector,
+        "random_walks": _q_random_walks,
         "degree_in": _q_degree("in", False),
         "degree_out": _q_degree("out", False),
         "degree_in_weighted": _q_degree("in", True),
@@ -529,6 +611,17 @@ def oracle_sql() -> dict[str, str]:
             _pagerank_unrolled_sql(PR_ITERS, weighted=False)
             + " ORDER BY rank DESC, id ASC LIMIT 20"
         ),
+        "bfs_from_0": f"""
+            WITH RECURSIVE {_EDGES_CTE},
+            r(id, d) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION
+              SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.id
+              WHERE r.d < 20
+            )
+            SELECT id, min(d) AS distance FROM r GROUP BY id
+        """,
+        "articlerank": _articlerank_unrolled_sql(PR_ITERS),
         "wcc": _WCC_SQL,
         "wcc_threshold": _WCC_TH_SQL,
         "label_propagation": _lpa_unrolled_sql(LPA_ITERS),

@@ -46,10 +46,17 @@ def _spark():
     )
 
 
-def _timed(fn):
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _timed(fn, label: str = ""):
     t0 = time.time()
     out = fn()
-    return time.time() - t0, out
+    dt = time.time() - t0
+    if label:
+        _log(f"{label}: {dt:.1f}s")
+    return dt, out
 
 
 def _build_pages_graph(spark):
@@ -59,7 +66,8 @@ def _build_pages_graph(spark):
     from neo4j_graph_algorithms_spark.graph import id_map
 
     pages = generate_pages(spark, N_PAGES)
-    raw = extract_edges(pages, dedup=True)
+    raw = extract_edges(pages, dedup=True).persist()
+    raw.count()  # materialize: id_map + the two joins below all read it
     ids = id_map(
         raw.select(F.col("src_url").alias("src"), F.col("dst_url").alias("dst")),
         node_col="url",
@@ -88,32 +96,39 @@ def run_bench() -> dict:
     spark = _spark()
     queries: dict[str, float] = {}
 
-    t_build, (v, e, n_nodes, n_edges) = _timed(lambda: _build_pages_graph(spark))
+    _log(f"building pages graph: n={N_PAGES} cpus={CPUS}")
+    t_build, (v, e, n_nodes, n_edges) = _timed(
+        lambda: _build_pages_graph(spark), "pages_extract_build")
+    _log(f"graph: {n_nodes} nodes, {n_edges} edges")
     queries["pages_extract_build"] = round(t_build, 3)
 
     # headline: PageRank to 1e-6 convergence
     t0 = time.time()
-    res = pagerank(v, e, max_iterations=100, tol=PR_TOL)
+    res = pagerank(v, e, max_iterations=150, tol=PR_TOL, unroll=8)
     t_pr = time.time() - t0
     supersteps = res.iterations
+    _log(f"pagerank_conv: {t_pr:.1f}s, {supersteps} supersteps, "
+         f"converged={res.converged}")
     queries["pagerank_conv"] = round(t_pr, 3)
     edges_per_sec_per_superstep = n_edges * supersteps / t_pr
 
-    t, wres = _timed(lambda: connected_components(v, e))
+    t, wres = _timed(lambda: connected_components(v, e), "wcc")
     queries["wcc"] = round(t, 3)
     t, _ = _timed(
         lambda: label_propagation(v, e, max_iterations=5, partition_col=None,
-                                  node_weight_col=None)
+                                  node_weight_col=None),
+        "label_propagation_5",
     )
     queries["label_propagation_5"] = round(t, 3)
-    t, tres = _timed(lambda: triangle_count(v, e))
+    t, tres = _timed(lambda: triangle_count(v, e), "triangle_count")
     queries["triangle_count"] = round(t, 3)
 
     # TPC-H-derived graph (the oracle-checked graph) for cross-reference
     import __spark_entry__ as em
 
     for name in ["pagerank", "wcc", "triangles_per_node"]:
-        t, _ = _timed(lambda: em.queries()[name](spark, SF_DIR).count())
+        t, _ = _timed(lambda: em.queries()[name](spark, SF_DIR).count(),
+                      f"tpch_{name}")
         queries[f"tpch_{name}"] = round(t, 3)
 
     total = round(sum(queries.values()), 3)

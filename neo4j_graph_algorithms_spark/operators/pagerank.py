@@ -211,12 +211,23 @@ def pagerank(
     num_blocks: int | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
+    unroll: int = 4,
     spark: SparkSession | None = None,
 ) -> PageRankResult:
     """Run PageRank to ``max_iterations`` or until ``max|Δ| < tol``.
 
     ``tol=0`` reproduces the reference's fixed-iteration semantics
     (PageRank.java:352-367); ``tol>0`` is the convergence extension.
+
+    ``unroll``: number of supersteps fused into one lazy plan between
+    materializations (dataframe strategy only). Each materialization is
+    one Spark action, so unrolling divides the job-scheduling overhead
+    of the driver loop by J without changing results — the shuffles per
+    superstep are identical, they just pipeline inside one job. The
+    convergence check then sees the delta across the whole block:
+    PageRank's update is a contraction (damping < 1 drives per-step
+    deltas monotonically down in the limit), so block-delta < tol is a
+    conservative stop — never earlier than the per-step check.
     """
     spark = spark or vertices.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -237,54 +248,81 @@ def pagerank(
     ckpt = CheckpointManager(
         spark, checkpoint_dir, checkpoint_interval, algorithm="pagerank"
     )
+    # Static per-vertex base term (alpha, or alpha only at sources for
+    # personalized PR) — persisted once. Every superstep's new-rank join
+    # is vbase ⋈ msgs, so the evolving state `cur` appears EXACTLY ONCE
+    # in each superstep's plan (inside the message aggregation). With
+    # the state on both sides of the join an unrolled block would
+    # recompute the unpersisted chain 2^J times.
+    vbase = _init_ranks(vertices, damping, source_ids).select("id", "base")
+    vbase = vbase.persist()
+
     resumed = ckpt.resume()
     if resumed is not None:
         start_it, ranks = resumed
+        ranks = ranks.select("id", "rank")
     else:
-        start_it, ranks = 0, _init_ranks(vertices, damping, source_ids)
-    init_ranks = ranks.persist()
-    init_ranks.count()
+        start_it = 0
+        ranks = vbase.select("id", F.col("base").alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
 
     max_delta = math.inf
     converged = False
     it = start_it
-    for it in range(start_it + 1, max_iterations + 1):
+    if strategy == "csr":
+        unroll = 1  # cogroup kernels materialize per step
+
+    def _one_superstep(cur: DataFrame) -> DataFrame:
+        """cur(id, rank) → next state, lazily; cur referenced once."""
         if strategy == "csr":
-            msgs = _csr_superstep(ranks.select("id", "rank"), blocks, num_blocks)
+            msgs = _csr_superstep(cur.select("id", "rank"), blocks, num_blocks)
         else:
             msgs = (
-                plan_side.join(ranks.withColumnRenamed("id", "src"), "src")
+                plan_side.join(
+                    cur.select(F.col("id").alias("src"), "rank"), "src"
+                )
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("factor")).alias("msg"))
             )
-        new_ranks = (
-            ranks.join(msgs, ranks["id"] == msgs["dst"], "left")
+        return (
+            vbase.join(msgs, vbase["id"] == msgs["dst"], "left")
             .select(
-                ranks["id"],
-                (F.col("base") + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
-                 ).alias("rank"),
-                "base",
-                ranks["rank"].alias("_prev"),
+                vbase["id"],
+                (F.col("base") + F.lit(damping)
+                 * F.coalesce(F.col("msg"), F.lit(0.0))).alias("rank"),
             )
         )
+
+    while it < max_iterations and not converged:
+        block = min(max(1, unroll), max_iterations - it)
+        start_ranks = ranks
+        cur = ranks
+        for _ in range(block):
+            cur = _one_superstep(cur)
+        it += block
+
         action = None
         if tol > 0.0:
             def action(df):  # noqa: B023 — evaluated immediately below
-                d = df.agg(F.max(F.abs(F.col("rank") - F.col("_prev")))).first()[0]
+                d = (
+                    df.join(
+                        start_ranks.withColumnRenamed("rank", "_prev"), "id"
+                    )
+                    .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))))
+                    .first()[0]
+                )
                 return {"max_delta": float(d or 0.0)}
 
-        new_ranks, info = ckpt.maybe_checkpoint(new_ranks, it, action=action)
-        ranks = new_ranks.select("id", "rank", "base")
+        new_ranks, info = ckpt.maybe_checkpoint(cur, it, action=action)
+        ranks = new_ranks.select("id", "rank")
         if tol > 0.0:
             max_delta = info["max_delta"]
             if max_delta < tol:
                 converged = True
-                break
 
     result = ranks.select("id", "rank")
     metrics = list(ckpt.metrics)
-    if ranks is not init_ranks:
-        init_ranks.unpersist()
+    vbase.unpersist()
     if blocks is not None:
         blocks.unpersist()
     if plan_side is not None:

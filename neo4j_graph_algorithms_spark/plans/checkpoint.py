@@ -106,14 +106,23 @@ class CheckpointManager:
             state.write.mode("overwrite").parquet(path)
             state = self.spark.read.parquet(path)
             ck = path
-        elif is_ckpt:
-            state = state.localCheckpoint(eager=True)
-            ck = "local"
         else:
-            state = state.persist()
-        info: dict[str, Any] = action(state) if action is not None else {}
-        if action is None and not is_ckpt:
-            state.count()
+            # Lineage MUST be truncated every materialization: iterative
+            # plans nest a join+agg layer per superstep and Catalyst's
+            # analysis/AQE cost on a 20-layer self-referencing plan blows
+            # the driver heap long before the data does. Lazy local
+            # checkpoint = same one job as a persist (the action below
+            # materializes it) but the stored partitions become the new
+            # plan root. Durable parquet (above) replaces it on the
+            # interval for crash-resume.
+            state = state.localCheckpoint(eager=False)
+            ck = "local" if is_ckpt else None
+        if action is not None:
+            info: dict[str, Any] = action(state)
+        else:
+            info = {}
+            if ck is None or ck == "local":
+                state.count()  # materialize (parquet write already did)
         row = self.record(iteration, state, **({"checkpoint": ck} if ck else {}),
                           **info, **extra)
         if ck and ck != "local":

@@ -131,5 +131,10 @@ def test_pagerank_metrics_recorded(spark):
     v = _vertices(spark, LABEL1_NAMES)
     e = make_edges(spark, LABEL1_EDGES, LABEL1_NAMES)
     res = pagerank(v, e, max_iterations=5, tol=1e-12)
-    assert len(res.metrics) == 5
+    # one metrics row per materialized block (unroll=4 → blocks of 4+1)
+    assert res.iterations == 5
+    assert len(res.metrics) == 2
     assert all("max_delta" in m for m in res.metrics)
+    # unroll=1 records per-superstep
+    res1 = pagerank(v, e, max_iterations=3, tol=1e-12, unroll=1)
+    assert len(res1.metrics) == 3

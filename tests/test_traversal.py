@@ -1,0 +1,114 @@
+"""BFS / SSSP / random-walk operators + centrality variants + scalar
+functions."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import make_edges
+from neo4j_graph_algorithms_spark.operators.traversal import (
+    bfs_distances,
+    random_walks,
+    sssp,
+)
+from neo4j_graph_algorithms_spark.operators.centrality_variants import (
+    articlerank,
+    eigenvector_centrality,
+)
+from neo4j_graph_algorithms_spark.functions import (
+    is_finite,
+    is_infinite,
+    one_hot,
+    get_nodes_by_id,
+)
+
+
+def _v(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], "id long")
+
+
+def test_bfs_distances(spark):
+    # 0→1→2→3, 0→4, 5 unreachable
+    e = make_edges(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 4, 1.0)])
+    got = {r["id"]: r["distance"]
+           for r in bfs_distances(_v(spark, 6), e, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1}
+
+
+def test_bfs_max_depth(spark):
+    e = make_edges(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)])
+    got = {r["id"]: r["distance"]
+           for r in bfs_distances(_v(spark, 4), e, 0, max_depth=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_sssp_weighted(spark):
+    # 0→1 (1), 1→2 (1), 0→2 (5): shortest 0→2 is 2 via 1
+    e = make_edges(spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)])
+    got = {r["id"]: r["cost"] for r in sssp(_v(spark, 3), e, 0).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_sssp_relaxation_beats_greedy(spark):
+    # longer-hop cheaper path found after multiple rounds
+    e = make_edges(spark, [(0, 1, 10.0), (0, 2, 1.0), (2, 3, 1.0),
+                           (3, 1, 1.0)])
+    got = {r["id"]: r["cost"] for r in sssp(_v(spark, 4), e, 0).collect()}
+    assert got[1] == 3.0
+
+
+def test_random_walks_deterministic(spark):
+    e = make_edges(spark, [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0),
+                           (2, 0, 1.0)])
+    a = random_walks(_v(spark, 3), e, walk_length=4).collect()
+    b = random_walks(_v(spark, 3), e, walk_length=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every step follows an existing edge
+    edges = {(0, 1), (1, 0), (1, 2), (2, 0)}
+    byw = {}
+    for r in a:
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    for steps in byw.values():
+        for s in range(1, max(steps)):
+            if s in steps and s + 1 in steps:
+                assert (steps[s], steps[s + 1]) in edges
+
+
+def test_articlerank_ordering_matches_pagerank_shape(spark):
+    # hub b still ranks highest; all scores finite and > alpha*0.9
+    pairs = [("b", "c"), ("c", "b"), ("d", "a"), ("d", "b"), ("e", "b")]
+    names = list("abcde")
+    e = make_edges(spark, pairs, names)
+    res = articlerank(_v(spark, 5), e, max_iterations=30, tol=1e-8)
+    got = {r["id"]: r["score"] for r in res.scores.collect()}
+    assert max(got, key=got.get) == 1  # b
+    assert res.converged
+
+
+def test_eigenvector_centrality_cycle(spark):
+    # symmetric cycle → uniform eigenvector
+    e = make_edges(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+                           (1, 0, 1.0), (2, 1, 1.0), (0, 2, 1.0)])
+    res = eigenvector_centrality(_v(spark, 3), e, max_iterations=30,
+                                 tol=1e-10, normalization="max")
+    got = [r["score"] for r in res.scores.collect()]
+    assert all(s == pytest.approx(1.0, abs=1e-6) for s in got)
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("inf"),), (float("nan"),)], "x double"
+    )
+    rows = df.select(
+        is_finite(F.col("x")).alias("f"), is_infinite(F.col("x")).alias("i")
+    ).collect()
+    assert [r["f"] for r in rows] == [True, False, False]
+    assert [r["i"] for r in rows] == [False, True, False]
+
+    oh = spark.createDataFrame(
+        [(["a", "b", "c"], ["c", "a"])], "avail array<string>, sel array<string>"
+    ).select(one_hot(F.col("avail"), F.col("sel")).alias("v")).first()
+    assert oh["v"] == [1, 0, 1]
+
+    v = _v(spark, 5)
+    assert {r["id"] for r in get_nodes_by_id(v, [1, 3]).collect()} == {1, 3}
