@@ -200,6 +200,140 @@ def _articlerank_unrolled_sql(iters: int) -> str:
             + f"\nSELECT id, round(rank, 6) AS score FROM r{iters}")
 
 
+# induced-subgraph CTEs for the closeness-family / SCC oracles
+def _sub_cte(n: int) -> str:
+    return (
+        f"sub AS (SELECT DISTINCT l_orderkey % {N_MOD} AS src, "
+        f"l_partkey % {N_MOD} AS dst FROM lineitem "
+        f"WHERE l_orderkey % {N_MOD} < {n} AND l_partkey % {N_MOD} < {n})"
+    )
+
+
+_SNODES_CTE = (
+    "snodes AS (SELECT DISTINCT id FROM "
+    "(SELECT src AS id FROM sub UNION ALL SELECT dst FROM sub))"
+)
+
+# all-pairs BFS distances over `sub` (depth-bounded walk closure; the
+# induced graph's diameter is ≤ 5, bound 10 leaves slack)
+_APSP_CTE = """
+ r(s, v, d) AS (
+   SELECT src, dst, 1 FROM sub WHERE src <> dst
+   UNION
+   SELECT r.s, e.dst, r.d + 1 FROM r JOIN sub e ON e.src = r.v
+   WHERE r.d < 10 AND e.dst <> r.s
+ ),
+ dist AS (SELECT s, v, min(d) AS d FROM r GROUP BY s, v)
+"""
+
+
+def _closeness_sql(wf: bool) -> str:
+    formula = "CAST(coalesce(c.component, 0) AS DOUBLE) / f.farness"
+    if wf:
+        formula = (
+            f"({formula}) * ((coalesce(c.component, 0) - 1.0) / "
+            "((SELECT count(*) FROM snodes) - 1.0))"
+        )
+    return f"""
+        WITH RECURSIVE {_sub_cte(200)}, {_SNODES_CTE}, {_APSP_CTE}
+        , farn AS (SELECT v AS id, sum(d) AS farness FROM dist GROUP BY v)
+        , comp AS (SELECT s AS id, count(*) AS component FROM dist GROUP BY s)
+        SELECT n.id,
+               round(CASE WHEN coalesce(f.farness, 0) = 0 THEN 0.0
+                     ELSE {formula} END, 6) AS centrality
+        FROM snodes n
+        LEFT JOIN farn f ON n.id = f.id
+        LEFT JOIN comp c ON n.id = c.id
+    """
+
+
+_HARMONIC_SQL = f"""
+    WITH RECURSIVE {_sub_cte(200)},
+    both_dir AS (SELECT src, dst FROM sub
+                 UNION SELECT dst, src FROM sub),
+    {_SNODES_CTE},
+    r(s, v, d) AS (
+      SELECT src, dst, 1 FROM both_dir WHERE src <> dst
+      UNION
+      SELECT r.s, e.dst, r.d + 1 FROM r JOIN both_dir e ON e.src = r.v
+      WHERE r.d < 10 AND e.dst <> r.s
+    ),
+    dist AS (SELECT s, v, min(d) AS d FROM r GROUP BY s, v),
+    inv AS (SELECT v AS id,
+                   sum(1.0 / d) / ((SELECT count(*) FROM snodes) - 1.0) AS c
+            FROM dist GROUP BY v)
+    SELECT n.id, round(coalesce(i.c, 0.0), 6) AS centrality
+    FROM snodes n LEFT JOIN inv i ON n.id = i.id
+"""
+
+_DANGALCHEV_SQL = f"""
+    WITH RECURSIVE {_sub_cte(200)}, {_SNODES_CTE}, {_APSP_CTE}
+    , sc AS (SELECT v AS id, sum(pow(2.0, -d)) AS c FROM dist GROUP BY v)
+    SELECT n.id, round(coalesce(sc.c, 0.0), 6) AS centrality
+    FROM snodes n LEFT JOIN sc ON n.id = sc.id
+"""
+
+_SCC_SQL = f"""
+    WITH RECURSIVE {_sub_cte(300)}, {_SNODES_CTE},
+    r(u, v) AS (
+      SELECT src, dst FROM sub WHERE src <> dst
+      UNION
+      SELECT r.u, e.dst FROM r JOIN sub e ON e.src = r.v WHERE e.dst <> r.u
+    ),
+    mut AS (SELECT a.u AS id, a.v AS o FROM r a
+            JOIN r b ON b.u = a.v AND b.v = a.u),
+    allm AS (SELECT id, o FROM mut
+             UNION ALL SELECT id, id FROM snodes)
+    SELECT id, min(o) AS component FROM allm GROUP BY id
+"""
+
+_SIGN = (
+    "(CASE WHEN ({a} + {b}) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+)
+_BALANCED_SQL = f"""
+    WITH {_EDGES_CTE}, {_NODES_CTE}, {_CANON_CTE}, {_TRI_CTE},
+    signed AS (
+      SELECT a, b, c,
+             CASE WHEN {_SIGN.format(a='a', b='b')}
+                  * {_SIGN.format(a='b', b='c')}
+                  * {_SIGN.format(a='a', b='c')} >= 0.0
+                  THEN 1 ELSE 0 END AS bal
+      FROM tri),
+    corners AS (SELECT a AS id, bal FROM signed
+                UNION ALL SELECT b, bal FROM signed
+                UNION ALL SELECT c, bal FROM signed),
+    pern AS (SELECT id, sum(bal) AS balanced, sum(1 - bal) AS unbalanced
+             FROM corners GROUP BY id)
+    SELECT n.id, coalesce(p.balanced, 0) AS balanced,
+           coalesce(p.unbalanced, 0) AS unbalanced
+    FROM nodes n LEFT JOIN pern p ON n.id = p.id
+"""
+
+_EMB40_CTE = (
+    "base AS (SELECT vec_id AS item, embedding::DOUBLE[] AS v "
+    "FROM embeddings WHERE vec_id < 40)"
+)
+
+_EUCLIDEAN_SQL = f"""
+    WITH {_EMB40_CTE}
+    SELECT a.item AS item1, b.item AS item2,
+           round(list_distance(a.v, b.v), 5) AS distance
+    FROM base a JOIN base b ON a.item < b.item
+"""
+
+_PEARSON_SQL = f"""
+    WITH {_EMB40_CTE},
+    stats AS (SELECT item, v, len(v) AS n,
+                     list_aggregate(v, 'sum') AS s,
+                     list_dot_product(v, v) AS q
+              FROM base)
+    SELECT a.item AS item1, b.item AS item2,
+           round((list_dot_product(a.v, b.v) - a.s * b.s / a.n)
+                 / sqrt((a.q - a.s * a.s / a.n) * (b.q - b.s * b.s / b.n)),
+                 5) AS similarity
+    FROM stats a JOIN stats b ON a.item < b.item
+"""
+
 _WCC_SQL = f"""
 WITH RECURSIVE {_EDGES_CTE},
  sym AS (SELECT src, dst FROM edges WHERE src <> dst
@@ -394,6 +528,139 @@ def _q_linkprediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- closeness family / betweenness / SCC / spanning / louvain ------------
+# (closeness-family + SCC run on the induced subgraph id < SUB_N so the
+# DuckDB all-pairs recursive-CTE oracles stay small)
+
+SUB_N = 200
+
+
+def _sub_edges(spark: SparkSession, sf_dir: str, n: int = SUB_N) -> DataFrame:
+    return _edges(spark, sf_dir).filter(
+        (F.col("src") < n) & (F.col("dst") < n)
+    )
+
+
+def _q_closeness(wf: bool):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from neo4j_graph_algorithms_spark.operators.closeness import (
+            closeness_centrality,
+        )
+
+        e = _sub_edges(spark, sf_dir)
+        return closeness_centrality(_vertices(e), e, wasserman_faust=wf).select(
+            "id", F.round("centrality", 6).alias("centrality")
+        )
+    return q
+
+
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.closeness import (
+        harmonic_centrality,
+    )
+
+    e = _sub_edges(spark, sf_dir)
+    return harmonic_centrality(_vertices(e), e).select(
+        "id", F.round("centrality", 6).alias("centrality")
+    )
+
+
+def _q_dangalchev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.closeness import (
+        dangalchev_centrality,
+    )
+
+    e = _sub_edges(spark, sf_dir)
+    return dangalchev_centrality(_vertices(e), e).select(
+        "id", F.round("centrality", 6).alias("centrality")
+    )
+
+
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # not SQL-expressible (Brandes dependency accumulation) → rows-only
+    # check; exactness is pytest-verified against a python Brandes oracle
+    from neo4j_graph_algorithms_spark.operators.betweenness import (
+        betweenness_centrality,
+    )
+
+    e = _sub_edges(spark, sf_dir, 120)
+    return betweenness_centrality(_vertices(e), e).select(
+        "id", F.round("centrality", 6).alias("centrality")
+    )
+
+
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    e = _sub_edges(spark, sf_dir, 300)
+    return strongly_connected_components(_vertices(e), e).components
+
+
+def _q_balanced_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signed weights derived deterministically: +1 when src+dst even."""
+    from neo4j_graph_algorithms_spark.operators.triangles import balanced_triads
+
+    e = _edges(spark, sf_dir).withColumn(
+        "weight",
+        F.when((F.col("src") + F.col("dst")) % 2 == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0)),
+    )
+    return balanced_triads(_vertices(e), e)
+
+
+def _q_spanning_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MST edge set under the deterministic (weight, lo, hi) tie-break —
+    # not SQL-expressible → rows-only; total-weight parity is
+    # pytest-verified against a python Prim oracle
+    from neo4j_graph_algorithms_spark.operators.spanning import spanning_tree
+
+    e = _edges_weighted(spark, sf_dir).filter(
+        (F.col("src") < 300) & (F.col("dst") < 300)
+    )
+    res = spanning_tree(_vertices(e), e, start_node=0)
+    return res.edges.select("lo", "hi", F.round("weight", 6).alias("weight"))
+
+
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # modularity-optimal communities are not SQL-expressible → rows-only
+    from neo4j_graph_algorithms_spark.operators.louvain import louvain
+
+    e = _sub_edges(spark, sf_dir)
+    return louvain(_vertices(e), e, max_levels=2).communities
+
+
+def _q_euclidean_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.similarity import (
+        euclidean_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    items = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("item"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    return euclidean_vectors(items).select(
+        "item1", "item2", F.round("distance", 5).alias("distance")
+    )
+
+
+def _q_pearson_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.operators.similarity import (
+        pearson_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    items = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("item"),
+        F.col("embedding").cast("array<double>").alias("vector"),
+    )
+    return pearson_vectors(items).select(
+        "item1", "item2", F.round("similarity", 5).alias("similarity")
+    )
+
+
 # ---- pipeline: documents / embeddings / events ----------------------------
 
 
@@ -578,6 +845,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_in_weighted": _q_degree("in", True),
         "link_prediction": _q_linkprediction,
         "jaccard_categories": _q_jaccard_categories,
+        "closeness": _q_closeness(False),
+        "closeness_wf": _q_closeness(True),
+        "harmonic": _q_harmonic,
+        "dangalchev": _q_dangalchev,
+        "betweenness": _q_betweenness,
+        "scc": _q_scc,
+        "balanced_triads": _q_balanced_triads,
+        "spanning_tree": _q_spanning_tree,
+        "louvain": _q_louvain,
+        "euclidean_similarity": _q_euclidean_vectors,
+        "pearson_similarity": _q_pearson_vectors,
         "exact_dedup": _q_exact_dedup,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_candidates": _q_minhash_candidates,
@@ -622,6 +900,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, min(d) AS distance FROM r GROUP BY id
         """,
         "articlerank": _articlerank_unrolled_sql(PR_ITERS),
+        "closeness": _closeness_sql(False),
+        "closeness_wf": _closeness_sql(True),
+        "harmonic": _HARMONIC_SQL,
+        "dangalchev": _DANGALCHEV_SQL,
+        "scc": _SCC_SQL,
+        "balanced_triads": _BALANCED_SQL,
+        "euclidean_similarity": _EUCLIDEAN_SQL,
+        "pearson_similarity": _PEARSON_SQL,
         "wcc": _WCC_SQL,
         "wcc_threshold": _WCC_TH_SQL,
         "label_propagation": _lpa_unrolled_sql(LPA_ITERS),

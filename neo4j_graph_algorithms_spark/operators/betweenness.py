@@ -1,0 +1,185 @@
+"""Betweenness centrality — parallel Brandes over a broadcast CSR.
+
+Reference procedures re-expressed (SURVEY.md §2.4):
+
+- ``algo.betweenness[.stream]`` (BetweennessCentralityProc.java:68-172;
+  impl/betweenness/BetweennessCentrality.java, ParallelBetweennessCentrality.java):
+  exact Brandes — per source s, BFS computes σ (shortest-path counts)
+  and predecessor sets, then a reverse sweep accumulates
+  δ(v) += σ(v)/σ(w)·(1+δ(w)) (BetweennessCentrality.java:161-168);
+  direction OUTGOING by default, contributions halved when BOTH
+  (divisor, BetweennessCentrality.java:53,69).
+- ``algo.betweenness.sampled.stream`` — RA-Brandes
+  (RABrandesBetweennessCentrality.java): run the same accumulation from
+  a random subset of sources and scale contributions by
+  f = n/|sample| (:269 ``centrality.add(node, f * delta)``).
+
+Spark restatement: the reference runs one Brandes sweep per source on a
+shared in-memory graph across a thread pool
+(ParallelBetweennessCentrality.java) — the same shape distributes as
+one task per source batch over a **broadcast** CSR (NumPy arrays,
+Arrow-shipped once per executor) with ``mapInPandas`` over the source
+list; per-node partial δ sums then combine in one hash aggregation.
+Like the reference, the graph must fit in (executor) memory — at web
+scale this operator is only meaningful with aggressive source sampling
+(``sample_fraction``), which is the approximation the reference itself
+ships for that regime.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["betweenness_centrality"]
+
+
+def _collect_csr(edges: DataFrame, direction: str):
+    """Sorted-src CSR (indptr over dense positions, packed dsts) of the
+    deduplicated edge set + the node id universe."""
+    e = edges.select("src", "dst")
+    if direction == "both":
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pdf = e.dropDuplicates(["src", "dst"]).toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    order = np.lexsort((dst, src))
+    return src[order], dst[order]
+
+
+def brandes_batch(
+    sources: np.ndarray,
+    node_ids: np.ndarray,
+    src_sorted: np.ndarray,
+    dst_sorted: np.ndarray,
+    scale: float,
+) -> dict[int, float]:
+    """Exact Brandes accumulation from ``sources`` (dense ids) —
+    vectorized level-synchronous forward BFS + reverse dependency sweep
+    (≡ BetweennessCentrality.java:120-168)."""
+    n = len(node_ids)
+    # dense remap
+    s_dense = np.searchsorted(node_ids, src_sorted)
+    d_dense = np.searchsorted(node_ids, dst_sorted)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, s_dense + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    delta_sum = np.zeros(n, dtype=np.float64)
+
+    for s in sources:
+        sigma = np.zeros(n, dtype=np.float64)
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma[s] = 1.0
+        dist[s] = 0
+        frontier = np.array([s], dtype=np.int64)
+        levels = [frontier]
+        d = 0
+        while len(frontier):
+            # gather all out-edges of the frontier at once
+            starts = indptr[frontier]
+            ends = indptr[frontier + 1]
+            counts = ends - starts
+            if counts.sum() == 0:
+                break
+            srcs_rep = np.repeat(frontier, counts)
+            idx = np.concatenate(
+                [np.arange(a, b) for a, b in zip(starts, ends)]
+            )
+            tgts = d_dense[idx]
+            new_mask = dist[tgts] == -1
+            tree_mask = new_mask | (dist[tgts] == d + 1)
+            # σ accumulates along BFS-tree edges
+            np.add.at(sigma, tgts[tree_mask], sigma[srcs_rep[tree_mask]])
+            newly = np.unique(tgts[new_mask])
+            dist[newly] = d + 1
+            frontier = newly
+            if len(newly):
+                levels.append(newly)
+            d += 1
+        # reverse sweep
+        delta = np.zeros(n, dtype=np.float64)
+        for lvl in reversed(levels[1:]):
+            starts = indptr[lvl]
+            ends = indptr[lvl + 1]
+            counts = ends - starts
+            if counts.sum():
+                srcs_rep = np.repeat(lvl, counts)
+                idx = np.concatenate(
+                    [np.arange(a, b) for a, b in zip(starts, ends)]
+                )
+                tgts = d_dense[idx]
+                child = dist[tgts] == dist[srcs_rep] + 1
+                contrib = np.zeros(n, dtype=np.float64)
+                np.add.at(
+                    contrib,
+                    srcs_rep[child],
+                    sigma[srcs_rep[child]] / sigma[tgts[child]]
+                    * (delta[tgts[child]] + 1.0),
+                )
+                delta += contrib
+        delta[s] = 0.0
+        delta_sum += delta * scale
+    nz = np.nonzero(delta_sum)[0]
+    return dict(zip(node_ids[nz].tolist(), delta_sum[nz].tolist()))
+
+
+def betweenness_centrality(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    direction: str = "out",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, centrality). Exact when ``sample_fraction`` is None;
+    RA-Brandes otherwise (contributions scaled by n/|sample|,
+    RABrandesBetweennessCentrality.java:269)."""
+    spark = vertices.sparkSession
+    src_s, dst_s = _collect_csr(edges, direction)
+    node_ids = np.unique(
+        np.concatenate([
+            vertices.select("id").toPandas()["id"].to_numpy(dtype=np.int64),
+            src_s, dst_s,
+        ])
+    )
+    divisor = 2.0 if direction == "both" else 1.0
+
+    sources_df = vertices.select("id")
+    scale = 1.0 / divisor
+    if sample_fraction is not None and sample_fraction < 1.0:
+        sources_df = sources_df.sample(
+            withReplacement=False, fraction=sample_fraction, seed=seed
+        )
+        n_sample = sources_df.count()
+        if n_sample == 0:
+            return vertices.select("id", F.lit(0.0).alias("centrality"))
+        scale = (len(node_ids) / n_sample) / divisor
+
+    bc = spark.sparkContext.broadcast((node_ids, src_s, dst_s))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nids, ss, ds = bc.value
+        for pdf in batches:
+            srcs_dense = np.searchsorted(nids, pdf["id"].to_numpy(dtype=np.int64))
+            acc = brandes_batch(srcs_dense, nids, ss, ds, scale)
+            if acc:
+                yield pd.DataFrame(
+                    {"id": list(acc.keys()), "part": list(acc.values())}
+                )
+
+    n_tasks = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    partials = (
+        sources_df.repartition(n_tasks)
+        .mapInPandas(run, "id long, part double")
+        .groupBy("id")
+        .agg(F.sum("part").alias("centrality"))
+    )
+    return (
+        vertices.select("id")
+        .join(partials, "id", "left")
+        .select("id", F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
+    )

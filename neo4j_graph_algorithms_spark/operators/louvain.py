@@ -1,0 +1,259 @@
+"""Louvain community detection — synchronous modularity optimization
+with graph coarsening.
+
+Reference procedures re-expressed (SURVEY.md §2.4):
+``algo.louvain[.stream]`` (LouvainProc.java:67-133;
+impl/louvain/Louvain.java, ModularityOptimization.java): repeated
+levels of (1) local modularity-optimizing label moves and (2) coarsening
+the graph by communities, producing a dendrogram of per-level labels and
+per-level modularity scores.
+
+The reference's move phase is asynchronous over a shared labels array
+(ModularityOptimization.java) — nondeterministic under concurrency, like
+LabelPropagation. The Spark restatement is **synchronous** rounds with a
+deterministic tie-break (max gain, then min community id), the same
+documented deviation as LPA (SURVEY.md §2.3): per round every node
+evaluates the standard gain
+
+    ΔQ(v→c) = k_{v,in}(c)/m  −  γ·k_v·Σ_tot(c)/(2m²)
+
+over its neighbor communities (self-community compared with v removed
+from it) and moves to the argmax when positive. Oscillation (two nodes
+swapping forever, a classic synchronous-update artifact) is broken by a
+red/black parity schedule: even-id nodes move on even rounds, odd-id
+nodes on odd rounds. When a level converges (no move), communities
+collapse into super-nodes (edge weights summed, intra-community weight
+kept as self-loops) and the next level starts.
+
+Output labels are canonicalized to min ORIGINAL member id per community;
+modularity per level is reported.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+__all__ = ["louvain", "modularity", "LouvainResult"]
+
+
+@dataclass
+class LouvainResult:
+    communities: DataFrame        # (id, community) — final level, canonical
+    dendrogram: list[DataFrame]   # (id, community) per level (original ids)
+    modularities: list[float]
+    levels: int
+    iterations: list[int] = field(default_factory=list)
+
+
+def _sym_weighted(edges: DataFrame) -> DataFrame:
+    """Symmetrized weighted edges (undirected view, both directions),
+    parallel edges summed; self-loops preserved once with their weight."""
+    w = F.col("weight").cast("double") if "weight" in edges.columns else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("weight"))
+    e = e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    rev = e.filter(F.col("src") != F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return e.union(rev).groupBy("src", "dst").agg(
+        F.max("weight").alias("weight")
+    )
+
+
+def modularity(edges_sym: DataFrame, labels: DataFrame, *,
+               gamma: float = 1.0) -> float:
+    """Q = Σ_c [ in_c/(2m) − γ·(tot_c/(2m))² ] over the symmetrized view
+    (in_c counts both directions; self-loops count 2·w toward in_c)."""
+    lab = labels.select(F.col("id").alias("src"), F.col("community").alias("_cs"))
+    lab2 = labels.select(F.col("id").alias("dst"), F.col("community").alias("_cd"))
+    e = edges_sym.join(lab, "src").join(lab2, "dst")
+    two_m = e.agg(
+        F.sum(F.when(F.col("src") == F.col("dst"),
+                     2.0 * F.col("weight")).otherwise(F.col("weight")))
+    ).first()[0]
+    if not two_m:
+        return 0.0
+    per_c = (
+        e.groupBy("_cs").agg(
+            F.sum(F.when(F.col("_cs") == F.col("_cd"),
+                         F.when(F.col("src") == F.col("dst"),
+                                2.0 * F.col("weight"))
+                         .otherwise(F.col("weight")))
+                  .otherwise(F.lit(0.0))).alias("in_c"),
+            F.sum(F.when(F.col("src") == F.col("dst"),
+                         2.0 * F.col("weight")).otherwise(F.col("weight")))
+            .alias("tot_c"),
+        )
+    )
+    row = per_c.agg(
+        F.sum(F.col("in_c") / two_m
+              - F.lit(gamma) * (F.col("tot_c") / two_m) ** 2)
+    ).first()
+    return float(row[0] or 0.0)
+
+
+def _one_level(nodes: DataFrame, edges_sym: DataFrame, *,
+               gamma: float, max_moves: int) -> tuple[DataFrame, int]:
+    """Modularity-optimizing moves until fixpoint on one level.
+    Returns (labels(id, community), rounds_run). ``edges_sym`` must be
+    the symmetrized view; self-loops excluded from neighbor votes."""
+    e = edges_sym.filter(F.col("src") != F.col("dst")).persist()
+    # k_v: weighted degree incl. self-loops counted twice
+    self_w = edges_sym.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("id"), (2.0 * F.col("weight")).alias("_sw"))
+    kv = (
+        e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("_k"))
+        .join(self_w, "id", "left")
+        .select("id", (F.col("_k") + F.coalesce("_sw", F.lit(0.0))).alias("k"))
+    )
+    kv = nodes.select("id").join(kv, "id", "left").select(
+        "id", F.coalesce("k", F.lit(0.0)).alias("k")).persist()
+    two_m = edges_sym.agg(
+        F.sum(F.when(F.col("src") == F.col("dst"),
+                     2.0 * F.col("weight")).otherwise(F.col("weight")))
+    ).first()[0] or 0.0
+    if two_m == 0.0:
+        return nodes.select("id", F.col("id").alias("community")), 0
+
+    labels = nodes.select("id", F.col("id").alias("community"))
+    rounds = 0
+    for r in range(max_moves):
+        rounds = r + 1
+        lab_dst = labels.select(F.col("id").alias("dst"),
+                                F.col("community").alias("_cn"))
+        # votes: total edge weight from v to each neighbor community
+        votes = (
+            e.join(lab_dst, "dst")
+            .groupBy(F.col("src").alias("id"), F.col("_cn").alias("cand"))
+            .agg(F.sum("weight").alias("k_in"))
+        )
+        # Σ_tot per community
+        tot = (
+            labels.join(kv, "id")
+            .groupBy("community").agg(F.sum("k").alias("tot"))
+        )
+        cur = labels.join(kv, "id")
+        scored = (
+            votes.join(cur, "id")
+            .join(tot.withColumnRenamed("community", "cand")
+                  .withColumnRenamed("tot", "_tot_c"), "cand")
+            # Σ_tot of candidate community with v removed if it's v's own
+            .withColumn(
+                "_tot_adj",
+                F.when(F.col("cand") == F.col("community"),
+                       F.col("_tot_c") - F.col("k")).otherwise(F.col("_tot_c")),
+            )
+            .withColumn(
+                "gain",
+                F.col("k_in") / F.lit(two_m / 2.0)
+                - F.lit(gamma) * F.col("k") * F.col("_tot_adj")
+                / F.lit((two_m / 2.0) * two_m),
+            )
+        )
+        pick = scored.withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.desc("gain"), F.asc("cand"))
+            ),
+        ).filter(F.col("_rk") == 1)
+        # move only when strictly positive vs staying, parity-scheduled
+        stay = scored.filter(F.col("cand") == F.col("community")).select(
+            "id", F.col("gain").alias("_stay"))
+        moves = (
+            pick.join(stay, "id", "left")
+            .filter(
+                (F.col("cand") != F.col("community"))
+                & (F.col("gain") > F.coalesce("_stay", F.lit(0.0)) + 1e-12)
+                & (F.pmod(F.col("id"), F.lit(2)) == F.lit(r % 2))
+            )
+            .select("id", F.col("cand").alias("_new"))
+        )
+        new_labels = (
+            labels.join(moves, "id", "left")
+            .select("id", F.coalesce("_new", F.col("community")).alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        n_moves = new_labels.join(
+            labels.withColumnRenamed("community", "_old"), "id"
+        ).filter(F.col("community") != F.col("_old")).count()
+        labels = new_labels
+        if n_moves == 0 and r % 2 == 1:  # both parities saw a quiet round
+            break
+    e.unpersist()
+    kv.unpersist()
+    return labels, rounds
+
+
+def louvain(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    gamma: float = 1.0,
+    max_levels: int = 5,
+    max_moves_per_level: int = 20,
+) -> LouvainResult:
+    """Multi-level Louvain. ``communities``: (id, community=min member
+    original id) at the final level."""
+    sym = _sym_weighted(edges).persist()
+    sym.count()
+    # mapping original id → current community (in current-level id space)
+    mapping = vertices.select("id", F.col("id").alias("community"))
+    cur_nodes = vertices.select("id")
+    cur_edges = sym
+    dendrogram: list[DataFrame] = []
+    modularities: list[float] = []
+    iters: list[int] = []
+
+    for _level in range(max_levels):
+        labels, rounds = _one_level(
+            cur_nodes, cur_edges, gamma=gamma, max_moves=max_moves_per_level
+        )
+        iters.append(rounds)
+        # project to original ids
+        mapping = (
+            mapping.join(
+                labels.withColumnRenamed("community", "_new")
+                .withColumnRenamed("id", "community"),
+                "community",
+            )
+            .select("id", F.col("_new").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        canon = (
+            mapping.groupBy("community").agg(F.min("id").alias("_canon"))
+            .join(mapping, "community")
+            .select("id", F.col("_canon").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        dendrogram.append(canon)
+        modularities.append(modularity(sym, canon, gamma=gamma))
+        n_comms = labels.select("community").distinct().count()
+        n_nodes = cur_nodes.count()
+        if n_comms == n_nodes:
+            break
+        # coarsen: communities → super-nodes, weights summed; intra-
+        # community weight becomes a self-loop (symmetrized view keeps
+        # both directions, so the self-loop weight is w_intra/… kept as
+        # the summed directed view once per (c,c))
+        lab_s = labels.select(F.col("id").alias("src"), F.col("community").alias("_cs"))
+        lab_d = labels.select(F.col("id").alias("dst"), F.col("community").alias("_cd"))
+        coarse = (
+            cur_edges.join(lab_s, "src").join(lab_d, "dst")
+            .groupBy(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+            .agg(F.sum("weight").alias("weight"))
+        )
+        # the symmetrized self-loop aggregation double-counts (c,c) —
+        # intra edges appear in both directions; halve to keep 2m stable
+        cur_edges = coarse.withColumn(
+            "weight",
+            F.when(F.col("src") == F.col("dst"), F.col("weight") / 2.0)
+            .otherwise(F.col("weight")),
+        ).localCheckpoint(eager=True)
+        cur_nodes = labels.select(F.col("community").alias("id")).distinct() \
+            .localCheckpoint(eager=True)
+
+    final = dendrogram[-1] if dendrogram else vertices.select(
+        "id", F.col("id").alias("community"))
+    sym.unpersist()
+    return LouvainResult(final, dendrogram, modularities, len(dendrogram), iters)

@@ -19,6 +19,8 @@ __all__ = [
     "jaccard_categories",
     "overlap_categories",
     "cosine_vectors",
+    "euclidean_vectors",
+    "pearson_vectors",
     "top_k",
     "jaccard_expr",
     "cosine_expr",
@@ -109,6 +111,40 @@ def cosine_vectors(items: DataFrame, *, cutoff: float = 0.0,
         (F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                      F.lit(0.0), lambda acc, x: acc + x)
          / (F.col("na") * F.col("nb"))).alias("similarity"),
+    ).filter(F.col("similarity") >= float(cutoff))
+    if top_k_per_item:
+        sim = top_k(sim, "item1", "similarity", top_k_per_item)
+    return sim
+
+
+def _vector_pairs(items: DataFrame) -> DataFrame:
+    a = items.select(F.col("item").alias("item1"), F.col("vector").alias("va"))
+    b = items.select(F.col("item").alias("item2"), F.col("vector").alias("vb"))
+    return a.join(F.broadcast(b), F.col("item1") < F.col("item2"))
+
+
+def euclidean_vectors(items: DataFrame, *, cutoff: float | None = None,
+                      top_k_per_item: int | None = None) -> DataFrame:
+    """All-pairs euclidean DISTANCE over weight vectors (EuclideanProc;
+    note: cutoff keeps pairs with distance <= cutoff, and topK is
+    smallest-distance-first — distance is a dissimilarity)."""
+    sim = _vector_pairs(items).select(
+        "item1", "item2", euclidean_expr(F.col("va"), F.col("vb")).alias("distance")
+    )
+    if cutoff is not None:
+        sim = sim.filter(F.col("distance") <= float(cutoff))
+    if top_k_per_item:
+        w = W.partitionBy("item1").orderBy(F.asc("distance"), F.asc("item2"))
+        sim = (sim.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= top_k_per_item).drop("_rn"))
+    return sim
+
+
+def pearson_vectors(items: DataFrame, *, cutoff: float = -1.0,
+                    top_k_per_item: int | None = None) -> DataFrame:
+    """All-pairs Pearson correlation over weight vectors (PearsonProc)."""
+    sim = _vector_pairs(items).select(
+        "item1", "item2", pearson_expr(F.col("va"), F.col("vb")).alias("similarity")
     ).filter(F.col("similarity") >= float(cutoff))
     if top_k_per_item:
         sim = top_k(sim, "item1", "similarity", top_k_per_item)

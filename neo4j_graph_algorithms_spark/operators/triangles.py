@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from neo4j_graph_algorithms_spark.graph import as_undirected
 
 __all__ = ["triangle_stream", "triangle_count", "clustering_coefficient",
-           "TriangleResult"]
+           "balanced_triads", "TriangleResult"]
 
 
 @dataclass
@@ -164,4 +164,53 @@ def clustering_coefficient(vertices: DataFrame, edges: DataFrame,
     write property (TriangleCountAlgorithm.java:92-97)."""
     return triangle_count(vertices, edges, already_undirected).node_counts.select(
         "id", "coefficient"
+    )
+
+
+def balanced_triads(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """(id, balanced, unbalanced) — per-node balanced/unbalanced triad
+    counts over signed edge weights (≡ algo.balancedTriads,
+    BalancedTriadsProc.java:57-95; a triad is balanced iff the product
+    of its three weights is >= 0, HugeBalancedTriads.java:76).
+
+    Parallel edges keep the max weight; the triangle machinery reuses
+    the degree-oriented enumeration (no hub blowup)."""
+    w = F.col("weight").cast("double") if "weight" in edges.columns else F.lit(1.0)
+    canon_w = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("lo"),
+                F.greatest("src", "dst").alias("hi"), w.alias("weight"))
+        .groupBy("lo", "hi").agg(F.max("weight").alias("weight"))
+        .persist()
+    )
+    tris = triangle_stream(
+        canon_w.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+        already_undirected=True,
+    )
+    def _w(a, b, alias):
+        return canon_w.select(F.col("lo").alias(a), F.col("hi").alias(b),
+                              F.col("weight").alias(alias))
+    signed = (
+        tris.join(_w("node_a", "node_b", "_w1"), ["node_a", "node_b"])
+        .join(_w("node_b", "node_c", "_w2"), ["node_b", "node_c"])
+        .join(_w("node_a", "node_c", "_w3"), ["node_a", "node_c"])
+        .withColumn(
+            "_bal",
+            (F.col("_w1") * F.col("_w2") * F.col("_w3") >= 0.0).cast("long"),
+        )
+    )
+    per_node = (
+        signed.select(
+            F.explode(F.array("node_a", "node_b", "node_c")).alias("id"), "_bal"
+        )
+        .groupBy("id")
+        .agg(F.sum("_bal").alias("balanced"),
+             F.sum(1 - F.col("_bal")).alias("unbalanced"))
+    )
+    return (
+        vertices.select("id")
+        .join(per_node, "id", "left")
+        .select("id",
+                F.coalesce("balanced", F.lit(0)).alias("balanced"),
+                F.coalesce("unbalanced", F.lit(0)).alias("unbalanced"))
     )

@@ -1,0 +1,165 @@
+"""Closeness-family + betweenness tests against reference fixtures.
+
+Fixtures: ClosenessCentralityTest.java:46-102 (5-node bidirectional
+line, goldens 0.4/0.57/0.66/0.57/0.4 at 1e-2),
+BetweennessCentralityTest2.java:48-95 (7-node double-diamond,
+c=8, d=9, e=8, rest 0), HarmonicCentrality semantics
+(HarmonicCentrality.java:63-83), Dangalchev
+(DangalchevClosenessCentrality.java:59-77).
+"""
+
+import pytest
+
+from tests.conftest import make_edges
+from neo4j_graph_algorithms_spark.operators.closeness import (
+    closeness_centrality,
+    dangalchev_centrality,
+    harmonic_centrality,
+    ms_bfs_distances,
+)
+from neo4j_graph_algorithms_spark.operators.betweenness import (
+    betweenness_centrality,
+)
+
+
+def _v(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], "id long")
+
+
+LINE5 = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+
+
+def test_ms_bfs_line(spark):
+    pairs = ms_bfs_distances(_v(spark, 5), make_edges(spark, LINE5))
+    got = {(r["source"], r["id"]): r["distance"] for r in pairs.collect()}
+    assert got[(0, 4)] == 4 and got[(4, 0)] == 4
+    assert got[(2, 0)] == 2 and got[(1, 2)] == 1
+    assert (0, 0) not in got  # source never revisited / emitted
+    assert len(got) == 20  # all ordered pairs
+
+
+def test_closeness_line5(spark):
+    res = closeness_centrality(_v(spark, 5), make_edges(spark, LINE5))
+    got = {r["id"]: r["centrality"] for r in res.collect()}
+    expected = [0.4, 0.57, 0.66, 0.57, 0.4]
+    for i, e in enumerate(expected):
+        assert got[i] == pytest.approx(e, abs=1e-2)
+
+
+def test_closeness_wasserman_faust_disconnected(spark):
+    # two 3-lines: component(v) counts OTHER reachable nodes, so for a
+    # line end: comp=2, farness=1+2=3 → cc=2/3; WF scales by
+    # (comp-1)/(n-1) = 1/5 (MSBFSCCAlgorithm.java:49-57)
+    edges = make_edges(
+        spark, [(0, 1), (1, 0), (1, 2), (2, 1), (3, 4), (4, 3), (4, 5), (5, 4)]
+    )
+    plain = {r["id"]: r["centrality"]
+             for r in closeness_centrality(_v(spark, 6), edges).collect()}
+    wf = {r["id"]: r["centrality"]
+          for r in closeness_centrality(_v(spark, 6), edges,
+                                        wasserman_faust=True).collect()}
+    for end in (0, 2, 3, 5):
+        assert plain[end] == pytest.approx(2 / 3)
+        assert wf[end] == pytest.approx((2 / 3) * (1 / 5))
+    for mid in (1, 4):
+        assert plain[mid] == pytest.approx(1.0)
+        assert wf[mid] == pytest.approx(1.0 * (1 / 5))
+
+
+def test_harmonic_line3(spark):
+    # A-B-C bidirectional: harmonic(B) = (1+1)/2 = 1, A/C = (1+0.5)/2
+    edges = make_edges(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
+    got = {r["id"]: r["centrality"]
+           for r in harmonic_centrality(_v(spark, 3), edges).collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[0] == pytest.approx(0.75)
+    assert got[2] == pytest.approx(0.75)
+
+
+def test_harmonic_uses_both_direction(spark):
+    # directed 0→1: BOTH-direction BFS sees it undirected
+    edges = make_edges(spark, [(0, 1)])
+    got = {r["id"]: r["centrality"]
+           for r in harmonic_centrality(_v(spark, 2), edges).collect()}
+    assert got[0] == pytest.approx(1.0) and got[1] == pytest.approx(1.0)
+
+
+def test_dangalchev_line3(spark):
+    # directed line 0→1→2: farness accumulated over sources reaching v
+    # (OUTGOING): v=1 gets 2^-1 from 0; v=2 gets 2^-1 (from 1) + 2^-2
+    # (from 0); v=0 unreachable → 0
+    edges = make_edges(spark, [(0, 1), (1, 2)])
+    got = {r["id"]: r["centrality"]
+           for r in dangalchev_centrality(_v(spark, 3), edges).collect()}
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(0.5)
+    assert got[2] == pytest.approx(0.75)
+
+
+# BetweennessCentralityTest2.java fixture: names a..g = ids 0..6
+BETW_EDGES = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+BETW_EXPECTED = {0: 0.0, 1: 0.0, 2: 8.0, 3: 9.0, 4: 8.0, 5: 0.0, 6: 0.0}
+
+
+def test_betweenness_fixture(spark):
+    res = betweenness_centrality(_v(spark, 7), make_edges(spark, BETW_EDGES))
+    got = {r["id"]: r["centrality"] for r in res.collect()}
+    for i, e in BETW_EXPECTED.items():
+        assert got[i] == pytest.approx(e, abs=1e-9), f"node {i}"
+
+
+def test_betweenness_vs_python_oracle_random(spark):
+    import itertools
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n = 30
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, n, size=(120, 2)) if a != b})
+
+    # plain-python directed Brandes oracle
+    adj = {u: [] for u in range(n)}
+    for a, b in edges:
+        adj[a].append(b)
+    cb = [0.0] * n
+    for s in range(n):
+        sigma = [0.0] * n
+        dist = [-1] * n
+        preds = [[] for _ in range(n)]
+        sigma[s] = 1.0
+        dist[s] = 0
+        stack, queue = [], [s]
+        while queue:
+            u = queue.pop(0)
+            stack.append(u)
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    queue.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = [0.0] * n
+        for w in reversed(stack):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                cb[w] += delta[w]
+
+    res = betweenness_centrality(
+        _v(spark, n), make_edges(spark, [(a, b, 1.0) for a, b in edges])
+    )
+    got = {r["id"]: r["centrality"] for r in res.collect()}
+    for i in range(n):
+        assert got[i] == pytest.approx(cb[i], abs=1e-9), f"node {i}"
+
+
+def test_betweenness_sampled_scales(spark):
+    # sample_fraction=1.0 → exact; a real fraction stays close on a
+    # symmetric graph (smoke: non-negative, right schema)
+    res = betweenness_centrality(
+        _v(spark, 7), make_edges(spark, BETW_EDGES), sample_fraction=0.99,
+        seed=3,
+    )
+    got = {r["id"]: r["centrality"] for r in res.collect()}
+    assert all(v >= 0.0 for v in got.values())

@@ -1,0 +1,252 @@
+"""SCC, spanning trees, Louvain, balanced triads, catalog, vector
+similarity — tests against reference fixtures and python oracles."""
+
+import pytest
+
+from tests.conftest import make_edges
+from neo4j_graph_algorithms_spark.operators.scc import (
+    strongly_connected_components,
+)
+from neo4j_graph_algorithms_spark.operators.spanning import (
+    k_spanning_tree,
+    spanning_tree,
+)
+from neo4j_graph_algorithms_spark.operators.louvain import louvain, modularity
+from neo4j_graph_algorithms_spark.operators.triangles import balanced_triads
+from neo4j_graph_algorithms_spark.operators.similarity import (
+    euclidean_vectors,
+    pearson_vectors,
+)
+from neo4j_graph_algorithms_spark.catalog import GraphCatalog
+
+
+def _v(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], "id long")
+
+
+# ---------------------------------------------------------------- SCC
+
+
+def test_scc_two_cycles_and_tail(spark):
+    # 0→1→2→0 | 2→3 | 3→4→5→3 | 6 isolated; plus 5→6
+    edges = make_edges(
+        spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (5, 6)]
+    )
+    res = strongly_connected_components(_v(spark, 7), edges)
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == got[5] == 3
+    assert got[6] == 6
+
+
+def _tarjan_oracle(n, edges):
+    import sys
+    sys.setrecursionlimit(10000)
+    adj = {u: [] for u in range(n)}
+    for a, b in edges:
+        adj[a].append(b)
+    index_counter = [0]
+    stack, lowlink, index, on_stack = [], {}, {}, set()
+    comp = {}
+
+    def strongconnect(v):
+        index[v] = lowlink[v] = index_counter[0]
+        index_counter[0] += 1
+        stack.append(v)
+        on_stack.add(v)
+        for w in adj[v]:
+            if w not in index:
+                strongconnect(w)
+                lowlink[v] = min(lowlink[v], lowlink[w])
+            elif w in on_stack:
+                lowlink[v] = min(lowlink[v], index[w])
+        if lowlink[v] == index[v]:
+            members = []
+            while True:
+                w = stack.pop()
+                on_stack.discard(w)
+                members.append(w)
+                if w == v:
+                    break
+            root = min(members)
+            for m in members:
+                comp[m] = root
+
+    for v in range(n):
+        if v not in index:
+            strongconnect(v)
+    return comp
+
+
+def test_scc_vs_tarjan_oracle_random(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    n = 40
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, n, size=(90, 2)) if a != b})
+    oracle = _tarjan_oracle(n, edges)
+    res = strongly_connected_components(
+        _v(spark, n), make_edges(spark, [(a, b, 1.0) for a, b in edges])
+    )
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    assert got == oracle
+
+
+# ------------------------------------------------------- spanning tree
+
+
+def test_mst_simple(spark):
+    # square with diagonal: 0-1 (1), 1-2 (2), 2-3 (3), 3-0 (4), 0-2 (5)
+    edges = make_edges(
+        spark,
+        [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 3.0), (3, 0, 4.0), (0, 2, 5.0)],
+    )
+    res = spanning_tree(_v(spark, 4), edges, start_node=0)
+    assert res.total_weight == pytest.approx(6.0)  # 1+2+3
+    assert res.edges.count() == 3
+    # maximum spanning tree: 5 (0-2) + 4 (3-0) + 2 (1-2)
+    res_max = spanning_tree(_v(spark, 4), edges, start_node=0, minimum=False)
+    assert res_max.total_weight == pytest.approx(11.0)
+
+
+def test_mst_restricted_to_start_component(spark):
+    edges = make_edges(spark, [(0, 1, 1.0), (2, 3, 2.0)])
+    res = spanning_tree(_v(spark, 4), edges, start_node=0)
+    assert res.total_weight == pytest.approx(1.0)
+    assert res.effective_node_count == 2
+
+
+def test_mst_vs_prim_oracle_random(spark):
+    import heapq
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    n = 25
+    und = sorted({(int(min(a, b)), int(max(a, b)))
+                  for a, b in rng.randint(0, n, size=(80, 2)) if a != b})
+    wts = {e: float(rng.randint(1, 1000)) for e in und}  # near-distinct
+
+    # python Prim over the component of 0
+    adj = {u: [] for u in range(n)}
+    for (a, b), w in wts.items():
+        adj[a].append((w, b))
+        adj[b].append((w, a))
+    seen = {0}
+    heap = list(adj[0])
+    heapq.heapify(heap)
+    total = 0.0
+    while heap:
+        w, u = heapq.heappop(heap)
+        if u in seen:
+            continue
+        seen.add(u)
+        total += w
+        for item in adj[u]:
+            if item[1] not in seen:
+                heapq.heappush(heap, item)
+
+    edges = make_edges(spark, [(a, b, wts[(a, b)]) for a, b in und])
+    res = spanning_tree(_v(spark, n), edges, start_node=0)
+    assert res.total_weight == pytest.approx(total)
+    assert res.effective_node_count == len(seen)
+
+
+def test_k_spanning_tree_cuts(spark):
+    # line 0-1-2-3 with weights 1, 10, 1 → k=2 cuts the 10-edge
+    edges = make_edges(spark, [(0, 1, 1.0), (1, 2, 10.0), (2, 3, 1.0)])
+    clusters = {r["id"]: r["cluster"]
+                for r in k_spanning_tree(_v(spark, 4), edges, 2).collect()}
+    assert clusters[0] == clusters[1]
+    assert clusters[2] == clusters[3]
+    assert clusters[0] != clusters[2]
+
+
+# ------------------------------------------------------------- Louvain
+
+
+def test_louvain_two_cliques(spark):
+    # two K5 cliques joined by a single bridge
+    edges = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j, 1.0))
+    edges.append((0, 5, 1.0))
+    res = louvain(_v(spark, 10), make_edges(spark, edges))
+    got = {r["id"]: r["community"] for r in res.communities.collect()}
+    assert len({got[i] for i in range(5)}) == 1
+    assert len({got[i] for i in range(5, 10)}) == 1
+    assert got[0] != got[5]
+    assert res.modularities[-1] > 0.3
+
+
+def test_modularity_known_value(spark):
+    # two disjoint edges, both nodes of each in one community:
+    # m=2, per community: in=2 (both directions), tot=2 → Q = 2*(2/4 - (2/4)^2) = 0.5
+    edges = make_edges(spark, [(0, 1, 1.0), (2, 3, 1.0)])
+    sym = edges.selectExpr("src", "dst", "weight").union(
+        edges.selectExpr("dst as src", "src as dst", "weight"))
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2)], "id long, community long")
+    q = modularity(sym, labels)
+    assert q == pytest.approx(0.5)
+
+
+# ------------------------------------------------------ balanced triads
+
+
+def test_balanced_triads_wheel(spark):
+    # BalancedTriadsIntegrationTest.java:57-82 — hub a(0) + ring
+    # b..g(1..6), alternating signs → 3 balanced + 3 unbalanced,
+    # center sees all 6, each ring node 1+1
+    edges = make_edges(spark, [
+        (0, 1, 1.0), (0, 2, -1.0), (0, 3, 1.0), (0, 4, -1.0), (0, 5, 1.0),
+        (0, 6, -1.0),
+        (1, 2, -1.0), (2, 3, 1.0), (3, 4, -1.0), (4, 5, 1.0), (5, 6, -1.0),
+        (6, 1, 1.0),
+    ])
+    got = {r["id"]: (r["balanced"], r["unbalanced"])
+           for r in balanced_triads(_v(spark, 7), edges).collect()}
+    assert got[0] == (3, 3)
+    for i in range(1, 7):
+        assert got[i] == (1, 1)
+    total_b = sum(b for b, _ in got.values())
+    total_u = sum(u for _, u in got.values())
+    assert total_b / 3 == 3 and total_u / 3 == 3
+
+
+# ------------------------------------------------------------- catalog
+
+
+def test_graph_catalog(spark):
+    cat = GraphCatalog(spark)
+    v = _v(spark, 3)
+    e = make_edges(spark, [(0, 1), (1, 2)])
+    g = cat.load("g1", v, e)
+    assert g.node_count == 3 and g.edge_count == 2
+    # idempotent load returns cached
+    g2 = cat.load("g1", _v(spark, 99), e)
+    assert g2.node_count == 3
+    assert cat.info("g1")[0]["relationships"] == 2
+    assert spark.sql("SELECT count(*) FROM g1_edges").first()[0] == 2
+    assert cat.remove("g1") and not cat.exists("g1")
+    assert cat.remove("g1") is False
+
+
+# -------------------------------------------------- vector similarity
+
+
+def test_euclidean_pearson_vectors(spark):
+    items = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 5.0]), (3, [3.0, 2.0, 1.0])],
+        "item long, vector array<double>",
+    )
+    eu = {(r["item1"], r["item2"]): r["distance"]
+          for r in euclidean_vectors(items).collect()}
+    assert eu[(1, 2)] == pytest.approx(2.0)
+    assert eu[(1, 3)] == pytest.approx(8.0 ** 0.5)
+    pe = {(r["item1"], r["item2"]): r["similarity"]
+          for r in pearson_vectors(items).collect()}
+    assert pe[(1, 2)] == pytest.approx(0.96076892, abs=1e-6)
+    assert pe[(1, 3)] == pytest.approx(-1.0)

@@ -87,7 +87,7 @@ def test_triangles_vs_oracle_random_graph(spark):
 
     rng = np.random.RandomState(7)
     n = 60
-    und = {(min(a, b), max(a, b))
+    und = {(int(min(a, b)), int(max(a, b)))
            for a, b in rng.randint(0, n, size=(400, 2)) if a != b}
     und = sorted(und)
     v = spark.createDataFrame([(i,) for i in range(n)], "id long")
