@@ -28,7 +28,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-__all__ = ["bfs_distances", "sssp", "random_walks"]
+__all__ = ["bfs_distances", "sssp", "shortest_path", "random_walks",
+           "node2vec_walks"]
 
 
 def bfs_distances(
@@ -129,6 +130,59 @@ def sssp(
     return dist.filter(F.col("cost").isNotNull())
 
 
+def shortest_path(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source_id: int,
+    target_id: int,
+    *,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Single-pair weighted shortest path — ``algo.shortestPath``
+    (ShortestPathProc.java:74-117, impl/ShortestPathDijkstra.java).
+
+    Returns the ordered path ``(step, id, cost)`` from source to target
+    (empty DataFrame when unreachable). Distances come from the
+    :func:`sssp` relaxation loop; predecessors are recovered in ONE
+    pass afterwards (pred(v) = argmin in-edge u with
+    cost(u) + w(u,v) == cost(v), min-u tie-break — deterministic,
+    matching Dijkstra's optimal-substructure invariant), then the path
+    is walked backwards driver-side (path-length tiny lookups)."""
+    spark = vertices.sparkSession
+    dist = sssp(vertices, edges, source_id,
+                max_iterations=max_iterations).persist()
+    if dist.filter(F.col("id") == target_id).isEmpty():
+        return spark.createDataFrame([], "step int, id long, cost double")
+    w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("w"))
+    preds = (
+        e.join(dist.withColumnRenamed("id", "src")
+               .withColumnRenamed("cost", "_cs"), "src")
+        .join(dist.withColumnRenamed("id", "dst")
+              .withColumnRenamed("cost", "_cd"), "dst")
+        .filter(F.abs(F.col("_cs") + F.col("w") - F.col("_cd")) < 1e-9)
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("pred"))
+    )
+    pred_map = {
+        r["id"]: r["pred"]
+        for r in preds.join(dist.select("id"), "id", "left_semi").collect()
+    }
+    cost_map = {r["id"]: r["cost"] for r in dist.collect()}
+    path = [target_id]
+    while path[-1] != source_id:
+        nxt = pred_map.get(path[-1])
+        if nxt is None:
+            break
+        path.append(nxt)
+    path.reverse()
+    dist.unpersist()
+    return spark.createDataFrame(
+        [(i, n, float(cost_map[n])) for i, n in enumerate(path)],
+        "step int, id long, cost double",
+    )
+
+
 @dataclass
 class _WalkState:
     df: DataFrame  # (walk_id, step, node)
@@ -178,4 +232,86 @@ def random_walks(
         nxt.count()
         out = out.union(nxt)
         cur = nxt
+    return out
+
+
+def node2vec_walks(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    walks_per_node: int = 1,
+    walk_length: int = 5,
+    return_param: float = 1.0,
+    in_out: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """node2vec-biased second-order walks — ``algo.randomWalk.stream``
+    with ``mode:'node2vec'`` (NodeWalkerProc.java:55,85-88,
+    NodeWalker.Node2VecStrategy): at node u coming from prev, the
+    unnormalized probability of stepping to x is 1/return_param when
+    x == prev, 1 when x is a neighbor of prev, 1/in_out otherwise.
+
+    Deterministic vectorized sampling: per (walker, step) a hash draws
+    r ∈ [0,1); the candidate chosen is the first whose cumulative bias
+    weight (window over the walker's candidate edges, dst-ordered)
+    exceeds r·total. Neighbor-of-prev detection is a left semi-style
+    join against the edge set on (prev, dst) — no Python in the loop.
+    """
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"]).persist()
+    e.count()
+    nbr = e.select(F.col("src").alias("prev"), F.col("dst").alias("dst_cand"),
+                   F.lit(True).alias("_isnbr"))
+
+    starts = vertices.select("id").crossJoin(
+        F.broadcast(
+            vertices.sparkSession.range(walks_per_node).select(
+                F.col("id").alias("_w"))
+        )
+    ).select(
+        (F.col("id") * walks_per_node + F.col("_w")).alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("id").alias("node"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+    out = starts.select("walk_id", "step", "node").persist()
+    cur = starts
+    for step in range(1, walk_length + 1):
+        cand = (
+            cur.join(e.withColumnRenamed("src", "node"), "node")
+            .withColumnRenamed("dst", "dst_cand")
+            .join(nbr, ["prev", "dst_cand"], "left")
+            .withColumn(
+                "_bias",
+                F.when(F.col("prev").isNull(), F.lit(1.0))
+                .when(F.col("dst_cand") == F.col("prev"),
+                      F.lit(1.0 / return_param))
+                .when(F.col("_isnbr"), F.lit(1.0))
+                .otherwise(F.lit(1.0 / in_out)),
+            )
+        )
+        w_cum = W.partitionBy("walk_id").orderBy("dst_cand") \
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        w_tot = W.partitionBy("walk_id")
+        r = (F.pmod(F.hash("walk_id", F.lit(step), F.lit(seed)),
+                    F.lit(1_000_003)) / F.lit(1_000_003.0))
+        picked = (
+            cand.withColumn("_cum", F.sum("_bias").over(w_cum))
+            .withColumn("_tot", F.sum("_bias").over(w_tot))
+            .withColumn("_r", r * F.col("_tot"))
+            .filter(F.col("_cum") >= F.col("_r"))
+            .withColumn(
+                "_rk",
+                F.row_number().over(W.partitionBy("walk_id").orderBy("dst_cand")),
+            )
+            .filter(F.col("_rk") == 1)
+            .select(
+                "walk_id", F.lit(step).alias("step"),
+                F.col("dst_cand").alias("node"), F.col("node").alias("prev"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        picked.count()
+        out = out.union(picked.select("walk_id", "step", "node"))
+        cur = picked
+    e.unpersist()
     return out

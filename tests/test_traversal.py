@@ -112,3 +112,57 @@ def test_scalar_functions(spark):
 
     v = _v(spark, 5)
     assert {r["id"] for r in get_nodes_by_id(v, [1, 3]).collect()} == {1, 3}
+
+
+def test_shortest_path_pair(spark):
+    from neo4j_graph_algorithms_spark.operators.traversal import shortest_path
+
+    # 0→1 (1), 1→3 (1), 0→2 (5), 2→3 (1): best 0→1→3 cost 2
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 3, 1.0), (0, 2, 5.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    rows = shortest_path(v, e, 0, 3).orderBy("step").collect()
+    assert [(r["id"], r["cost"]) for r in rows] == [(0, 0.0), (1, 1.0), (3, 2.0)]
+    # unreachable pair → empty
+    assert shortest_path(v, e, 3, 0).count() == 0
+
+
+def test_node2vec_walks_structure(spark):
+    from neo4j_graph_algorithms_spark.operators.traversal import node2vec_walks
+
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    pairs = [(i, j) for i in range(6) for j in range(6) if i != j]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    walks = node2vec_walks(v, e, walk_length=4, return_param=2.0, in_out=0.5,
+                           seed=7)
+    rows = walks.orderBy("walk_id", "step").collect()
+    byw = {}
+    for r in rows:
+        byw.setdefault(r["walk_id"], []).append(r["node"])
+    eset = set(pairs)
+    for seq in byw.values():
+        assert len(seq) == 5
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in eset
+    # deterministic
+    again = node2vec_walks(v, e, walk_length=4, return_param=2.0, in_out=0.5,
+                           seed=7).orderBy("walk_id", "step").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_node2vec_never_returns_when_p_huge(spark):
+    from neo4j_graph_algorithms_spark.operators.traversal import node2vec_walks
+
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    pairs = [(i, j) for i in range(5) for j in range(5) if i != j]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    walks = node2vec_walks(v, e, walk_length=6, return_param=1e12, in_out=1.0)
+    byw = {}
+    for r in walks.collect():
+        byw.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    for seq in byw.values():
+        nodes = [seq[s] for s in sorted(seq)]
+        for i in range(2, len(nodes)):
+            assert nodes[i] != nodes[i - 2] or len(set(nodes)) == 1
