@@ -38,6 +38,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from neo4j_graph_algorithms_spark.plans.checkpoint import CheckpointManager
+from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
 
 __all__ = ["label_propagation", "LabelPropagationResult"]
 
@@ -100,7 +101,9 @@ def label_propagation(
     pairs = pairs.withColumn("vote_w", F.col("ew") * F.col("nw")).select(
         "v", "u", "vote_w"
     )
-    pairs = pairs.repartition("u").persist()
+    # pre-partition + pre-sort on the gather key: the per-round votes
+    # join streams the cached pairs with no exchange/re-sort
+    pairs = pairs.repartition("u").sortWithinPartitions("u").persist()
     pairs.count()
 
     # Seed labels: partition property else own id (LabelPropagation.java:221-228).
@@ -150,21 +153,23 @@ def label_propagation(
             )
         )
 
-    for it in range(start_it + 1, max_iterations + 1):
-        base = labels.select("id", "label", F.col("label").alias("_prev"))
-        red = _phase(base, 0)       # even ids see last iteration's labels
-        new_labels = _phase(red, 1)  # odd ids see the refreshed even labels
-        new_labels, info = ckpt.maybe_checkpoint(
-            new_labels, it,
-            action=lambda df: {
-                "changed": df.filter(F.col("label") != F.col("_prev")).count()
-            },
-        )
-        changed = info["changed"]
-        labels = new_labels.select("id", "label")
-        if changed == 0 and it >= min_iterations:
-            did_converge = True
-            break
+    with superstep_conf(spark):
+        for it in range(start_it + 1, max_iterations + 1):
+            base = labels.select("id", "label", F.col("label").alias("_prev"))
+            red = _phase(base, 0)       # even ids see last iteration's labels
+            new_labels = _phase(red, 1)  # odd ids see the refreshed even labels
+            new_labels, info = ckpt.maybe_checkpoint(
+                new_labels, it,
+                action=lambda df: {
+                    "changed": df.filter(F.col("label") != F.col("_prev")).count()
+                },
+            )
+            changed = info["changed"]
+            labels = new_labels.select("id", "label")
+            if changed == 0 and it >= min_iterations:
+                did_converge = True
+                break
+
 
     pairs.unpersist()
     return LabelPropagationResult(labels, it, did_converge, list(ckpt.metrics))

@@ -49,6 +49,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neo4j_graph_algorithms_spark.plans.checkpoint import CheckpointManager
+from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
 
 __all__ = ["pagerank", "PageRankResult"]
 
@@ -239,9 +240,17 @@ def pagerank(
         blocks.count()
         plan_side = None
     else:
-        # Pre-partition the (large) edge side on the join key once; every
-        # superstep's sort-merge join then only shuffles the rank side.
-        plan_side = ef.repartition(num_blocks, "src").persist()
+        # Pre-partition AND pre-sort the (large) edge side on the join
+        # key once: the per-superstep sort-merge join then streams the
+        # cached partitions with NO exchange and NO re-sort — without
+        # the sortWithinPartitions the SMJ re-sorts all |E| rows every
+        # superstep (measured: the dominant per-superstep CPU at 13.5M
+        # edges). Only the vertex-sized rank side moves per superstep.
+        plan_side = (
+            ef.repartition(num_blocks, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
         plan_side.count()
         blocks = None
 
@@ -255,7 +264,12 @@ def pagerank(
     # the state on both sides of the join an unrolled block would
     # recompute the unpersisted chain 2^J times.
     vbase = _init_ranks(vertices, damping, source_ids).select("id", "base")
-    vbase = vbase.persist()
+    # co-partition + pre-sort with the message aggregation's dst hash so
+    # the per-superstep left join needs neither exchange nor sort on the
+    # vertex side
+    vbase = (
+        vbase.repartition(num_blocks, "id").sortWithinPartitions("id").persist()
+    )
 
     resumed = ckpt.resume()
     if resumed is not None:
@@ -293,32 +307,33 @@ def pagerank(
             )
         )
 
-    while it < max_iterations and not converged:
-        block = min(max(1, unroll), max_iterations - it)
-        start_ranks = ranks
-        cur = ranks
-        for _ in range(block):
-            cur = _one_superstep(cur)
-        it += block
+    with superstep_conf(spark):
+        while it < max_iterations and not converged:
+            block = min(max(1, unroll), max_iterations - it)
+            start_ranks = ranks
+            cur = ranks
+            for _ in range(block):
+                cur = _one_superstep(cur)
+            it += block
 
-        action = None
-        if tol > 0.0:
-            def action(df):  # noqa: B023 — evaluated immediately below
-                d = (
-                    df.join(
-                        start_ranks.withColumnRenamed("rank", "_prev"), "id"
+            action = None
+            if tol > 0.0:
+                def action(df):  # noqa: B023 — evaluated immediately below
+                    d = (
+                        df.join(
+                            start_ranks.withColumnRenamed("rank", "_prev"), "id"
+                        )
+                        .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))))
+                        .first()[0]
                     )
-                    .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))))
-                    .first()[0]
-                )
-                return {"max_delta": float(d or 0.0)}
+                    return {"max_delta": float(d or 0.0)}
 
-        new_ranks, info = ckpt.maybe_checkpoint(cur, it, action=action)
-        ranks = new_ranks.select("id", "rank")
-        if tol > 0.0:
-            max_delta = info["max_delta"]
-            if max_delta < tol:
-                converged = True
+            new_ranks, info = ckpt.maybe_checkpoint(cur, it, action=action)
+            ranks = new_ranks.select("id", "rank")
+            if tol > 0.0:
+                max_delta = info["max_delta"]
+                if max_delta < tol:
+                    converged = True
 
     result = ranks.select("id", "rank")
     metrics = list(ckpt.metrics)

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neo4j_graph_algorithms_spark.plans.checkpoint import CheckpointManager
+from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
 
 __all__ = ["connected_components", "WccResult"]
 
@@ -113,7 +114,13 @@ def connected_components(
         ).filter(F.col("src") != F.col("dst"))
     else:
         work = sym
-    work = work.persist()
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # pre-partition + pre-sort on the join key: each min-label round's
+    # sort-merge join then streams the cached edge partitions with no
+    # exchange/re-sort; only the vertex-sized label table moves
+    work = (
+        work.repartition(shuffle_n, "src").sortWithinPartitions("src").persist()
+    )
     work.count()
 
     labels = vertices.select("id", F.col("id").alias("component"))
@@ -127,45 +134,46 @@ def connected_components(
 
     converged = False
     it = start_it
-    for it in range(start_it + 1, max_iterations + 1):
-        nbr_min = (
-            work.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("_nmin"))
-        )
-        stepped = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
-                        ).alias("component"),
-                F.col("component").alias("_prev"),
+    with superstep_conf(spark):
+        for it in range(start_it + 1, max_iterations + 1):
+            nbr_min = (
+                work.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("_nmin"))
             )
-        )
-        # pointer jump: component ← component(component)
-        jump_tbl = stepped.select(
-            F.col("id").alias("component"), F.col("component").alias("_jump")
-        )
-        new_labels = (
-            stepped.join(jump_tbl, "component", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("_jump"), F.col("component"))
-                        ).alias("component"),
-                "_prev",
+            stepped = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                            ).alias("component"),
+                    F.col("component").alias("_prev"),
+                )
             )
-        )
-        new_labels, info = ckpt.maybe_checkpoint(
-            new_labels, it,
-            action=lambda df: {
-                "changed": df.filter(F.col("component") != F.col("_prev")).count()
-            },
-        )
-        changed = info["changed"]
-        labels = new_labels.select("id", "component")
-        if changed == 0:
-            converged = True
-            break
+            # pointer jump: component ← component(component)
+            jump_tbl = stepped.select(
+                F.col("id").alias("component"), F.col("component").alias("_jump")
+            )
+            new_labels = (
+                stepped.join(jump_tbl, "component", "left")
+                .select(
+                    "id",
+                    F.least(F.col("component"), F.coalesce(F.col("_jump"), F.col("component"))
+                            ).alias("component"),
+                    "_prev",
+                )
+            )
+            new_labels, info = ckpt.maybe_checkpoint(
+                new_labels, it,
+                action=lambda df: {
+                    "changed": df.filter(F.col("component") != F.col("_prev")).count()
+                },
+            )
+            changed = info["changed"]
+            labels = new_labels.select("id", "component")
+            if changed == 0:
+                converged = True
+                break
 
     work.unpersist()
     return WccResult(labels, it, converged, list(ckpt.metrics))
