@@ -624,11 +624,15 @@ def _q_spanning_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # modularity-optimal communities are not SQL-expressible → rows-only
+    # modularity-optimal communities are not SQL-expressible → rows-only;
+    # move rounds capped (each round is several Spark jobs and the dense
+    # induced subgraph converges semantically within a few sweeps)
     from neo4j_graph_algorithms_spark.operators.louvain import louvain
 
     e = _sub_edges(spark, sf_dir)
-    return louvain(_vertices(e), e, max_levels=2).communities
+    return louvain(
+        _vertices(e), e, max_levels=2, max_moves_per_level=6
+    ).communities
 
 
 def _q_euclidean_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

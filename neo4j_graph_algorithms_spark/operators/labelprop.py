@@ -153,7 +153,7 @@ def label_propagation(
             )
         )
 
-    with superstep_conf(spark):
+    with superstep_conf(spark, vertices.count()):
         for it in range(start_it + 1, max_iterations + 1):
             base = labels.select("id", "label", F.col("label").alias("_prev"))
             red = _phase(base, 0)       # even ids see last iteration's labels

@@ -270,6 +270,7 @@ def pagerank(
     vbase = (
         vbase.repartition(num_blocks, "id").sortWithinPartitions("id").persist()
     )
+    n_vertices = vbase.count()
 
     resumed = ckpt.resume()
     if resumed is not None:
@@ -307,7 +308,7 @@ def pagerank(
             )
         )
 
-    with superstep_conf(spark):
+    with superstep_conf(spark, n_vertices):
         while it < max_iterations and not converged:
             block = min(max(1, unroll), max_iterations - it)
             start_ranks = ranks

