@@ -200,6 +200,75 @@ def _articlerank_unrolled_sql(iters: int) -> str:
             + f"\nSELECT id, round(rank, 6) AS score FROM r{iters}")
 
 
+def _eigenvector_unrolled_sql(iters: int) -> str:
+    """Unrolled power iteration with per-iteration L2 normalization and
+    final max-normalization — mirrors
+    operators/centrality_variants.py:eigenvector_centrality (reference
+    EigenvectorCentralityComputeStep.java + Normalization.java:19-35).
+    Deterministic at fixed iterations, so the loop unrolls into chained
+    CTEs; the L2 norm is a scalar subquery per iteration."""
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS (SELECT e.dst AS id, sum(r.rank) AS msg "
+            f"FROM edges e JOIN r{i-1} r ON r.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"raw{i} AS (SELECT n.id, coalesce(m.msg, 0.0) AS raw "
+            f"FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)"
+        )
+        parts.append(
+            f"l2_{i} AS (SELECT CASE WHEN sqrt(sum(raw * raw)) > 0 "
+            f"THEN sqrt(sum(raw * raw)) ELSE 1.0 END AS v FROM raw{i})"
+        )
+        parts.append(
+            f"r{i} AS (SELECT id, raw / (SELECT v FROM l2_{i}) AS rank "
+            f"FROM raw{i})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, round(rank / (SELECT max(rank) FROM r{iters}), 6)"
+        f" AS score FROM r{iters}"
+    )
+
+
+def _sssp_unrolled_sql(iters: int) -> str:
+    """Unrolled Bellman-Ford from node 0 over the multiplicity-weighted
+    graph — mirrors operators/traversal.py:sssp (reference
+    ShortestPathDeltaStepping.java). Each CTE pair is one relaxation
+    round (min over incoming cost+weight vs the standing cost, NULL =
+    unreached); with all weights >= 1 and unweighted diameter ~5 the
+    optimal hop count is far below ``iters``, so the fixed unroll
+    reaches the same fixpoint the Spark loop converges to."""
+    parts = [
+        _WEDGES_CTE,
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges))",
+        "d0 AS (SELECT id, CASE WHEN id = 0 THEN 0.0 END AS cost FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS id, min(d.cost + e.weight) AS c "
+            f"FROM wedges e JOIN d{i-1} d ON d.id = e.src "
+            f"WHERE d.cost IS NOT NULL GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT p.id, "
+            f"CASE WHEN p.cost IS NULL THEN c.c "
+            f"     WHEN c.c IS NULL THEN p.cost "
+            f"     WHEN c.c < p.cost THEN c.c ELSE p.cost END AS cost "
+            f"FROM d{i-1} p LEFT JOIN c{i} c ON p.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, round(cost, 6) AS cost FROM d{iters} "
+        "WHERE cost IS NOT NULL"
+    )
+
+
 # induced-subgraph CTEs for the closeness-family / SCC oracles
 def _sub_cte(n: int) -> str:
     return (
@@ -302,7 +371,8 @@ _BALANCED_SQL = f"""
     corners AS (SELECT a AS id, bal FROM signed
                 UNION ALL SELECT b, bal FROM signed
                 UNION ALL SELECT c, bal FROM signed),
-    pern AS (SELECT id, sum(bal) AS balanced, sum(1 - bal) AS unbalanced
+    pern AS (SELECT id, CAST(sum(bal) AS BIGINT) AS balanced,
+                    CAST(sum(1 - bal) AS BIGINT) AS unbalanced
              FROM corners GROUP BY id)
     SELECT n.id, coalesce(p.balanced, 0) AS balanced,
            coalesce(p.unbalanced, 0) AS unbalanced
@@ -465,9 +535,8 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # weighted shortest paths (multiplicity-derived weights); no SQL
-    # oracle: weighted-cost recursion explodes in a recursive CTE →
-    # rows-only check (BFS above is the oracle-checked traversal)
+    # weighted shortest paths (multiplicity-derived weights); oracle =
+    # unrolled Bellman-Ford chained CTEs (_sssp_unrolled_sql)
     from neo4j_graph_algorithms_spark.operators.traversal import sssp
 
     e = _edges_weighted(spark, sf_dir)
@@ -487,7 +556,8 @@ def _q_articlerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-iteration L2 normalization is data-dependent → rows-only check
+    # fixed-iteration power iteration is deterministic — oracle =
+    # unrolled msg/L2-normalize CTE pairs (_eigenvector_unrolled_sql)
     from neo4j_graph_algorithms_spark.operators.centrality_variants import (
         eigenvector_centrality,
     )
@@ -508,10 +578,13 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_linkprediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """common-neighbors / Adamic-Adar / preferential-attachment /
-    total-neighbors per canonical edge (u < v, u < 100)."""
+    """All six algo.linkprediction.* scores per canonical edge
+    (u < v, u < 100). sameCommunity uses a synthetic community property
+    (id % 7) present only on id % 3 != 0 nodes, exercising the
+    missing-property → 0.0 path (LinkPrediction.java:122-131)."""
     from neo4j_graph_algorithms_spark.operators.linkprediction import (
         link_prediction_for_pairs,
+        same_community_for_pairs,
     )
 
     e = _edges(spark, sf_dir)
@@ -521,10 +594,16 @@ def _q_linkprediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["u", "v"])
         .filter(F.col("u") < 100)
     )
-    return link_prediction_for_pairs(e, canon).select(
+    comms = (
+        _vertices(e).filter(F.col("id") % 3 != 0)
+        .select("id", (F.col("id") % 7).alias("community"))
+    )
+    sc = same_community_for_pairs(canon, comms)
+    return link_prediction_for_pairs(e, canon).join(sc, ["u", "v"]).select(
         "u", "v", "common_neighbors",
         F.round("adamic_adar", 6).alias("adamic_adar"),
-        "preferential_attachment", "total_neighbors",
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        "preferential_attachment", "total_neighbors", "same_community",
     )
 
 
@@ -744,7 +823,8 @@ def _q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_jaccard_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """algo.similarity.jaccard over category sets: item = src node,
-    categories = its out-neighbor set; all pairs u<v<60, cutoff 0.2."""
+    categories = its out-neighbor set; all pairs u<v<60, cutoff 0.05
+    (0.2 yields zero pairs on this graph — a vacuous check)."""
     from neo4j_graph_algorithms_spark.operators.similarity import (
         jaccard_categories,
     )
@@ -753,7 +833,7 @@ def _q_jaccard_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = e.filter(F.col("src") < 60).groupBy(F.col("src").alias("item")).agg(
         F.collect_set("dst").alias("categories")
     )
-    return jaccard_categories(items, cutoff=0.2).select(
+    return jaccard_categories(items, cutoff=0.05).select(
         "item1", "item2", F.round("similarity", 6).alias("similarity")
     )
 
@@ -904,6 +984,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, min(d) AS distance FROM r GROUP BY id
         """,
         "articlerank": _articlerank_unrolled_sql(PR_ITERS),
+        "eigenvector": _eigenvector_unrolled_sql(PR_ITERS),
+        "sssp_from_0": _sssp_unrolled_sql(20),
         "closeness": _closeness_sql(False),
         "closeness_wf": _closeness_sql(True),
         "harmonic": _HARMONIC_SQL,
@@ -976,14 +1058,19 @@ def oracle_sql() -> dict[str, str]:
               JOIN nbrs b ON b.id = p.v AND b.nbr = a.nbr
             ),
             cn AS (SELECT u, v, count(*) AS common_neighbors,
-                          sum(1.0 / ln(d.deg)) AS aa
+                          sum(1.0 / ln(d.deg)) AS aa,
+                          sum(1.0 / d.deg) AS ra
                    FROM common JOIN udeg d ON d.id = common.w
                    GROUP BY u, v)
             SELECT p.u, p.v,
                    coalesce(cn.common_neighbors, 0) AS common_neighbors,
                    round(coalesce(cn.aa, 0.0), 6) AS adamic_adar,
+                   round(coalesce(cn.ra, 0.0), 6) AS resource_allocation,
                    du.deg * dv.deg AS preferential_attachment,
-                   du.deg + dv.deg - coalesce(cn.common_neighbors, 0) AS total_neighbors
+                   du.deg + dv.deg - coalesce(cn.common_neighbors, 0) AS total_neighbors,
+                   CAST(CASE WHEN p.u % 3 <> 0 AND p.v % 3 <> 0
+                             AND p.u % 7 = p.v % 7
+                        THEN 1.0 ELSE 0.0 END AS DOUBLE) AS same_community
             FROM pairs p
             JOIN udeg du ON du.id = p.u
             JOIN udeg dv ON dv.id = p.v
@@ -1002,7 +1089,7 @@ def oracle_sql() -> dict[str, str]:
                     JOIN sizes sa ON sa.item = i.item1
                     JOIN sizes sb ON sb.item = i.item2)
             SELECT item1, item2, round(similarity, 6) AS similarity
-            FROM sim WHERE similarity >= 0.2
+            FROM sim WHERE similarity >= 0.05
         """,
         "events_window": """
             SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS win, event_type,

@@ -17,17 +17,30 @@ Reference procedures re-expressed (SURVEY.md §2.4):
 Spark restatement: the reference runs one Brandes sweep per source on a
 shared in-memory graph across a thread pool
 (ParallelBetweennessCentrality.java) — the same shape distributes as
-one task per source batch over a **broadcast** CSR (NumPy arrays,
-Arrow-shipped once per executor) with ``mapInPandas`` over the source
-list; per-node partial δ sums then combine in one hash aggregation.
+one task per source batch over a shared CSR with ``mapInPandas`` over
+the source list; per-node partial δ sums then combine in one hash
+aggregation.
+
+The CSR never touches the driver: the deduplicated edge set is written
+by Spark as a parquet **artifact** (executors write it in parallel) and
+each Python worker process reads the artifact directly and assembles
+the sorted-src CSR once, caching it process-wide — driver memory stays
+O(1) regardless of |E|. On a multi-node cluster pass a shared
+``artifact_dir`` (HDFS/S3/NFS); local mode defaults to a temp dir.
+
 Like the reference, the graph must fit in (executor) memory — at web
 scale this operator is only meaningful with aggressive source sampling
 (``sample_fraction``), which is the approximation the reference itself
-ships for that regime.
+ships for that regime (RABrandesBetweennessCentrality.java). Above
+``MAX_EXACT_SOURCES`` sources, sampling is mandatory: exact Brandes is
+O(|V|·|E|) and a silent exact run at web scale is a mistake, not a
+feature.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from typing import Iterator
 
 import numpy as np
@@ -37,18 +50,48 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["betweenness_centrality"]
 
+# exact Brandes above this many sources is O(V·E) compute — refuse and
+# require explicit sample_fraction (RA-Brandes) instead
+MAX_EXACT_SOURCES = 50_000
 
-def _collect_csr(edges: DataFrame, direction: str):
-    """Sorted-src CSR (indptr over dense positions, packed dsts) of the
-    deduplicated edge set + the node id universe."""
+# per-Python-worker-process artifact cache: path -> (node_ids, src, dst)
+_CSR_CACHE: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _load_artifact(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Executor-side: read the edge/node parquet artifact and assemble
+    the sorted-src arrays + node id universe, cached per process."""
+    hit = _CSR_CACHE.get(path)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    et = pq.read_table(os.path.join(path, "edges"), columns=["src", "dst"])
+    nt = pq.read_table(os.path.join(path, "nodes"), columns=["id"])
+    src = et.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = et.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    vids = nt.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    node_ids = np.unique(np.concatenate([vids, src, dst]))
+    _CSR_CACHE.clear()  # keep at most one graph per worker process
+    _CSR_CACHE[path] = (node_ids, src, dst)
+    return node_ids, src, dst
+
+
+def _write_artifact(vertices: DataFrame, edges: DataFrame, direction: str,
+                    artifact_dir: str | None) -> str:
+    """Spark-side parallel write of the deduplicated (optionally
+    symmetrized) edge set + vertex ids; returns the artifact root."""
+    root = artifact_dir or tempfile.mkdtemp(prefix="betweenness_csr_")
     e = edges.select("src", "dst")
     if direction == "both":
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    pdf = e.dropDuplicates(["src", "dst"]).toPandas()
-    src = pdf["src"].to_numpy(dtype=np.int64)
-    dst = pdf["dst"].to_numpy(dtype=np.int64)
-    order = np.lexsort((dst, src))
-    return src[order], dst[order]
+    e.dropDuplicates(["src", "dst"]).write.mode("overwrite").parquet(
+        os.path.join(root, "edges"))
+    vertices.select("id").write.mode("overwrite").parquet(
+        os.path.join(root, "nodes"))
+    return root
 
 
 def brandes_batch(
@@ -134,19 +177,19 @@ def betweenness_centrality(
     direction: str = "out",
     sample_fraction: float | None = None,
     seed: int = 42,
+    artifact_dir: str | None = None,
 ) -> DataFrame:
     """(id, centrality). Exact when ``sample_fraction`` is None;
     RA-Brandes otherwise (contributions scaled by n/|sample|,
-    RABrandesBetweennessCentrality.java:269)."""
+    RABrandesBetweennessCentrality.java:269).
+
+    Raises ``ValueError`` when an exact run would sweep more than
+    ``MAX_EXACT_SOURCES`` sources — pass ``sample_fraction`` explicitly
+    for large graphs. ``artifact_dir``: shared-filesystem root for the
+    edge artifact on multi-node clusters (temp dir in local mode)."""
     spark = vertices.sparkSession
-    src_s, dst_s = _collect_csr(edges, direction)
-    node_ids = np.unique(
-        np.concatenate([
-            vertices.select("id").toPandas()["id"].to_numpy(dtype=np.int64),
-            src_s, dst_s,
-        ])
-    )
     divisor = 2.0 if direction == "both" else 1.0
+    n_vertices = vertices.count()
 
     sources_df = vertices.select("id")
     scale = 1.0 / divisor
@@ -157,12 +200,17 @@ def betweenness_centrality(
         n_sample = sources_df.count()
         if n_sample == 0:
             return vertices.select("id", F.lit(0.0).alias("centrality"))
-        scale = (len(node_ids) / n_sample) / divisor
+        scale = (n_vertices / n_sample) / divisor
+    elif n_vertices > MAX_EXACT_SOURCES:
+        raise ValueError(
+            f"exact betweenness over {n_vertices} sources is O(V*E); pass "
+            f"sample_fraction (RA-Brandes) above {MAX_EXACT_SOURCES} vertices"
+        )
 
-    bc = spark.sparkContext.broadcast((node_ids, src_s, dst_s))
+    path = _write_artifact(vertices, edges, direction, artifact_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nids, ss, ds = bc.value
+        nids, ss, ds = _load_artifact(path)
         for pdf in batches:
             srcs_dense = np.searchsorted(nids, pdf["id"].to_numpy(dtype=np.int64))
             acc = brandes_batch(srcs_dense, nids, ss, ds, scale)

@@ -3,8 +3,13 @@ linkprediction/LinkPrediction.java:38-122, NeighborsFinder.java):
 
 - commonNeighbors(u,v)        = |N(u) ∩ N(v)|
 - adamicAdar(u,v)             = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w))
+- resourceAllocation(u,v)     = Σ_{w ∈ N(u)∩N(v)} 1/deg(w)
+  (LinkPrediction.java:57-75)
 - preferentialAttachment(u,v) = deg(u) · deg(v)
 - totalNeighbors(u,v)         = |N(u) ∪ N(v)|
+- sameCommunity(u,v)          = 1.0 iff both carry the community
+  property and the values are equal, else 0.0
+  (LinkPrediction.java:122-131)
 
 over **undirected** neighborhoods of the deduplicated graph. The
 reference evaluates one pair per function call; the Spark restatement is
@@ -16,13 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["link_prediction_for_pairs"]
+__all__ = ["link_prediction_for_pairs", "same_community_for_pairs"]
 
 
 def link_prediction_for_pairs(edges: DataFrame, pairs: DataFrame) -> DataFrame:
     """Score ``pairs(u, v)`` against ``edges(src, dst)``.
 
-    Output: (u, v, common_neighbors, adamic_adar,
+    Output: (u, v, common_neighbors, adamic_adar, resource_allocation,
     preferential_attachment, total_neighbors).
     """
     canon = (
@@ -51,6 +56,7 @@ def link_prediction_for_pairs(edges: DataFrame, pairs: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
             F.sum(F.lit(1.0) / F.log(F.col("deg"))).alias("adamic_adar"),
+            F.sum(F.lit(1.0) / F.col("deg")).alias("resource_allocation"),
         )
     )
     return (
@@ -63,9 +69,37 @@ def link_prediction_for_pairs(edges: DataFrame, pairs: DataFrame) -> DataFrame:
             "u", "v",
             F.coalesce("common_neighbors", F.lit(0)).alias("common_neighbors"),
             F.coalesce("adamic_adar", F.lit(0.0)).alias("adamic_adar"),
+            F.coalesce("resource_allocation", F.lit(0.0))
+            .alias("resource_allocation"),
             (F.coalesce("du", F.lit(0)) * F.coalesce("dv", F.lit(0))
              ).alias("preferential_attachment"),
             (F.coalesce("du", F.lit(0)) + F.coalesce("dv", F.lit(0))
              - F.coalesce("common_neighbors", F.lit(0))).alias("total_neighbors"),
+        )
+    )
+
+
+def same_community_for_pairs(pairs: DataFrame,
+                             communities: DataFrame) -> DataFrame:
+    """``algo.linkprediction.sameCommunity`` set-oriented
+    (LinkPrediction.java:122-131): score 1.0 iff BOTH endpoints carry a
+    community value and the values are equal; a missing property on
+    either side scores 0.0 (the reference returns 0.0 when
+    ``hasProperty`` fails).
+
+    ``communities``: (id, community) — e.g. a Louvain/LPA/WCC output;
+    rows may be absent for nodes without the property.
+    """
+    cu = communities.select(F.col("id").alias("u"),
+                            F.col("community").alias("_cu"))
+    cv = communities.select(F.col("id").alias("v"),
+                            F.col("community").alias("_cv"))
+    return (
+        pairs.join(cu, "u", "left").join(cv, "v", "left")
+        .select(
+            "u", "v",
+            F.when(F.col("_cu").isNotNull() & F.col("_cv").isNotNull()
+                   & (F.col("_cu") == F.col("_cv")), F.lit(1.0))
+            .otherwise(F.lit(0.0)).alias("same_community"),
         )
     )

@@ -49,7 +49,9 @@ class LouvainResult:
 
 def _sym_weighted(edges: DataFrame) -> DataFrame:
     """Symmetrized weighted edges (undirected view, both directions),
-    parallel edges summed; self-loops preserved once with their weight."""
+    parallel AND reciprocal directed edges summed (matching the
+    reference's undirected SUM dedup strategy — a→b w1 plus b→a w2
+    becomes undirected weight w1+w2); self-loops preserved once."""
     w = F.col("weight").cast("double") if "weight" in edges.columns else F.lit(1.0)
     e = edges.select("src", "dst", w.alias("weight"))
     e = e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
@@ -57,7 +59,7 @@ def _sym_weighted(edges: DataFrame) -> DataFrame:
         F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
     )
     return e.union(rev).groupBy("src", "dst").agg(
-        F.max("weight").alias("weight")
+        F.sum("weight").alias("weight")
     )
 
 
@@ -125,6 +127,7 @@ def _one_level_local(node_ids, edge_rows, *, gamma: float,
     for v in labels:
         tot[labels[v]] += k[v]
     rounds = 0
+    quiet = 0
     for r in range(max_moves):
         rounds = r + 1
         moved = 0
@@ -157,7 +160,10 @@ def _one_level_local(node_ids, edge_rows, *, gamma: float,
                 tot[own] -= k[v]
                 tot[best] += k[v]
                 moved += 1
-        if moved == 0 and r % 2 == 1:
+        # fixpoint = two consecutive quiet rounds (one per parity) —
+        # a single quiet odd round does not prove the even parity is done
+        quiet = quiet + 1 if moved == 0 else 0
+        if quiet >= 2:
             break
     return labels, rounds
 
@@ -191,6 +197,7 @@ def _one_level(nodes: DataFrame, edges_sym: DataFrame, *,
 
     labels = nodes.select("id", F.col("id").alias("community"))
     rounds = 0
+    quiet = 0
     for r in range(max_moves):
         rounds = r + 1
         lab_dst = labels.select(F.col("id").alias("dst"),
@@ -249,7 +256,9 @@ def _one_level(nodes: DataFrame, edges_sym: DataFrame, *,
             .select("id", F.coalesce("_new", F.col("community")).alias("community"))
             .localCheckpoint(eager=True)
         )
-        if n_moves == 0 and r % 2 == 1:  # both parities saw a quiet round
+        # fixpoint = two CONSECUTIVE quiet rounds (one per parity)
+        quiet = quiet + 1 if n_moves == 0 else 0
+        if quiet >= 2:
             break
     e.unpersist()
     kv.unpersist()
@@ -324,13 +333,20 @@ def louvain(
         # the summed directed view once per (c,c))
         lab_s = labels.select(F.col("id").alias("src"), F.col("community").alias("_cs"))
         lab_d = labels.select(F.col("id").alias("dst"), F.col("community").alias("_cd"))
+        # 2m bookkeeping for the (c,c) group: cross intra edges appear in
+        # BOTH directions of the symmetrized view (contribute w per
+        # direction), while an inherited self-loop (src==dst) appears
+        # once but counts 2w toward 2m — weight it double before the /2
+        # so 2m is invariant across levels (a plain sum/2 halves
+        # inherited self-loops every level).
         coarse = (
             cur_edges.join(lab_s, "src").join(lab_d, "dst")
             .groupBy(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
-            .agg(F.sum("weight").alias("weight"))
+            .agg(F.sum(
+                F.when(F.col("src") == F.col("dst"), 2.0 * F.col("weight"))
+                .otherwise(F.col("weight"))
+            ).alias("weight"))
         )
-        # the symmetrized self-loop aggregation double-counts (c,c) —
-        # intra edges appear in both directions; halve to keep 2m stable
         cur_edges = coarse.withColumn(
             "weight",
             F.when(F.col("src") == F.col("dst"), F.col("weight") / 2.0)

@@ -148,7 +148,16 @@ def k_spanning_tree(
 ) -> DataFrame:
     """(id, cluster = min member id): cut the k-1 worst tree edges
     (heaviest for kmin, lightest for kmax — KSpanningTree.java) and
-    label the resulting clusters."""
+    label the resulting clusters.
+
+    Like the reference's KSpanningTree (which always grows ONE Prim
+    tree from ``startNode``), this operates on a single spanning tree:
+    when ``start_node`` is None it defaults to the minimum vertex id,
+    so cutting k-1 edges yields exactly k clusters on that tree's
+    component (a global cut across a spanning FOREST would yield
+    components+k-1 clusters on disconnected graphs)."""
+    if start_node is None:
+        start_node = vertices.agg(F.min("id")).first()[0]
     res = spanning_tree(vertices, edges, start_node=start_node, minimum=minimum)
     sign = -1.0 if minimum else 1.0  # cut heaviest when minimizing
     cut_key = F.struct((F.col("weight") * sign).alias("w"),
@@ -161,6 +170,8 @@ def k_spanning_tree(
     nodes = (
         res.edges.select(F.col("lo").alias("id"))
         .union(res.edges.select(F.col("hi").alias("id")))
+        .union(vertices.sparkSession.createDataFrame(
+            [(int(start_node),)], "id long"))  # isolated start component
         .distinct()
     )
     return connected_components(nodes, kept).components.select(

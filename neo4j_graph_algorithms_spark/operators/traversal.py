@@ -146,41 +146,81 @@ def shortest_path(
     :func:`sssp` relaxation loop; predecessors are recovered in ONE
     pass afterwards (pred(v) = argmin in-edge u with
     cost(u) + w(u,v) == cost(v), min-u tie-break — deterministic,
-    matching Dijkstra's optimal-substructure invariant), then the path
-    is walked backwards driver-side (path-length tiny lookups)."""
+    matching Dijkstra's optimal-substructure invariant).
+
+    The path itself is recovered WITHOUT collecting the reachable set:
+    the pred map is a functional forest rooted at source, and the path
+    is exactly the ancestor closure of ``target_id``, computed by
+    pointer doubling — round k holds a jump table ``J_k(id → 2^k-th
+    ancestor)`` and a frontier set S of known ancestors with their hop
+    distance from target; ``S ← S ∪ J_k[S]`` doubles the covered
+    horizon, so the closure finishes in O(log path_len) joins with
+    driver state O(1). Zero-weight pred cycles (which would hang a
+    naive backwalk) terminate here by round exhaustion and are
+    rejected by the contiguity check below — such inputs return an
+    empty DataFrame rather than a bogus partial path."""
     spark = vertices.sparkSession
     dist = sssp(vertices, edges, source_id,
                 max_iterations=max_iterations).persist()
     if dist.filter(F.col("id") == target_id).isEmpty():
+        dist.unpersist()
         return spark.createDataFrame([], "step int, id long, cost double")
     w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
     e = edges.select("src", "dst", w.alias("w"))
-    preds = (
+    jump = (
         e.join(dist.withColumnRenamed("id", "src")
                .withColumnRenamed("cost", "_cs"), "src")
         .join(dist.withColumnRenamed("id", "dst")
               .withColumnRenamed("cost", "_cd"), "dst")
         .filter(F.abs(F.col("_cs") + F.col("w") - F.col("_cd")) < 1e-9)
+        .filter(F.col("dst") != source_id)  # the root has no pred
         .groupBy(F.col("dst").alias("id"))
-        .agg(F.min("src").alias("pred"))
+        .agg(F.min("src").alias("anc"))
+        .localCheckpoint(eager=True)
     )
-    pred_map = {
-        r["id"]: r["pred"]
-        for r in preds.join(dist.select("id"), "id", "left_semi").collect()
-    }
-    cost_map = {r["id"]: r["cost"] for r in dist.collect()}
-    path = [target_id]
-    while path[-1] != source_id:
-        nxt = pred_map.get(path[-1])
-        if nxt is None:
+    # ancestors of target with hop distance r (from target, backwards)
+    anc_set = spark.createDataFrame([(int(target_id), 0)], "id long, r long") \
+        .localCheckpoint(eager=True)
+    n_anc = 1
+    for k in range(50):  # 2^50 hops ≫ any path
+        hop = 1 << k
+        grown = (
+            anc_set.unionByName(
+                anc_set.join(jump, "id")
+                .select(F.col("anc").alias("id"),
+                        (F.col("r") + F.lit(hop)).alias("r"))
+            )
+            .groupBy("id").agg(F.min("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = grown.count()
+        anc_set = grown
+        if n_new == n_anc:  # closure reached (or cycle exhausted)
             break
-        path.append(nxt)
-    path.reverse()
-    dist.unpersist()
-    return spark.createDataFrame(
-        [(i, n, float(cost_map[n])) for i, n in enumerate(path)],
-        "step int, id long, cost double",
+        n_anc = n_new
+        # double the jump table: J_{k+1}(v) = J_k(J_k(v))
+        jump = (
+            jump.join(jump.withColumnRenamed("anc", "_a2")
+                      .withColumnRenamed("id", "anc"), "anc")
+            .select("id", F.col("_a2").alias("anc"))
+            .localCheckpoint(eager=True)
+        )
+    src_row = anc_set.filter(F.col("id") == source_id).collect()
+    path_len = int(src_row[0]["r"]) if src_row else -1
+    # validity: walk terminates at source with a contiguous 0..L chain
+    if path_len < 0 or anc_set.filter(F.col("r") <= path_len).count() != path_len + 1:
+        dist.unpersist()
+        return spark.createDataFrame([], "step int, id long, cost double")
+    result = (
+        anc_set.filter(F.col("r") <= path_len)
+        .join(dist, "id")
+        .select((F.lit(path_len) - F.col("r")).cast("int").alias("step"),
+                "id", "cost")
+        .orderBy("step")
+        .localCheckpoint(eager=True)
     )
+    dist.unpersist()
+    return result
 
 
 @dataclass
