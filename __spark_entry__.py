@@ -152,23 +152,28 @@ def _lpa_unrolled_sql(iters: int) -> str:
     OUT-neighbors (votes = edge count, tie-break smallest label); nodes
     with no out-edges keep their label. Seeds = own id."""
     parts = [_EDGES_CTE, _NODES_CTE,
-             "l0b AS (SELECT id, id AS label FROM nodes)"]
+             "l0b AS MATERIALIZED (SELECT id, id AS label FROM nodes)"]
+    # MATERIALIZED: each label CTE is referenced twice (vote join +
+    # carry-forward base) — DuckDB's default inlining doubles the plan
+    # per phase, 2^(2*iters) overall
     for i in range(1, iters + 1):
         prev = f"l{i-1}b"
         for phase, parity in (("a", 0), ("b", 1)):
             src_l = prev if phase == "a" else f"l{i}a"
             parts.append(
-                f"v{i}{phase} AS (SELECT e.src AS id, l.label, count(*) AS votes "
+                f"v{i}{phase} AS MATERIALIZED (SELECT e.src AS id, l.label, "
+                f"count(*) AS votes "
                 f"FROM edges e JOIN {src_l} l ON l.id = e.dst "
                 f"WHERE e.src % 2 = {parity} GROUP BY e.src, l.label)"
             )
             parts.append(
-                f"w{i}{phase} AS (SELECT id, label, row_number() OVER "
+                f"w{i}{phase} AS MATERIALIZED (SELECT id, label, row_number() OVER "
                 f"(PARTITION BY id ORDER BY votes DESC, label ASC) AS rn "
                 f"FROM v{i}{phase})"
             )
             parts.append(
-                f"l{i}{phase} AS (SELECT p.id, coalesce(w.label, p.label) AS label "
+                f"l{i}{phase} AS MATERIALIZED (SELECT p.id, "
+                f"coalesce(w.label, p.label) AS label "
                 f"FROM {src_l} p "
                 f"LEFT JOIN (SELECT id, label FROM w{i}{phase} WHERE rn = 1) w "
                 f"ON p.id = w.id)"
@@ -206,27 +211,31 @@ def _eigenvector_unrolled_sql(iters: int) -> str:
     operators/centrality_variants.py:eigenvector_centrality (reference
     EigenvectorCentralityComputeStep.java + Normalization.java:19-35).
     Deterministic at fixed iterations, so the loop unrolls into chained
-    CTEs; the L2 norm is a scalar subquery per iteration."""
+    CTEs; the L2 norm is a scalar subquery per iteration. Every
+    per-iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    chain whose levels are each referenced twice (raw{i} feeds both the
+    L2 scalar and r{i}) would otherwise expand exponentially."""
     parts = [
         _EDGES_CTE, _NODES_CTE,
-        "r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS rank FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT count(*) FROM nodes)"
+        " AS rank FROM nodes)",
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"m{i} AS (SELECT e.dst AS id, sum(r.rank) AS msg "
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank) AS msg "
             f"FROM edges e JOIN r{i-1} r ON r.id = e.src GROUP BY e.dst)"
         )
         parts.append(
-            f"raw{i} AS (SELECT n.id, coalesce(m.msg, 0.0) AS raw "
+            f"raw{i} AS MATERIALIZED (SELECT n.id, coalesce(m.msg, 0.0) AS raw "
             f"FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)"
         )
         parts.append(
-            f"l2_{i} AS (SELECT CASE WHEN sqrt(sum(raw * raw)) > 0 "
+            f"l2_{i} AS MATERIALIZED (SELECT CASE WHEN sqrt(sum(raw * raw)) > 0 "
             f"THEN sqrt(sum(raw * raw)) ELSE 1.0 END AS v FROM raw{i})"
         )
         parts.append(
-            f"r{i} AS (SELECT id, raw / (SELECT v FROM l2_{i}) AS rank "
-            f"FROM raw{i})"
+            f"r{i} AS MATERIALIZED (SELECT id, raw / (SELECT v FROM l2_{i}) "
+            f"AS rank FROM raw{i})"
         )
     return (
         "WITH " + ",\n".join(parts)
@@ -242,21 +251,26 @@ def _sssp_unrolled_sql(iters: int) -> str:
     round (min over incoming cost+weight vs the standing cost, NULL =
     unreached); with all weights >= 1 and unweighted diameter ~5 the
     optimal hop count is far below ``iters``, so the fixed unroll
-    reaches the same fixpoint the Spark loop converges to."""
+    reaches the same fixpoint the Spark loop converges to. CTEs are
+    MATERIALIZED — each d{{i}} is referenced twice (by c{{i+1}} and
+    d{{i+1}}) and DuckDB's default inlining would expand the chain
+    exponentially (measured: 'too many open files' at 20 levels)."""
     parts = [
         _WEDGES_CTE,
         "nodes AS (SELECT DISTINCT id FROM "
         "(SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges))",
-        "d0 AS (SELECT id, CASE WHEN id = 0 THEN 0.0 END AS cost FROM nodes)",
+        "d0 AS MATERIALIZED (SELECT id, CASE WHEN id = 0 THEN 0.0 END "
+        "AS cost FROM nodes)",
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"c{i} AS (SELECT e.dst AS id, min(d.cost + e.weight) AS c "
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"min(d.cost + e.weight) AS c "
             f"FROM wedges e JOIN d{i-1} d ON d.id = e.src "
             f"WHERE d.cost IS NOT NULL GROUP BY e.dst)"
         )
         parts.append(
-            f"d{i} AS (SELECT p.id, "
+            f"d{i} AS MATERIALIZED (SELECT p.id, "
             f"CASE WHEN p.cost IS NULL THEN c.c "
             f"     WHEN c.c IS NULL THEN p.cost "
             f"     WHEN c.c < p.cost THEN c.c ELSE p.cost END AS cost "
@@ -265,6 +279,44 @@ def _sssp_unrolled_sql(iters: int) -> str:
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT id, round(cost, 6) AS cost FROM d{iters} "
+        "WHERE cost IS NOT NULL"
+    )
+
+
+def _allsp_unrolled_sql(iters: int, n_sub: int = 60) -> str:
+    """Unrolled MULTI-source Bellman-Ford over the weighted induced
+    id<n_sub subgraph — mirrors operators/traversal.py:all_shortest_paths
+    (reference impl/AllShortestPaths.java:220, Dijkstra per node).
+    MATERIALIZED CTEs for the same exponential-inlining reason as
+    ``_sssp_unrolled_sql``."""
+    parts = [
+        _WEDGES_CTE,
+        f"swedges AS MATERIALIZED (SELECT * FROM wedges "
+        f"WHERE src < {n_sub} AND dst < {n_sub})",
+        "snodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM swedges UNION ALL SELECT dst FROM swedges))",
+        "d0 AS MATERIALIZED (SELECT a.id AS source, b.id AS id, "
+        "CASE WHEN a.id = b.id THEN 0.0 END AS cost "
+        "FROM snodes a CROSS JOIN snodes b)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT d.source, e.dst AS id, "
+            f"min(d.cost + e.weight) AS c "
+            f"FROM swedges e JOIN d{i-1} d ON d.id = e.src "
+            f"WHERE d.cost IS NOT NULL GROUP BY d.source, e.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT p.source, p.id, "
+            f"CASE WHEN p.cost IS NULL THEN c.c "
+            f"     WHEN c.c IS NULL THEN p.cost "
+            f"     WHEN c.c < p.cost THEN c.c ELSE p.cost END AS cost "
+            f"FROM d{i-1} p LEFT JOIN c{i} c "
+            f"ON p.source = c.source AND p.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT source, id, round(cost, 6) AS cost FROM d{iters} "
         "WHERE cost IS NOT NULL"
     )
 
@@ -534,6 +586,73 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_allsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted all-pairs shortest paths stream on the induced id<60
+    subgraph (multi-source Bellman-Ford; oracle = unrolled per-source
+    relaxation CTEs)."""
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        all_shortest_paths,
+    )
+
+    e = _edges_weighted(spark, sf_dir).filter(
+        (F.col("src") < 60) & (F.col("dst") < 60))
+    v = _vertices(e)
+    return all_shortest_paths(v, e).select(
+        "source", "id", F.round("cost", 6).alias("cost")
+    )
+
+
+def _q_infomap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank-seeded greedy map-equation merging (InfoMap.java) on the
+    # induced id<200 subgraph — iterative, engine-native → rows-only
+    from neo4j_graph_algorithms_spark.operators.infomap import infomap
+
+    e = _sub_edges(spark, sf_dir)
+    v = _vertices(e)
+    return infomap(v, e).communities
+
+
+def _q_kshortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Yen's k shortest loopless paths 0→7 on the induced id<60 subgraph
+    # (spur searches are distributed shortest_path runs) → rows-only
+    from neo4j_graph_algorithms_spark.operators.yens import k_shortest_paths
+
+    e = _sub_edges(spark, sf_dir, 60)
+    v = _vertices(e)
+    return k_shortest_paths(v, e, 0, 7, 3).paths.select(
+        "path_index", "step", "id", F.round("path_cost", 6).alias("path_cost")
+    )
+
+
+def _q_as_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """algo.similarity.asVector: (item, weight) rows → per-node ordered
+    vector<struct>, flattened back via posexplode so every element is
+    value-checked against the SQL oracle."""
+    from neo4j_graph_algorithms_spark.operators.similarity import as_vector
+
+    e = _edges_weighted(spark, sf_dir).filter(F.col("src") < 100)
+    vec = as_vector(
+        e.select(F.col("src").alias("id"), F.col("dst").alias("item"),
+                 "weight"),
+        "id",
+    )
+    return vec.select("id", F.posexplode("vector")).select(
+        "id", "pos", F.col("col.item").alias("item"),
+        F.round("col.weight", 6).alias("weight"),
+    )
+
+
+def _q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DFS preorder (algo.dfs.stream) from node 0 on the induced id<200
+    # subgraph — deterministic (ascending-adjacency addFirst stack walk)
+    # but inherently sequential, not SQL-expressible → rows-only check
+    from neo4j_graph_algorithms_spark.operators.traversal import dfs_order
+
+    e = _sub_edges(spark, sf_dir)
+    v = _vertices(e)
+    return dfs_order(v, e, 0)
+
+
 def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weighted shortest paths (multiplicity-derived weights); oracle =
     # unrolled Bellman-Ford chained CTEs (_sssp_unrolled_sql)
@@ -756,13 +875,16 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.dedup import minhash_signatures
 
-    return minhash_signatures(_t(spark, sf_dir, "documents"))
+    # oracle-matched small config (production default is 128 perms)
+    return minhash_signatures(_t(spark, sf_dir, "documents"), n_hashes=4)
 
 
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+    # oracle-matched small config (production default is 128 perms × 16 bands)
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"),
+                                  n_hashes=4, bands=2)
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,7 +896,8 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.dedup import simhash_signatures
 
-    return simhash_signatures(_t(spark, sf_dir, "documents"))
+    # oracle-matched small config (production default is 64 bits)
+    return simhash_signatures(_t(spark, sf_dir, "documents"), n_bits=16)
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,7 +1043,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": _q_lcc,
         "triangle_global": _q_triangle_global,
         "bfs_from_0": _q_bfs,
+        "dfs_from_0": _q_dfs,
         "sssp_from_0": _q_sssp,
+        "as_vector": _q_as_vector,
+        "all_shortest_paths": _q_allsp,
+        "infomap": _q_infomap,
+        "k_shortest_paths": _q_kshortest,
         "articlerank": _q_articlerank,
         "eigenvector": _q_eigenvector,
         "random_walks": _q_random_walks,
@@ -986,6 +1114,17 @@ def oracle_sql() -> dict[str, str]:
         "articlerank": _articlerank_unrolled_sql(PR_ITERS),
         "eigenvector": _eigenvector_unrolled_sql(PR_ITERS),
         "sssp_from_0": _sssp_unrolled_sql(20),
+        "all_shortest_paths": _allsp_unrolled_sql(20),
+        "as_vector": f"""
+            WITH {_WEDGES_CTE},
+            p AS (SELECT src AS id, dst AS item, weight FROM wedges
+                  WHERE src < 100)
+            SELECT id,
+                   CAST(row_number() OVER (PARTITION BY id ORDER BY item) - 1
+                        AS INT) AS pos,
+                   item, round(weight, 6) AS weight
+            FROM p
+        """,
         "closeness": _closeness_sql(False),
         "closeness_wf": _closeness_sql(True),
         "harmonic": _HARMONIC_SQL,
@@ -1111,6 +1250,8 @@ def oracle_sql() -> dict[str, str]:
     }
     sql.update(pipeline_oracles())
     # intentionally no oracle (data-dependent iteration counts / engine-
-    # native payload): pagerank_tolerance, pages_pagerank_e2e,
-    # pages_extract_edges → driver records rows-only checks
+    # native payload / inherently-sequential visit orders):
+    # pagerank_tolerance, pages_pagerank_e2e, pages_extract_edges,
+    # dfs_from_0, infomap, k_shortest_paths, random_walks, betweenness,
+    # spanning_tree, louvain → driver records rows-only checks
     return sql

@@ -22,9 +22,15 @@ The reference's MS-BFS packs 32 sources per bit-mask long
 restatement is a level-synchronous frontier of (source, node) pairs:
 one join + dedup per depth, every (source, node) visited at most once
 (its minimal depth), exactly the visit stream the BfsConsumer sees.
-All-pairs state is O(n·reach) — at web scale callers pass ``sources``
-(a sampled subset, the standard approximation); the per-source
-normalizers keep their closed forms.
+All-pairs state is O(n·reach) — at web scale the exact mode REFUSES to
+run above ``MAX_EXACT_SOURCES`` vertices; pass ``sample_fraction`` for
+the sampled estimator (Eppstein-Wang style): every per-target sum over
+sources is computed over a seeded source sample and scaled by
+n/|sample| — unbiased for farness/harmonic/dangalchev sums. The
+closeness ``component(v)`` term (nodes reachable FROM v) is estimated
+by the scaled count of sampled sources REACHING v — identical for
+direction='both'/undirected graphs, an approximation on directed ones
+(documented deviation; the reference has no sampled closeness at all).
 """
 
 from __future__ import annotations
@@ -37,6 +43,29 @@ __all__ = [
     "harmonic_centrality",
     "dangalchev_centrality",
 ]
+
+# exact all-sources MS-BFS above this many vertices is O(V·reach) state
+MAX_EXACT_SOURCES = 100_000
+
+
+def _pick_sources(vertices: DataFrame, sample_fraction: float | None,
+                  seed: int, op: str) -> tuple[DataFrame | None, float]:
+    """(sources, scale): sampled sources + the n/|sample| scale factor,
+    or (None, 1.0) for exact mode (guarded)."""
+    n = vertices.count()
+    if sample_fraction is None or sample_fraction >= 1.0:
+        if n > MAX_EXACT_SOURCES:
+            raise ValueError(
+                f"exact {op} sweeps all {n} sources (O(V*reach) state); "
+                f"pass sample_fraction above {MAX_EXACT_SOURCES} vertices"
+            )
+        return None, 1.0
+    sources = vertices.select("id").sample(
+        withReplacement=False, fraction=sample_fraction, seed=seed).persist()
+    n_s = sources.count()
+    if n_s == 0:
+        raise ValueError("sample_fraction produced an empty source sample")
+    return sources, n / n_s
 
 
 def _directed(edges: DataFrame, direction: str) -> DataFrame:
@@ -107,16 +136,31 @@ def closeness_centrality(
     *,
     wasserman_faust: bool = False,
     direction: str = "out",
+    sample_fraction: float | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """(id, centrality) — component(v)/farness(v) with farness summed
     over distances TO v and component counting nodes reachable FROM v
-    (MSClosenessCentrality.java:72-85, MSBFSCCAlgorithm.java:49-57)."""
+    (MSClosenessCentrality.java:72-85, MSBFSCCAlgorithm.java:49-57).
+
+    ``sample_fraction``: sampled estimator (see module docstring);
+    mandatory above MAX_EXACT_SOURCES vertices."""
     n = vertices.count()
-    pairs = ms_bfs_distances(vertices, edges, direction=direction).persist()
-    farness = pairs.groupBy("id").agg(F.sum("distance").alias("farness"))
-    component = pairs.groupBy(F.col("source").alias("id")).agg(
-        F.count(F.lit(1)).alias("component")
-    )
+    sources, scale = _pick_sources(vertices, sample_fraction, seed,
+                                   "closeness")
+    pairs = ms_bfs_distances(vertices, edges, direction=direction,
+                             sources=sources).persist()
+    farness = pairs.groupBy("id").agg(
+        (F.sum("distance") * F.lit(scale)).alias("farness"))
+    if sources is None:
+        component = pairs.groupBy(F.col("source").alias("id")).agg(
+            F.count(F.lit(1)).alias("component")
+        )
+    else:
+        # scaled count of sampled sources reaching v (== reach FROM v
+        # when the direction is symmetric)
+        component = pairs.groupBy("id").agg(
+            (F.count(F.lit(1)) * F.lit(scale)).alias("component"))
     base = (
         vertices.select("id")
         .join(farness, "id", "left")
@@ -140,14 +184,20 @@ def closeness_centrality(
     return out
 
 
-def harmonic_centrality(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def harmonic_centrality(vertices: DataFrame, edges: DataFrame, *,
+                        sample_fraction: float | None = None,
+                        seed: int = 42) -> DataFrame:
     """(id, centrality) = Σ_s 1/d(s→v) / (n-1), Direction.BOTH
-    (HarmonicCentrality.java:63-83)."""
+    (HarmonicCentrality.java:63-83). ``sample_fraction``: unbiased
+    sampled estimator, mandatory above MAX_EXACT_SOURCES vertices."""
     n = vertices.count()
-    pairs = ms_bfs_distances(vertices, edges, direction="both")
+    sources, scale = _pick_sources(vertices, sample_fraction, seed,
+                                   "harmonic")
+    pairs = ms_bfs_distances(vertices, edges, direction="both",
+                             sources=sources)
     inv = pairs.groupBy("id").agg(
-        (F.sum(F.lit(1.0) / F.col("distance")) / F.lit(max(n - 1, 1)))
-        .alias("centrality")
+        (F.sum(F.lit(1.0) / F.col("distance")) * F.lit(scale)
+         / F.lit(max(n - 1, 1))).alias("centrality")
     )
     return (
         vertices.select("id")
@@ -156,12 +206,20 @@ def harmonic_centrality(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def dangalchev_centrality(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def dangalchev_centrality(vertices: DataFrame, edges: DataFrame, *,
+                          sample_fraction: float | None = None,
+                          seed: int = 42) -> DataFrame:
     """(id, centrality) = Σ_s 2^{-d(s→v)}, Direction.OUTGOING,
-    unnormalized (DangalchevClosenessCentrality.java:59-77)."""
-    pairs = ms_bfs_distances(vertices, edges, direction="out")
+    unnormalized (DangalchevClosenessCentrality.java:59-77).
+    ``sample_fraction``: unbiased sampled estimator, mandatory above
+    MAX_EXACT_SOURCES vertices."""
+    sources, scale = _pick_sources(vertices, sample_fraction, seed,
+                                   "dangalchev")
+    pairs = ms_bfs_distances(vertices, edges, direction="out",
+                             sources=sources)
     sc = pairs.groupBy("id").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("distance"))).alias("centrality")
+        (F.sum(F.pow(F.lit(2.0), -F.col("distance"))) * F.lit(scale))
+        .alias("centrality")
     )
     return (
         vertices.select("id")

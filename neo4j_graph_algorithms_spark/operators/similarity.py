@@ -21,6 +21,7 @@ __all__ = [
     "cosine_vectors",
     "euclidean_vectors",
     "pearson_vectors",
+    "as_vector",
     "top_k",
     "jaccard_expr",
     "cosine_expr",
@@ -149,6 +150,28 @@ def pearson_vectors(items: DataFrame, *, cutoff: float = -1.0,
     if top_k_per_item:
         sim = top_k(sim, "item1", "similarity", top_k_per_item)
     return sim
+
+
+def as_vector(df: DataFrame, group_col: str, item_col: str = "item",
+              weight_col: str = "weight") -> DataFrame:
+    """``algo.similarity.asVector`` (Similarities.java:75-79,
+    SimilarityVectorAggregator): aggregate (item, weight) rows into one
+    vector-of-structs per group — the input shape the similarity procs
+    consume. Items ordered ascending for determinism.
+
+    Output: (``group_col``, vector array<struct<item, weight>>).
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(item_col).alias("item"),
+                             F.col(weight_col).alias("weight"))
+                )
+            ).alias("vector")
+        )
+    )
 
 
 def top_k(df: DataFrame, key: str, score: str, k: int) -> DataFrame:

@@ -28,8 +28,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-__all__ = ["bfs_distances", "sssp", "shortest_path", "random_walks",
-           "node2vec_walks"]
+__all__ = ["bfs_distances", "dfs_order", "sssp", "all_shortest_paths",
+           "shortest_path", "random_walks", "node2vec_walks"]
 
 
 def bfs_distances(
@@ -75,6 +75,77 @@ def bfs_distances(
         frontier = nxt.select("id")
     e.unpersist()
     return dist.filter(F.col("distance").isNotNull())
+
+
+def dfs_order(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source_id: int,
+    *,
+    max_depth: int | None = None,
+    target_nodes: list[int] | None = None,
+    max_nodes: int = 100_000,
+) -> DataFrame:
+    """(step, id) in DFS visit order — ``algo.dfs.stream``
+    (TraverseProc.java:124-186, impl/Traverse.java:108-151).
+
+    DFS order is inherently sequential (lexicographic DFS is
+    P-complete), and the reference itself runs a single-threaded stack
+    walk. The restatement keeps the *pruning* distributed — a BFS
+    frontier pass computes the reachable set so only the reachable
+    induced adjacency (≤ ``max_nodes`` nodes, enforced) is collected —
+    then replays the reference's exact stack semantics driver-side:
+    visited marked at PUSH time, neighbors iterated in ascending-dst
+    order and pushed to the stack FRONT (≡ forEachRelationship +
+    IntArrayDeque::addFirst, Traverse.java:69,140-147), so the
+    largest-id unvisited neighbor is visited first.
+
+    ``max_depth``: nodes at depth ≥ max_depth are neither emitted nor
+    expanded (ExitPredicate CONTINUE); ``target_nodes``: the first
+    target reached is emitted and the walk stops (BREAK)."""
+    spark = vertices.sparkSession
+    reach = bfs_distances(vertices, edges, source_id, max_depth=max_depth)
+    n_reach = reach.count()
+    if n_reach > max_nodes:
+        raise ValueError(
+            f"DFS visit order is sequential; reachable set has {n_reach} "
+            f"nodes > max_nodes={max_nodes} — raise max_nodes or bound "
+            f"the walk with max_depth/target_nodes"
+        )
+    rid = reach.select("id")
+    adj_rows = (
+        edges.select("src", "dst")
+        .join(rid.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(rid.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    )
+    adj: dict[int, list[int]] = {}
+    for r in adj_rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+    for v in adj:
+        adj[v].sort()
+    targets = set(target_nodes or [])
+    from collections import deque
+
+    stack = deque([(int(source_id), 0)])
+    visited = {int(source_id)}
+    order: list[int] = []
+    while stack:
+        v, d = stack.popleft()
+        if targets and v in targets:
+            order.append(v)  # BREAK: emit then stop
+            break
+        if max_depth is not None and d >= max_depth:
+            continue  # CONTINUE: not emitted, not expanded
+        order.append(v)
+        for nbr in adj.get(v, []):
+            if nbr not in visited:
+                visited.add(nbr)
+                stack.appendleft((nbr, d + 1))
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(order)], "step int, id long"
+    )
 
 
 def sssp(
@@ -128,6 +199,73 @@ def sssp(
             break
     e.unpersist()
     return dist.filter(F.col("cost").isNotNull())
+
+
+def all_shortest_paths(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    sources: DataFrame | None = None,
+    max_iterations: int = 50,
+    max_sources: int = 10_000,
+) -> DataFrame:
+    """(source, id, cost) weighted shortest paths for every reachable
+    pair — ``algo.allShortestPaths.stream`` weighted variant
+    (AllShortestPathsProc.java:59, impl/AllShortestPaths.java:220 runs
+    Dijkstra per node; the unweighted twin is
+    closeness.ms_bfs_distances).
+
+    Spark restatement: multi-source Bellman-Ford — the relaxation state
+    is keyed by (source, id) so ALL sources advance in the same join
+    per round (the set-oriented analog of the reference's
+    thread-per-source fan-out). Output is O(|sources|·reach) — the
+    stream regime; above ``max_sources`` sources pass a sampled/explicit
+    ``sources`` DataFrame, exactly like the closeness family."""
+    w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("w")).persist()
+    if sources is None:
+        sources = vertices.select("id")
+    n_src = sources.count()
+    if n_src > max_sources:
+        raise ValueError(
+            f"all_shortest_paths over {n_src} sources emits O(S*reach) "
+            f"rows; pass a sampled `sources` above {max_sources}"
+        )
+    dist = sources.select(
+        F.col("id").alias("source"), F.col("id").alias("id"),
+        F.lit(0.0).alias("cost"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iterations):
+        cand = (
+            e.join(frontier.withColumnRenamed("id", "src")
+                   .withColumnRenamed("cost", "_fc"), "src")
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.min(F.col("_fc") + F.col("w")).alias("_cand"))
+        )
+        merged = (
+            dist.join(cand, ["source", "id"], "full_outer")
+            .select(
+                "source", "id",
+                F.when(
+                    F.col("_cand").isNotNull()
+                    & (F.col("cost").isNull() | (F.col("_cand") < F.col("cost"))),
+                    F.col("_cand"),
+                ).otherwise(F.col("cost")).alias("cost"),
+                (F.col("_cand").isNotNull()
+                 & (F.col("cost").isNull() | (F.col("_cand") < F.col("cost")))
+                 ).alias("_improved"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        improved = merged.filter(F.col("_improved")).count()
+        dist = merged.select("source", "id", "cost")
+        frontier = merged.filter(F.col("_improved")).select(
+            "source", "id", "cost")
+        if improved == 0:
+            break
+    e.unpersist()
+    return dist
 
 
 def shortest_path(

@@ -4,18 +4,48 @@
   The query side is broadcast; the dot product is a JVM higher-order
   ``zip_with``/``aggregate`` fold in float64 (no Python, no shuffle of
   the corpus side beyond the scan).
-- :func:`sign_lsh_buckets` — random-hyperplane-free sign LSH: bucket =
-  sign bits of the first ``n_bits`` dimensions. The scale path: ANN
-  candidates come from equality joins on the bucket id; a 100 TB corpus
-  shuffles once by bucket instead of cross-joining.
+- :func:`sign_lsh_buckets` — seeded random-hyperplane sign LSH
+  (Charikar's SimHash for vectors): bucket bit j = sign of the
+  projection onto hyperplane r_j drawn from a seeded standard normal.
+  (Sign-of-first-n-dims bucketing — the obvious shortcut — gives
+  heavily skewed buckets on correlated embedding dimensions; random
+  projections decorrelate them.) The scale path: ANN candidates come
+  from equality joins on the bucket id; a 100 TB corpus shuffles once
+  by bucket instead of cross-joining.
 - :func:`cosine_knn_lsh` — bucketed ANN: exact rerank within buckets.
+
+The projections are JVM-side ``zip_with``/``aggregate`` folds against
+literal hyperplane arrays — deterministic per seed, no Python in the
+hot path, reproducible bit-for-bit by the DuckDB oracle (same literal
+constants, same left-to-right summation order).
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-__all__ = ["cosine_knn_bruteforce", "sign_lsh_buckets", "cosine_knn_lsh"]
+__all__ = ["cosine_knn_bruteforce", "sign_lsh_buckets", "cosine_knn_lsh",
+           "hyperplanes"]
+
+
+def hyperplanes(n_bits: int, dim: int, seed: int) -> np.ndarray:
+    """The (n_bits × dim) seeded hyperplane matrix — shared with the
+    oracle generator so both engines embed identical constants."""
+    return np.random.RandomState(seed).standard_normal((n_bits, dim))
+
+
+def _bucket_expr(vec: Column, n_bits: int, dim: int, seed: int) -> Column:
+    planes = hyperplanes(n_bits, dim, seed)
+    v = _as_double(vec)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        proj = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
 
 
 def _as_double(v: Column) -> Column:
@@ -58,16 +88,13 @@ def cosine_knn_bruteforce(emb: DataFrame, *, n_queries: int, k: int,
     )
 
 
-def sign_lsh_buckets(emb: DataFrame, *, n_bits: int = 8,
+def sign_lsh_buckets(emb: DataFrame, *, n_bits: int = 8, seed: int = 42,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
-    """(bucket, n_vecs, min_vec_id) — sign-bit bucketing of the first
-    n_bits dimensions."""
-    bucket = F.lit(0).cast("long")
-    for j in range(n_bits):
-        bucket = bucket + F.when(
-            F.element_at(F.col(vec_col), j + 1) > 0, F.lit(1 << j)
-        ).otherwise(F.lit(0))
+    """(bucket, n_vecs, min_vec_id) — seeded random-hyperplane sign
+    bucketing (bit j = sign of projection onto hyperplane j)."""
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    bucket = _bucket_expr(F.col(vec_col), n_bits, dim, seed)
     return (
         emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
         .groupBy("bucket")
@@ -76,15 +103,13 @@ def sign_lsh_buckets(emb: DataFrame, *, n_bits: int = 8,
 
 
 def cosine_knn_lsh(emb: DataFrame, *, k: int, n_bits: int = 8,
-                   id_col: str = "vec_id",
+                   seed: int = 42, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
-    """Approximate kNN: candidates share a sign-LSH bucket; exact cosine
-    rerank within each bucket (one shuffle by bucket, no cross join)."""
-    bucket = F.lit(0).cast("long")
-    for j in range(n_bits):
-        bucket = bucket + F.when(
-            F.element_at(F.col(vec_col), j + 1) > 0, F.lit(1 << j)
-        ).otherwise(F.lit(0))
+    """Approximate kNN: candidates share a random-hyperplane sign-LSH
+    bucket; exact cosine rerank within each bucket (one shuffle by
+    bucket, no cross join)."""
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    bucket = _bucket_expr(F.col(vec_col), n_bits, dim, seed)
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
         bucket.alias("bucket"),

@@ -3,13 +3,21 @@
 Scale notes (the point of each design):
 
 - exact: one hash-aggregate on md5(text) — never materializes pairs.
-- MinHash+LSH: per-doc signature (4 md5-derived min-hashes), banded
-  (2 bands × 2 rows); candidate pairs appear only through equality
-  self-joins on band keys — the all-pairs space is never generated.
-- SimHash: 16-bit sign fingerprint from md5-derived token hashes; docs
+- MinHash+LSH: per-doc signature of md5-derived min-hashes, banded;
+  candidate pairs appear only through ONE equality self-join on
+  (band_id, band_key) posting rows — the all-pairs space is never
+  generated, and the shuffle count is independent of the band count.
+  Production defaults: 128 permutations × 16 bands of 8 rows (the
+  S-curve threshold ≈ (1/16)^(1/8) ≈ 0.71 Jaccard); the driver's
+  oracle-matched config (4 hashes, 2×2 bands) stays available by
+  parameter.
+- SimHash: sign fingerprint from md5-derived token hashes (default 64
+  bits, packed into a signed BIGINT with bit 63 as the sign bit); docs
   sharing a fingerprint are near-dup candidates via one group-by.
 - token-Jaccard: inverted-index join on shared tokens prunes to pairs
-  with ≥1 common token, then exact Jaccard filters.
+  with ≥1 common token; tokens whose document frequency exceeds
+  ``df_cutoff`` are dropped FIRST — without that prune one
+  stopword-grade token shared by k docs yields k² candidate rows.
 
 All hashes derive from ``md5`` so the DuckDB oracle reproduces them
 bit-for-bit (portable across engines, unlike murmur/xxhash builtins).
@@ -28,8 +36,10 @@ __all__ = [
     "token_jaccard_pairs",
 ]
 
-N_MINHASH = 4
-SIMHASH_BITS = 16
+N_MINHASH = 128
+MINHASH_BANDS = 16
+SIMHASH_BITS = 64
+TOKEN_DF_CUTOFF = 1000
 
 
 def tokens_expr(text: Column) -> Column:
@@ -69,43 +79,89 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Near-dup candidate pairs (doc_a < doc_b) sharing an LSH band
-    (band1 = (h0,h1), band2 = (h2,h3))."""
-    sigs = minhash_signatures(docs, text_col).persist()
-    out = None
-    for band in (("h0", "h1"), ("h2", "h3")):
-        a = sigs.select(F.col("doc_id").alias("doc_a"), *band)
-        b = sigs.select(F.col("doc_id").alias("doc_b"), *band)
-        cand = a.join(b, list(band)).filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
+                           n_hashes: int = N_MINHASH,
+                           bands: int = MINHASH_BANDS) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b) sharing at least one
+    LSH band (band b = rows h{b*r}..h{b*r+r-1}, r = n_hashes // bands).
+
+    Scale shape: signatures become (doc_id, band_id, band_key) posting
+    rows, candidates come from ONE equality self-join on
+    (band_id, band_key) — per-band joins would cost ``bands`` shuffles,
+    this costs one regardless of the band count."""
+    if n_hashes % bands != 0:
+        raise ValueError("n_hashes must be divisible by bands")
+    r = n_hashes // bands
+    sigs = minhash_signatures(docs, text_col, n_hashes)
+    posting = None
+    for b in range(bands):
+        cols = [F.col(f"h{b * r + i}") for i in range(r)]
+        p = sigs.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat_ws("|", *[c.cast("string") for c in cols]).alias("bkey"),
         )
-        out = cand if out is None else out.union(cand)
-    return out.dropDuplicates(["doc_a", "doc_b"])
+        posting = p if posting is None else posting.unionByName(p)
+    a = posting.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b_ = posting.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    return (
+        a.join(b_, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text",
                        n_bits: int = SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash) — sign-aggregated token-hash fingerprint."""
-    toks = _doc_tokens(docs, text_col).withColumn("h", _h15(F.col("tok")))
+    """(doc_id, simhash) — sign-aggregated token-hash fingerprint.
+
+    ``n_bits`` up to 64; the 60-bit md5-derived hash is re-salted per
+    16-bit block so bits past 60 stay independent. Bit 63 packs as the
+    BIGINT sign bit (two's complement), so 64-bit signatures fit the
+    column without overflow."""
+    if not 1 <= n_bits <= 64:
+        raise ValueError("n_bits must be in 1..64")
+    toks = _doc_tokens(docs, text_col)
+    # salt a fresh 60-bit hash per 16-bit block (bits beyond one md5
+    # prefix's 60 would otherwise be zero)
+    n_blocks = (n_bits + 15) // 16
+    for blk in range(n_blocks):
+        toks = toks.withColumn(
+            f"_h{blk}", _h15(F.concat(F.col("tok"), F.lit(f"#s{blk}"))))
     aggs = []
     for j in range(n_bits):
-        bit = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+        blk, off = j // 16, j % 16
+        bit = F.shiftright(F.col(f"_h{blk}"), off).bitwiseAND(F.lit(1))
         aggs.append(
             F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"b{j}")
         )
     sums = toks.groupBy("doc_id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for j in range(n_bits):
-        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        contrib = -(1 << 63) if j == 63 else (1 << j)
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(contrib)).otherwise(F.lit(0))
     return sums.select("doc_id", sig.alias("simhash"))
 
 
 def token_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.8,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        df_cutoff: int | None = TOKEN_DF_CUTOFF) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with token-set Jaccard ≥
-    threshold — inverted-index join, no all-pairs blowup."""
+    threshold over the df-pruned token sets — inverted-index join, no
+    all-pairs blowup.
+
+    ``df_cutoff`` drops tokens appearing in more than that many
+    documents BEFORE the self-join (and from the set sizes, so the
+    score is Jaccard over the pruned sets): a token shared by k docs
+    contributes k² candidate rows, so one stopword-grade token would
+    otherwise dominate the join output. None disables the prune."""
     toks = _doc_tokens(docs, text_col).distinct()
+    if df_cutoff is not None:
+        rare = (
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= int(df_cutoff)).select("tok")
+        )
+        toks = toks.join(rare, "tok", "left_semi")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     b = toks.select(F.col("doc_id").alias("doc_b"), "tok")

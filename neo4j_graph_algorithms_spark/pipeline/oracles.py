@@ -53,6 +53,8 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
     """
 
+    # mirrors dedup.simhash_signatures(n_bits=16): one salted 60-bit
+    # hash per 16-bit block — block 0 salt '#s0'
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(16)
@@ -62,14 +64,18 @@ def pipeline_oracles() -> dict[str, str]:
     )
     sql["simhash_signatures"] = f"""
         WITH {_TOKS},
-        hashed AS (SELECT doc_id, {_h15('tok')} AS h FROM toks),
+        hashed AS (SELECT doc_id, {_h15("tok || '#s0'")} AS h FROM toks),
         sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
         SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM sums
     """
 
+    # mirrors dedup.token_jaccard_pairs(df_cutoff=1000): hot tokens
+    # (document frequency > 1000) dropped before sizes AND the join
     sql["token_jaccard_pairs"] = f"""
         WITH {_TOKS},
-        dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+        dt0 AS (SELECT DISTINCT doc_id, tok FROM toks),
+        rare AS (SELECT tok FROM dt0 GROUP BY tok HAVING count(*) <= 1000),
+        dt AS (SELECT doc_id, dt0.tok FROM dt0 JOIN rare ON rare.tok = dt0.tok),
         sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
                   FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -151,10 +157,21 @@ def pipeline_oracles() -> dict[str, str]:
         FROM r WHERE rank <= 5
     """
 
-    bucket_expr = " + ".join(
-        f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END"
-        for j in range(8)
-    )
+    # mirrors ann.sign_lsh_buckets(n_bits=8, seed=42) on 64-dim vectors:
+    # identical hyperplane constants (same RandomState draw) and the
+    # same left-to-right summation order as Spark's aggregate() fold,
+    # so the projection doubles are bit-identical
+    from neo4j_graph_algorithms_spark.pipeline.ann import hyperplanes
+
+    planes = hyperplanes(8, 64, 42)
+    bits = []
+    for j in range(8):
+        proj = "0.0"
+        for d in range(64):
+            proj = (f"({proj} + (CAST(embedding[{d + 1}] AS DOUBLE) * "
+                    f"{float(planes[j][d])!r}))")
+        bits.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+    bucket_expr = " + ".join(bits)
     sql["lsh_sign_buckets"] = f"""
         WITH b AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket
                    FROM embeddings)

@@ -66,6 +66,34 @@ def test_closeness_wasserman_faust_disconnected(spark):
         assert wf[mid] == pytest.approx(1.0 * (1 / 5))
 
 
+def test_closeness_sampled_estimator(spark):
+    # full sample (fraction ~1 but < 1.0 path) must stay near exact on
+    # a symmetric graph; scale = n/|sample| corrects the sums
+    edges = make_edges(
+        spark, [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (3, 0), (0, 3)]
+    )
+    exact = {r["id"]: r["centrality"]
+             for r in closeness_centrality(_v(spark, 4), edges).collect()}
+    approx = {r["id"]: r["centrality"]
+              for r in closeness_centrality(
+                  _v(spark, 4), edges, sample_fraction=0.999, seed=7
+              ).collect()}
+    for i in exact:
+        assert approx[i] == pytest.approx(exact[i], rel=0.34)
+
+
+def test_closeness_exact_guard(spark, monkeypatch):
+    from neo4j_graph_algorithms_spark.operators import closeness as mod
+
+    monkeypatch.setattr(mod, "MAX_EXACT_SOURCES", 2)
+    with pytest.raises(ValueError):
+        closeness_centrality(_v(spark, 5), make_edges(spark, LINE5))
+    # sampled mode still runs under the same cap
+    res = closeness_centrality(_v(spark, 5), make_edges(spark, LINE5),
+                               sample_fraction=0.8, seed=1)
+    assert res.count() == 5
+
+
 def test_harmonic_line3(spark):
     # A-B-C bidirectional: harmonic(B) = (1+1)/2 = 1, A/C = (1+0.5)/2
     edges = make_edges(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])

@@ -11,6 +11,7 @@ from neo4j_graph_algorithms_spark.operators.spanning import (
     k_spanning_tree,
     spanning_tree,
 )
+from neo4j_graph_algorithms_spark.operators.infomap import infomap
 from neo4j_graph_algorithms_spark.operators.louvain import louvain, modularity
 from neo4j_graph_algorithms_spark.operators.triangles import balanced_triads
 from neo4j_graph_algorithms_spark.operators.similarity import (
@@ -25,6 +26,40 @@ def _v(spark, n):
 
 
 # ---------------------------------------------------------------- SCC
+
+
+def test_infomap_2x3_fixture(spark):
+    # reference InfoMapTest CYPHER_2x3: two triangles bridged d-c plus
+    # isolated x -> 3 communities (a=0,b=1,c=2,d=3,e=4,f=5,x=6)
+    e = make_edges(spark, [(1, 0), (0, 2), (2, 0), (3, 2),
+                           (3, 4), (3, 5), (4, 5)])
+    res = infomap(_v(spark, 7), e)
+    assert res.community_count == 3
+    got = {r["id"]: r["community"] for r in res.communities.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3] and got[6] not in (got[0], got[3])
+
+
+def test_infomap_2x4_fixture(spark):
+    # reference InfoMapTest CYPHER_2x4 (creation order a,c,b,d,e,g,f,h,z
+    # -> ids 0..8): two K4 cliques bridged b-e plus isolated z
+    a, c, b, d, e_, g, f, h, z = range(9)
+    e = make_edges(spark, [(a, b), (a, c), (a, d), (b, c), (c, d), (b, d),
+                           (f, e_), (e_, h), (e_, g), (f, g), (f, h),
+                           (g, h), (b, e_)])
+    res = infomap(_v(spark, 9), e)
+    assert res.community_count == 3
+    got = {r["id"]: r["community"] for r in res.communities.collect()}
+    assert got[a] == got[b] == got[c] == got[d]
+    assert got[e_] == got[f] == got[g] == got[h]
+    assert got[a] != got[e_] and got[z] not in (got[a], got[e_])
+
+
+def test_infomap_max_nodes_guard(spark):
+    e = make_edges(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        infomap(_v(spark, 3), e, max_nodes=2)
 
 
 def test_scc_two_cycles_and_tail(spark):

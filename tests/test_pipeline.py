@@ -76,7 +76,43 @@ def test_token_jaccard_pairs(spark):
     assert pairs == {(0, 1): 1.0}
 
 
-def test_token_stats_and_quality(spark):
+def test_token_jaccard_hot_token_prune_bounds_candidates(spark):
+    # 30 docs sharing one stopword-grade token; without the df prune the
+    # inverted-index join yields C(30,2)=435 candidate rows from that
+    # token alone — with df_cutoff the hot token never enters the join
+    rows = [(i, f"common unique{i}a unique{i}b") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pruned = token_jaccard_pairs(docs, threshold=0.0, df_cutoff=10)
+    assert pruned.count() == 0  # no pairs share a surviving token
+    unpruned = token_jaccard_pairs(docs, threshold=0.0, df_cutoff=None)
+    assert unpruned.count() == 435  # the blowup the prune prevents
+    # prune also removes the token from the set sizes (Jaccard over the
+    # PRUNED sets): two docs sharing 1-of-3 tokens with the shared one
+    # pruned score nothing; sharing 2-of-3 with one pruned score 1/3
+    rows2 = [(0, "hot a b"), (1, "hot a c")] + \
+        [(i, "hot x" + str(i)) for i in range(2, 20)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in token_jaccard_pairs(docs2, threshold=0.0,
+                                        df_cutoff=5).collect()}
+    assert got == {(0, 1): pytest.approx(1.0 / 3.0)}
+
+
+def test_minhash_production_params_recall(spark):
+    # planted near-dups: pairs with token-Jaccard ~0.8-0.9 must be
+    # recalled by the 128-perm / 16-band LSH at rate >= 0.9
+    rows = []
+    for d in range(25):
+        # doc 2d: 40 tokens; doc 2d+1: same but 4 swapped -> J = 36/44 ~ 0.82
+        toks_a = [f"d{d}tok{i}" for i in range(40)]
+        toks_b = toks_a[:36] + [f"d{d}alt{i}" for i in range(4)]
+        rows.append((2 * d, " ".join(toks_a)))
+        rows.append((2 * d + 1, " ".join(toks_b)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_candidates(docs).collect()}
+    hits = sum((2 * d, 2 * d + 1) in cands for d in range(25))
+    assert hits / 25 >= 0.9
     stats = {r["doc_id"]: r for r in token_stats(_docs(spark)).collect()}
     assert stats[0]["n_tokens"] == 4
     assert stats[3]["n_tokens"] == 7
@@ -147,6 +183,60 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(df, every_n_bytes=256).groupBy("item_id").count()
     assert {r["item_id"]: r["count"] for r in frames.collect()} == \
         {0: 1, 1: 2, 2: 3, 3: 4}
+
+
+def _make_bmp(w, h, seed):
+    """Minimal uncompressed 24-bit bottom-up BMP."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)  # RGB
+    stride = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    header = (b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+              + off.to_bytes(4, "little"))
+    dib = ((40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+           + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+           + len(body).to_bytes(4, "little") + b"\x00" * 16)
+    return bytes(header + dib + body), px
+
+
+def test_real_bmp_decode_through_kernel(spark):
+    import numpy as np
+
+    payloads, oracle = [], {}
+    for i, (w, h) in enumerate([(5, 3), (7, 4), (16, 16)]):
+        buf, px = _make_bmp(w, h, seed=i)
+        payloads.append((i, buf))
+        lum = (px[:, :, 0].astype(np.uint32) * 299
+               + px[:, :, 1].astype(np.uint32) * 587
+               + px[:, :, 2].astype(np.uint32) * 114) // 1000
+        hist = np.bincount((lum >> 4).ravel(), minlength=16).astype(np.float64)
+        oracle[i] = (w, h, hist / hist.sum())
+    df = spark.createDataFrame(payloads, "item_id long, payload binary")
+    got = {r["item_id"]: r
+           for r in extract_image_features(df, fake=False).collect()}
+    for i, (w, h, feats) in oracle.items():
+        assert (got[i]["width"], got[i]["height"]) == (w, h)
+        assert np.allclose(got[i]["features"], feats, atol=1e-6)
+
+
+def test_decode_bmp_roundtrip_and_unsupported():
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import decode_bmp
+
+    buf, px = _make_bmp(6, 2, seed=9)
+    w, h, decoded = decode_bmp(buf)
+    assert (w, h) == (6, 2)
+    assert np.array_equal(decoded, px)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(b"\x89PNG" + b"\x00" * 60)
 
 
 def test_streaming_windowed_counts(spark, tmp_path):

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from tests.conftest import make_edges
 from neo4j_graph_algorithms_spark.operators.traversal import (
     bfs_distances,
+    dfs_order,
     random_walks,
     sssp,
 )
@@ -40,6 +41,112 @@ def test_bfs_max_depth(spark):
     got = {r["id"]: r["distance"]
            for r in bfs_distances(_v(spark, 4), e, 0, max_depth=2).collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def _dfs_steps(df):
+    return [r["id"] for r in df.orderBy("step").collect()]
+
+
+def test_dfs_order_reference_semantics(spark):
+    # 0→{1,2}, 1→3, 2→4: neighbors pushed front in ascending order, so
+    # the LARGEST unvisited neighbor pops first (Traverse.java addFirst)
+    e = make_edges(spark, [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 4, 1.0)])
+    assert _dfs_steps(dfs_order(_v(spark, 5), e, 0)) == [0, 2, 4, 1, 3]
+
+
+def test_dfs_visited_at_push(spark):
+    # diamond 0→{1,2}, 1→3, 2→3: 3 is claimed at push time by the first
+    # pusher (2, visited first), never re-emitted via 1
+    e = make_edges(spark, [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)])
+    assert _dfs_steps(dfs_order(_v(spark, 4), e, 0)) == [0, 2, 3, 1]
+
+
+def test_dfs_max_depth_and_target(spark):
+    # chain 0→1→2→3: maxDepth=2 prunes depth>=2 (emitted: depth 0,1)
+    e = make_edges(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)])
+    assert _dfs_steps(dfs_order(_v(spark, 4), e, 0, max_depth=2)) == [0, 1]
+    # BREAK: target emitted, walk stops
+    assert _dfs_steps(dfs_order(_v(spark, 4), e, 0, target_nodes=[2])) == \
+        [0, 1, 2]
+
+
+def test_dfs_max_nodes_guard(spark):
+    e = make_edges(spark, [(0, 1, 1.0), (1, 2, 1.0)])
+    with pytest.raises(ValueError):
+        dfs_order(_v(spark, 3), e, 0, max_nodes=1)
+
+
+def test_all_shortest_paths_weighted(spark):
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        all_shortest_paths,
+    )
+
+    ed = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (2, 0, 1.0), (1, 3, 7.0),
+          (2, 3, 1.0)]
+    e = make_edges(spark, ed)
+    got = {(r["source"], r["id"]): r["cost"]
+           for r in all_shortest_paths(_v(spark, 4), e).collect()}
+    # floyd-warshall oracle
+    import itertools
+    INF = float("inf")
+    d = {(i, j): (0.0 if i == j else INF) for i in range(4) for j in range(4)}
+    for s_, t_, w_ in ed:
+        d[(s_, t_)] = min(d[(s_, t_)], w_)
+    for k_, i, j in itertools.product(range(4), repeat=3):
+        d[(i, j)] = min(d[(i, j)], d[(i, k_)] + d[(k_, j)])
+    expect = {k: v for k, v in d.items() if v < INF}
+    assert got == {k: pytest.approx(v) for k, v in expect.items()}
+
+
+def test_all_shortest_paths_source_guard(spark):
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        all_shortest_paths,
+    )
+
+    e = make_edges(spark, [(0, 1, 1.0)])
+    with pytest.raises(ValueError):
+        all_shortest_paths(_v(spark, 3), e, max_sources=2)
+
+
+def _all_simple_paths(adj, s, t):
+    """Brute-force oracle: every simple s→t path with its total cost."""
+    out = []
+
+    def walk(v, path, cost):
+        if v == t:
+            out.append((cost, list(path)))
+            return
+        for u, w in sorted(adj.get(v, [])):
+            if u not in path:
+                path.append(u)
+                walk(u, path, cost + w)
+                path.pop()
+
+    walk(s, [s], 0.0)
+    return sorted(out, key=lambda p: (p[0], p[1]))
+
+
+def test_yens_k_shortest_paths(spark):
+    from neo4j_graph_algorithms_spark.operators.yens import k_shortest_paths
+
+    # small weighted digraph with several distinct s->t routes
+    ed = [(0, 1, 1.0), (1, 3, 1.0), (0, 2, 2.0), (2, 3, 1.0),
+          (1, 2, 0.5), (0, 3, 5.0), (2, 4, 1.0), (4, 3, 1.0)]
+    e = make_edges(spark, ed)
+    adj = {}
+    for s_, d_, w_ in ed:
+        adj.setdefault(s_, []).append((d_, w_))
+    oracle = _all_simple_paths(adj, 0, 3)[:3]
+    res = k_shortest_paths(_v(spark, 5), e, 0, 3, 3)
+    assert res.path_count == 3
+    rows = res.paths.orderBy("path_index", "step").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["path_index"], ([], r["path_cost"]))[0].append(r["id"])
+    for pi, (ocost, opath) in enumerate(oracle):
+        path, cost = got[pi]
+        assert cost == pytest.approx(ocost)
+        assert path == opath
 
 
 def test_sssp_weighted(spark):
