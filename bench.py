@@ -149,6 +149,24 @@ def run_bench() -> dict:
                       f"tpch_{name}")
         queries[f"tpch_{name}"] = round(t, 3)
 
+    # training-data pipeline at PRODUCTION parameters (the driver's
+    # correctness queries use the small oracle-matched configs; the
+    # bench shows the real-scale shapes): 128-perm/16-band MinHash LSH
+    # over documents, random-hyperplane bucketed ANN over embeddings
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+    )
+    from neo4j_graph_algorithms_spark.pipeline.ann import cosine_knn_lsh
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t, _ = _timed(lambda: minhash_lsh_candidates(docs).count(),
+                  "minhash_lsh_prod128")
+    queries["minhash_lsh_prod128"] = round(t, 3)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    t, _ = _timed(lambda: cosine_knn_lsh(emb, k=10, n_bits=8).count(),
+                  "cosine_knn_lsh")
+    queries["cosine_knn_lsh"] = round(t, 3)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "edges_per_sec_per_pagerank_superstep_tol1e-6",
