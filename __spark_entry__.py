@@ -602,6 +602,103 @@ def _q_allsp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _astar_coords():
+    """Deterministic synthetic coordinates from the node id (integer
+    arithmetic, identical in Spark and DuckDB)."""
+    lat = ((F.col("id") * 13) % 89 - 44).cast("double")
+    lon = ((F.col("id") * 29) % 179 - 89).cast("double")
+    return lat, lon
+
+
+_HAV_SQL = (
+    "6371.0 * 2 * atan2(sqrt("
+    "sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2)"
+    "), sqrt(1 - ("
+    "sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2)"
+    "))) * 0.539957"
+)
+
+
+def _q_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """algo.shortestPath.astar 0→7 on the induced id<60 subgraph with
+    synthetic coords and weights = exact haversine NM (the admissible
+    regime); oracle = unrolled Bellman-Ford + recursive pred walk."""
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        shortest_path_astar,
+    )
+
+    e0 = _sub_edges(spark, sf_dir, 60)
+    lat, lon = _astar_coords()
+    v = _vertices(e0).select("id", lat.alias("lat"), lon.alias("lon"))
+    cs = v.select(F.col("id").alias("src"), F.col("lat").alias("_la1"),
+                  F.col("lon").alias("_lo1"))
+    cd = v.select(F.col("id").alias("dst"), F.col("lat").alias("_la2"),
+                  F.col("lon").alias("_lo2"))
+    from neo4j_graph_algorithms_spark.operators.traversal import _haversine_nm
+
+    e = (
+        e0.join(cs, "src").join(cd, "dst")
+        .select("src", "dst",
+                _haversine_nm(F.col("_la1"), F.col("_lo1"),
+                              F.col("_la2"), F.col("_lo2")).alias("weight"))
+    )
+    return shortest_path_astar(v, e, 0, 7).select(
+        "step", "id", F.round("cost", 4).alias("cost")
+    )
+
+
+def _astar_oracle_sql(iters: int = 15, n_sub: int = 60,
+                      source: int = 0, target: int = 7) -> str:
+    hav = _HAV_SQL.format(lat1="c1.lat", lon1="c1.lon",
+                          lat2="c2.lat", lon2="c2.lon")
+    parts = [
+        _sub_cte(n_sub),
+        _SNODES_CTE,
+        "coords AS MATERIALIZED (SELECT id, "
+        "CAST((id * 13) % 89 - 44 AS DOUBLE) AS lat, "
+        "CAST((id * 29) % 179 - 89 AS DOUBLE) AS lon FROM snodes)",
+        f"we AS MATERIALIZED (SELECT e.src, e.dst, {hav} AS w FROM sub e "
+        f"JOIN coords c1 ON c1.id = e.src JOIN coords c2 ON c2.id = e.dst)",
+        f"d0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} THEN 0.0 END "
+        f"AS cost FROM snodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"min(d.cost + e.w) AS c FROM we e JOIN d{i-1} d ON d.id = e.src "
+            f"WHERE d.cost IS NOT NULL GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT p.id, "
+            f"CASE WHEN p.cost IS NULL THEN c.c "
+            f"     WHEN c.c IS NULL THEN p.cost "
+            f"     WHEN c.c < p.cost THEN c.c ELSE p.cost END AS cost "
+            f"FROM d{i-1} p LEFT JOIN c{i} c ON p.id = c.id)"
+        )
+    parts.append(
+        f"dist AS MATERIALIZED (SELECT id, cost FROM d{iters} "
+        f"WHERE cost IS NOT NULL)")
+    parts.append(
+        f"pred AS MATERIALIZED (SELECT e.dst AS id, min(e.src) AS pred "
+        f"FROM we e JOIN dist a ON a.id = e.src JOIN dist b ON b.id = e.dst "
+        f"WHERE abs(a.cost + e.w - b.cost) < 1e-9 AND e.dst <> {source} "
+        f"GROUP BY e.dst)")
+    parts.append(
+        f"walk(id, back) AS (SELECT CAST({target} AS BIGINT), 0 "
+        f"UNION ALL SELECT p.pred, w.back + 1 FROM walk w "
+        f"JOIN pred p ON p.id = w.id WHERE w.back < 200)")
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + "\nSELECT CAST((SELECT max(back) FROM walk) - back AS INT) AS step,"
+        " id, round(d.cost, 4) AS cost"
+        " FROM walk JOIN dist d USING (id)"
+    )
+
+
 def _q_infomap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PageRank-seeded greedy map-equation merging (InfoMap.java) on the
     # induced id<200 subgraph — iterative, engine-native → rows-only
@@ -1047,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_from_0": _q_sssp,
         "as_vector": _q_as_vector,
         "all_shortest_paths": _q_allsp,
+        "astar_path": _q_astar,
         "infomap": _q_infomap,
         "k_shortest_paths": _q_kshortest,
         "articlerank": _q_articlerank,
@@ -1115,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector": _eigenvector_unrolled_sql(PR_ITERS),
         "sssp_from_0": _sssp_unrolled_sql(20),
         "all_shortest_paths": _allsp_unrolled_sql(20),
+        "astar_path": _astar_oracle_sql(),
         "as_vector": f"""
             WITH {_WEDGES_CTE},
             p AS (SELECT src AS id, dst AS item, weight FROM wedges

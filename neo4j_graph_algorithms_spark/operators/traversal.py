@@ -24,12 +24,14 @@ Reference procedures re-expressed (SURVEY.md §2.4):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 __all__ = ["bfs_distances", "dfs_order", "sssp", "all_shortest_paths",
-           "shortest_path", "random_walks", "node2vec_walks"]
+           "shortest_path", "shortest_path_astar", "random_walks",
+           "node2vec_walks"]
 
 
 def bfs_distances(
@@ -300,6 +302,14 @@ def shortest_path(
     spark = vertices.sparkSession
     dist = sssp(vertices, edges, source_id,
                 max_iterations=max_iterations).persist()
+    return _recover_path(spark, edges, dist, source_id, target_id)
+
+
+def _recover_path(spark, edges: DataFrame, dist: DataFrame,
+                  source_id: int, target_id: int) -> DataFrame:
+    """Pointer-doubling path recovery from a settled (id, cost) table —
+    shared by :func:`shortest_path` and :func:`shortest_path_astar`
+    (see shortest_path's docstring for the construction)."""
     if dist.filter(F.col("id") == target_id).isEmpty():
         dist.unpersist()
         return spark.createDataFrame([], "step int, id long, cost double")
@@ -359,6 +369,108 @@ def shortest_path(
     )
     dist.unpersist()
     return result
+
+
+def _haversine_nm(lat1, lon1, lat2, lon2):
+    """Haversine distance in nautical miles as a Column expression —
+    the exact reference formula (ShortestPathAStar.java:136-147:
+    earthRadius=6371 km, kmToNM=0.539957)."""
+    lat_d = F.radians(lat2 - lat1)
+    lon_d = F.radians(lon2 - lon1)
+    a = (F.sin(lat_d / 2) * F.sin(lat_d / 2)
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+         * F.sin(lon_d / 2) * F.sin(lon_d / 2))
+    c = 2 * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+    return F.lit(6371.0) * c * F.lit(0.539957)
+
+
+def shortest_path_astar(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source_id: int,
+    target_id: int,
+    *,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Single-pair A* — ``algo.shortestPath.astar.stream``
+    (ShortestPathProc.java:189, impl/ShortestPathAStar.java:72-147):
+    geo-heuristic shortest path where ``vertices`` carry lat/lon and
+    edge weights are distances in NAUTICAL MILES (the reference's
+    contract — the haversine heuristic is admissible only when weights
+    dominate straight-line NM distance).
+
+    The reference expands one node at a time from a priority queue
+    ordered by f = g + h. The set-oriented restatement keeps A*'s
+    defining property — heuristic pruning — without the sequential
+    queue: a frontier-relaxation round (≡ :func:`sssp`) where any
+    frontier state with g(v) + h(v) > UB (the best known g(target)) is
+    pruned, since with admissible h it cannot lie on an improving
+    path. Ties (g + h == UB) are kept so every optimal-path node
+    settles its exact g and the predecessor recovery stays consistent.
+    Returns the ordered path ``(step, id, cost)`` like
+    :func:`shortest_path`."""
+    spark = vertices.sparkSession
+    trow = vertices.filter(F.col("id") == target_id).select(
+        lat_col, lon_col).collect()
+    if not trow:
+        return spark.createDataFrame([], "step int, id long, cost double")
+    tlat, tlon = float(trow[0][lat_col]), float(trow[0][lon_col])
+    hdf = vertices.select(
+        "id",
+        _haversine_nm(F.col(lat_col), F.col(lon_col),
+                      F.lit(tlat), F.lit(tlon)).alias("_h"),
+    ).persist()
+
+    w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("w")).persist()
+    dist = vertices.select(
+        "id",
+        F.when(F.col("id") == source_id, F.lit(0.0)).otherwise(F.lit(None))
+        .cast("double").alias("cost"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.filter(F.col("cost").isNotNull())
+    ub = math.inf
+    for _ in range(max_iterations):
+        cand = (
+            e.join(frontier.withColumnRenamed("id", "src")
+                   .withColumnRenamed("cost", "_fc"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("_fc") + F.col("w")).alias("_cand"))
+        )
+        merged = (
+            dist.join(cand, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("_cand").isNotNull()
+                    & (F.col("cost").isNull() | (F.col("_cand") < F.col("cost"))),
+                    F.col("_cand"),
+                ).otherwise(F.col("cost")).alias("cost"),
+                (F.col("_cand").isNotNull()
+                 & (F.col("cost").isNull() | (F.col("_cand") < F.col("cost")))
+                 ).alias("_improved"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        improved = merged.filter(F.col("_improved")).count()
+        dist = merged.select("id", "cost")
+        trow = merged.filter(F.col("id") == target_id).collect()
+        if trow and trow[0]["cost"] is not None:
+            ub = min(ub, float(trow[0]["cost"]))
+        frontier = merged.filter(F.col("_improved")).select("id", "cost")
+        if math.isfinite(ub):
+            # branch-and-bound prune: g + h > UB cannot improve target
+            frontier = frontier.join(hdf, "id").filter(
+                F.col("cost") + F.col("_h") <= F.lit(ub) + 1e-9
+            ).select("id", "cost")
+        if improved == 0:
+            break
+    e.unpersist()
+    hdf.unpersist()
+    settled = dist.filter(F.col("cost").isNotNull()).persist()
+    return _recover_path(spark, edges, settled, source_id, target_id)
 
 
 @dataclass

@@ -76,6 +76,51 @@ def test_dfs_max_nodes_guard(spark):
         dfs_order(_v(spark, 3), e, 0, max_nodes=1)
 
 
+def _hav_nm(lat1, lon1, lat2, lon2):
+    import math
+
+    lat_d = math.radians(lat2 - lat1)
+    lon_d = math.radians(lon2 - lon1)
+    a = (math.sin(lat_d / 2) ** 2
+         + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+         * math.sin(lon_d / 2) ** 2)
+    return 6371.0 * 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a)) * 0.539957
+
+
+def test_astar_matches_dijkstra_on_geo_graph(spark):
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        shortest_path,
+        shortest_path_astar,
+    )
+
+    # 6 cities on a line of longitude plus a detour; weights = exact
+    # haversine NM (admissible heuristic regime, the reference contract)
+    coords = {0: (0.0, 0.0), 1: (1.0, 0.0), 2: (2.0, 0.0), 3: (3.0, 0.0),
+              4: (1.0, 5.0), 5: (2.0, 5.0)}
+    ed = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 3)]
+    rows = [(s, d, _hav_nm(*coords[s], *coords[d])) for s, d in ed]
+    e = make_edges(spark, rows)
+    v = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in coords.items()],
+        "id long, lat double, lon double")
+    plain = shortest_path(v.select("id"), e, 0, 3).orderBy("step").collect()
+    astar = shortest_path_astar(v, e, 0, 3).orderBy("step").collect()
+    assert [r["id"] for r in astar] == [r["id"] for r in plain] == [0, 1, 2, 3]
+    assert astar[-1]["cost"] == pytest.approx(plain[-1]["cost"])
+
+
+def test_astar_unreachable_target(spark):
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        shortest_path_astar,
+    )
+
+    e = make_edges(spark, [(0, 1, 1.0)])
+    v = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 2.0, 0.0)],
+        "id long, lat double, lon double")
+    assert shortest_path_astar(v, e, 0, 2).count() == 0
+
+
 def test_all_shortest_paths_weighted(spark):
     from neo4j_graph_algorithms_spark.operators.traversal import (
         all_shortest_paths,
