@@ -14,7 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["iceberg_available", "read_table", "write_table"]
+__all__ = ["iceberg_available", "read_table", "write_table",
+           "write_similarity_relationships"]
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -39,3 +40,31 @@ def write_table(df: DataFrame, table_or_path: str, mode: str = "overwrite") -> N
         df.writeTo(table_or_path).createOrReplace()
         return
     df.write.mode(mode).parquet(table_or_path)
+
+
+def write_similarity_relationships(
+    pairs: DataFrame,
+    table_or_path: str,
+    *,
+    relationship_type: str = "SIMILAR",
+    item1_col: str = "item1",
+    item2_col: str = "item2",
+    similarity_col: str = "similarity",
+    mode: str = "overwrite",
+) -> None:
+    """Dedicated relationship sink for similarity results — the
+    ``SimilarityExporter`` equivalent (similarity/SimilarityExporter.java
+    :36-86 creates one typed relationship per pair with the score as a
+    property; write-sequential batches). The Spark restatement writes
+    the edge table (src, dst, rel_type, similarity) in one distributed
+    job — no per-row transactions; downstream graph loads read it back
+    as a typed, weighted relationship table."""
+    from pyspark.sql import functions as F
+
+    edges = pairs.select(
+        F.col(item1_col).alias("src"),
+        F.col(item2_col).alias("dst"),
+        F.lit(relationship_type).alias("rel_type"),
+        F.col(similarity_col).cast("double").alias("similarity"),
+    )
+    write_table(edges, table_or_path, mode=mode)

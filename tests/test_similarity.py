@@ -94,3 +94,58 @@ def test_link_prediction(spark):
     assert r["adamic_adar"] == 0.0
     assert r["preferential_attachment"] == 3
     assert r["total_neighbors"] == 4
+
+
+def test_resource_allocation_and_same_community(spark):
+    from neo4j_graph_algorithms_spark.operators.linkprediction import (
+        same_community_for_pairs,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 0)], "src long, dst long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (0, 3)], "u long, v long")
+    got = {(r["u"], r["v"]): r for r in
+           link_prediction_for_pairs(edges, pairs).collect()}
+    # resourceAllocation(1,2) = 1/deg(0) = 1/3 (LinkPrediction.java:57-75)
+    assert got[(1, 2)]["resource_allocation"] == pytest.approx(1 / 3)
+    assert got[(0, 3)]["resource_allocation"] == 0.0
+    comms = spark.createDataFrame([(0, 7), (1, 7), (2, 9)],
+                                  "id long, community long")
+    sc = {(r["u"], r["v"]): r["same_community"] for r in
+          same_community_for_pairs(pairs, comms).collect()}
+    assert sc[(1, 2)] == 0.0          # 7 != 9
+    # node 3 lacks the property -> 0.0 (LinkPrediction.java:126-128)
+    assert sc[(0, 3)] == 0.0
+    sc2 = {(r["u"], r["v"]): r["same_community"] for r in
+           same_community_for_pairs(
+               spark.createDataFrame([(0, 1)], "u long, v long"), comms
+           ).collect()}
+    assert sc2[(0, 1)] == 1.0
+
+
+def test_as_vector_aggregation(spark):
+    from neo4j_graph_algorithms_spark.operators.similarity import as_vector
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 3, 0.1), (2, 5, 0.9)],
+        "id long, item long, weight double")
+    got = {r["id"]: r["vector"] for r in as_vector(df, "id").collect()}
+    assert [(s["item"], s["weight"]) for s in got[1]] == [(3, 0.1), (10, 0.5)]
+    assert [(s["item"], s["weight"]) for s in got[2]] == [(5, 0.9)]
+
+
+def test_similarity_relationship_sink_roundtrip(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.sources.iceberg import (
+        read_table,
+        write_similarity_relationships,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 2, 0.4)], "item1 long, item2 long, similarity double")
+    path = str(tmp_path / "similar")
+    write_similarity_relationships(pairs, path)
+    back = read_table(spark, path)
+    rows = {(r["src"], r["dst"]): (r["rel_type"], r["similarity"])
+            for r in back.collect()}
+    assert rows == {(0, 1): ("SIMILAR", 0.9), (1, 2): ("SIMILAR", 0.4)}
