@@ -872,15 +872,74 @@ def _q_dangalchev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # not SQL-expressible (Brandes dependency accumulation) → rows-only
-    # check; exactness is pytest-verified against a python Brandes oracle
+    # oracle-checked: Brandes ≡ the pair-dependency triple sum
+    # Σ_{s,t} σ_sv·σ_vt/σ_st, which IS SQL-expressible via layered
+    # shortest-path counting (_betweenness_oracle_sql)
     from neo4j_graph_algorithms_spark.operators.betweenness import (
         betweenness_centrality,
     )
 
     e = _sub_edges(spark, sf_dir, 120)
     return betweenness_centrality(_vertices(e), e).select(
-        "id", F.round("centrality", 6).alias("centrality")
+        "id", F.round("centrality", 4).alias("centrality")
+    )
+
+
+def _betweenness_oracle_sql(levels: int = 10, n_sub: int = 120) -> str:
+    """Betweenness via the definition rather than Brandes' sweep:
+    bc(v) = Σ_{s≠v≠t} σ_sv·σ_vt/σ_st over shortest-path counts σ.
+    Unrolled BFS gives dist; σ builds layer by layer
+    (σ(s,v at depth i) = Σ over in-edges from depth i-1); the triple
+    join applies dist(s,v)+dist(v,t) = dist(s,t). Equals the Spark
+    operator's parallel Brandes accumulation exactly (same OUTGOING
+    direction, no sampling, divisor 1)."""
+    parts = [
+        _sub_cte(n_sub),
+        _SNODES_CTE,
+        "d0 AS MATERIALIZED (SELECT a.id AS s, b.id AS v, "
+        "CASE WHEN a.id = b.id THEN 0 END AS d "
+        "FROM snodes a CROSS JOIN snodes b)",
+    ]
+    for i in range(1, levels + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT d.s, e.dst AS v, min(d.d) + 1 AS c "
+            f"FROM sub e JOIN d{i-1} d ON d.v = e.src "
+            f"WHERE d.d IS NOT NULL GROUP BY d.s, e.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT p.s, p.v, "
+            f"CASE WHEN p.d IS NULL THEN c.c "
+            f"     WHEN c.c IS NULL THEN p.d "
+            f"     WHEN c.c < p.d THEN c.c ELSE p.d END AS d "
+            f"FROM d{i-1} p LEFT JOIN c{i} c ON p.s = c.s AND p.v = c.v)"
+        )
+    parts.append(
+        f"dd AS MATERIALIZED (SELECT s, v, d FROM d{levels} "
+        f"WHERE d IS NOT NULL)")
+    parts.append(
+        "g0 AS MATERIALIZED (SELECT id AS s, id AS v, 0 AS d, "
+        "CAST(1 AS DOUBLE) AS sig FROM snodes)")
+    for i in range(1, levels + 1):
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT p.s, e.dst AS v, {i} AS d, "
+            f"sum(p.sig) AS sig "
+            f"FROM g{i-1} p JOIN sub e ON e.src = p.v "
+            f"JOIN dd ON dd.s = p.s AND dd.v = e.dst AND dd.d = {i} "
+            f"GROUP BY p.s, e.dst)"
+        )
+    all_g = " UNION ALL ".join(f"SELECT * FROM g{i}"
+                               for i in range(levels + 1))
+    parts.append(f"sg AS MATERIALIZED ({all_g})")
+    parts.append(
+        "bc AS MATERIALIZED (SELECT a.v AS id, "
+        "sum(a.sig * b.sig / c.sig) AS centrality "
+        "FROM sg a JOIN sg b ON b.s = a.v AND a.d > 0 AND b.d > 0 "
+        "JOIN sg c ON c.s = a.s AND c.v = b.v AND c.d = a.d + b.d "
+        "GROUP BY a.v)")
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT n.id, round(coalesce(bc.centrality, 0.0), 4) AS centrality"
+        " FROM snodes n LEFT JOIN bc ON n.id = bc.id"
     )
 
 
@@ -906,9 +965,11 @@ def _q_balanced_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_spanning_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # MST edge set under the deterministic (weight, lo, hi) tie-break —
-    # not SQL-expressible → rows-only; total-weight parity is
-    # pytest-verified against a python Prim oracle
+    # oracle-checked via the cycle property: with the deterministic
+    # distinct total order (weight, lo, hi), edge e = (u,v) is in the
+    # unique MST iff the minimax path key between u and v equals e's own
+    # key — and minimax closures ARE SQL-expressible by min-max pointer
+    # doubling (_spanning_oracle_sql)
     from neo4j_graph_algorithms_spark.operators.spanning import spanning_tree
 
     e = _edges_weighted(spark, sf_dir).filter(
@@ -916,6 +977,55 @@ def _q_spanning_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = spanning_tree(_vertices(e), e, start_node=0)
     return res.edges.select("lo", "hi", F.round("weight", 6).alias("weight"))
+
+
+def _spanning_oracle_sql(rounds: int = 10, n_sub: int = 300) -> str:
+    """MST-from-start-component oracle. Key encoding: weights are
+    integral multiplicities and lo/hi < n_sub, so
+    key = w*n_sub² + lo*n_sub + hi is a distinct total order identical
+    to the operator's (weight, lo, hi) struct tie-break
+    (operators/spanning.py:_canon_weighted + keyed). Cycle property:
+    e=(lo,hi) ∈ unique MST ⇔ minimax-path-key(lo,hi) = key(e), where
+    minimax(u,v) = min over u→v paths of the max edge key — computed by
+    min-max pointer doubling over the undirected view (self rows carry
+    key 0 so shorter paths survive each squaring). Restricted to the
+    start node 0's component (Prim semantics), exactly like the Spark
+    query."""
+    n2 = n_sub * n_sub
+    parts = [
+        _WEDGES_CTE,
+        f"swe AS MATERIALIZED (SELECT * FROM wedges "
+        f"WHERE src < {n_sub} AND dst < {n_sub})",
+        "canon AS MATERIALIZED (SELECT least(src, dst) AS lo, "
+        "greatest(src, dst) AS hi, min(weight) AS w FROM swe "
+        "WHERE src <> dst GROUP BY 1, 2)",
+        f"keyed AS MATERIALIZED (SELECT lo, hi, w, "
+        f"w * {n2} + lo * {n_sub} + hi AS k FROM canon)",
+        "m0 AS MATERIALIZED ("
+        "SELECT lo AS u, hi AS v, k FROM keyed "
+        "UNION ALL SELECT hi, lo, k FROM keyed "
+        "UNION ALL SELECT id, id, 0.0 FROM "
+        "(SELECT DISTINCT lo AS id FROM canon "
+        " UNION SELECT DISTINCT hi FROM canon))",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT a.u, b.v, "
+            f"min(CASE WHEN a.k > b.k THEN a.k ELSE b.k END) AS k "
+            f"FROM m{i-1} a JOIN m{i-1} b ON a.v = b.u GROUP BY a.u, b.v)"
+        )
+    parts.append(
+        f"conn0 AS MATERIALIZED (SELECT v AS id FROM m{rounds} WHERE u = 0)")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+        SELECT e.lo, e.hi, round(e.w, 6) AS weight
+        FROM keyed e
+        JOIN m{rounds} mm ON mm.u = e.lo AND mm.v = e.hi
+        JOIN conn0 ON conn0.id = e.lo
+        WHERE mm.k = e.k
+        """
+    )
 
 
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,6 +1338,8 @@ def oracle_sql() -> dict[str, str]:
         "closeness_wf": _closeness_sql(True),
         "harmonic": _HARMONIC_SQL,
         "dangalchev": _DANGALCHEV_SQL,
+        "betweenness": _betweenness_oracle_sql(),
+        "spanning_tree": _spanning_oracle_sql(),
         "scc": _SCC_SQL,
         "balanced_triads": _BALANCED_SQL,
         "euclidean_similarity": _EUCLIDEAN_SQL,
