@@ -1168,6 +1168,23 @@ def _q_jaccard_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_degree_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jaccard with degree_cutoff=3 (JaccardProc degreeCutoff config,
+    similarity.py:43-45): items with fewer than 3 categories are
+    dropped before pairing."""
+    from neo4j_graph_algorithms_spark.operators.similarity import (
+        jaccard_categories,
+    )
+
+    e = _edges(spark, sf_dir)
+    items = e.filter(F.col("src") < 60).groupBy(F.col("src").alias("item")).agg(
+        F.collect_set("dst").alias("categories")
+    )
+    return jaccard_categories(items, cutoff=0.05, degree_cutoff=3).select(
+        "item1", "item2", F.round("similarity", 6).alias("similarity")
+    )
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1265,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_in_weighted": _q_degree("in", True),
         "link_prediction": _q_linkprediction,
         "jaccard_categories": _q_jaccard_categories,
+        "jaccard_degree_cutoff": _q_jaccard_degree_cutoff,
         "closeness": _q_closeness(False),
         "closeness_wf": _q_closeness(True),
         "harmonic": _q_harmonic,
@@ -1438,6 +1456,22 @@ def oracle_sql() -> dict[str, str]:
                     FROM inter i
                     JOIN sizes sa ON sa.item = i.item1
                     JOIN sizes sb ON sb.item = i.item2)
+            SELECT item1, item2, round(similarity, 6) AS similarity
+            FROM sim WHERE similarity >= 0.05
+        """,
+        "jaccard_degree_cutoff": f"""
+            WITH {_EDGES_CTE},
+            cats AS (SELECT DISTINCT src AS item, dst AS cat FROM edges WHERE src < 60),
+            sizes AS (SELECT item, count(*) AS n FROM cats GROUP BY item),
+            inter AS (SELECT a.item AS item1, b.item AS item2, count(*) AS i
+                      FROM cats a JOIN cats b ON a.cat = b.cat AND a.item < b.item
+                      GROUP BY a.item, b.item),
+            sim AS (SELECT i.item1, i.item2,
+                           CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS similarity
+                    FROM inter i
+                    JOIN sizes sa ON sa.item = i.item1
+                    JOIN sizes sb ON sb.item = i.item2
+                    WHERE sa.n >= 3 AND sb.n >= 3)
             SELECT item1, item2, round(similarity, 6) AS similarity
             FROM sim WHERE similarity >= 0.05
         """,

@@ -94,7 +94,14 @@ def ms_bfs_distances(
     (each pair visited once, at its minimal depth; the source itself is
     pre-visited at depth 0 and never emitted,
     MultiSourceBFS.java:36-60)."""
-    e = _directed(edges, direction).persist()
+    from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
+
+    spark = vertices.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # static join side pre-partitioned + pre-sorted on src once — the
+    # per-depth SMJ streams cached partitions with no exchange/re-sort
+    e = (_directed(edges, direction).repartition(n_shuffle, "src")
+         .sortWithinPartitions("src").persist())
     if sources is None:
         sources = vertices.select("id")
     visited = sources.select(
@@ -104,25 +111,27 @@ def ms_bfs_distances(
     frontier = visited.select("source", "id")
     depth = 0
     out = None
-    while True:
-        depth += 1
-        if max_depth is not None and depth > max_depth:
-            break
-        nxt = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
-            .select("source", F.col("dst").alias("id"))
-            .distinct()
-            .join(visited.select("source", "id"), ["source", "id"], "left_anti")
-            .withColumn("distance", F.lit(depth).cast("long"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        new_visited = visited.union(nxt).localCheckpoint(eager=True)
-        visited.unpersist()
-        visited = new_visited
-        out = visited
-        frontier = nxt.select("source", "id")
+    with superstep_conf(spark):
+        while True:
+            depth += 1
+            if max_depth is not None and depth > max_depth:
+                break
+            nxt = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select("source", F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("source", "id"), ["source", "id"],
+                      "left_anti")
+                .withColumn("distance", F.lit(depth).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            new_visited = visited.union(nxt).localCheckpoint(eager=True)
+            visited.unpersist()
+            visited = new_visited
+            out = visited
+            frontier = nxt.select("source", "id")
     e.unpersist()
     result = (out if out is not None else visited).filter(
         F.col("distance") >= 1

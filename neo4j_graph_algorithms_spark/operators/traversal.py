@@ -29,9 +29,22 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
+
 __all__ = ["bfs_distances", "dfs_order", "sssp", "all_shortest_paths",
            "shortest_path", "shortest_path_astar", "random_walks",
            "node2vec_walks"]
+
+
+def _loop_edges(edges: DataFrame, cols: list[str]) -> DataFrame:
+    """Static join side for a frontier loop: pre-partitioned AND
+    pre-sorted on src once, so every per-round sort-merge join streams
+    the cached partitions without re-exchanging or re-sorting |E| rows
+    (the same measured fix as the PageRank loop, pagerank.py:243-254)."""
+    spark = edges.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (edges.select(*cols).repartition(n, "src")
+            .sortWithinPartitions("src").persist())
 
 
 def bfs_distances(
@@ -50,31 +63,32 @@ def bfs_distances(
     ).persist()
     frontier = dist.filter(F.col("distance") == 0).select("id")
     depth = 0
-    e = edges.select("src", "dst").persist()
+    e = _loop_edges(edges, ["src", "dst"])
     prev = dist
-    while True:
-        depth += 1
-        if max_depth is not None and depth > max_depth:
-            break
-        nxt = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(dist.filter(F.col("distance").isNotNull()).select("id"),
-                  "id", "left_anti")
-        ).persist()
-        if nxt.count() == 0:
-            nxt.unpersist()
-            break
-        new_dist = (
-            dist.join(nxt.withColumn("_new", F.lit(depth)), "id", "left")
-            .select("id", F.coalesce("distance", "_new").alias("distance"))
-            .localCheckpoint(eager=True)  # truncate lineage per level
-        )
-        prev.unpersist()
-        prev = new_dist
-        dist = new_dist
-        frontier = nxt.select("id")
+    with superstep_conf(vertices.sparkSession):
+        while True:
+            depth += 1
+            if max_depth is not None and depth > max_depth:
+                break
+            nxt = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(dist.filter(F.col("distance").isNotNull()).select("id"),
+                      "id", "left_anti")
+            ).persist()
+            if nxt.count() == 0:
+                nxt.unpersist()
+                break
+            new_dist = (
+                dist.join(nxt.withColumn("_new", F.lit(depth)), "id", "left")
+                .select("id", F.coalesce("distance", "_new").alias("distance"))
+                .localCheckpoint(eager=True)  # truncate lineage per level
+            )
+            prev.unpersist()
+            prev = new_dist
+            dist = new_dist
+            frontier = nxt.select("id")
     e.unpersist()
     return dist.filter(F.col("distance").isNotNull())
 
@@ -162,7 +176,8 @@ def sssp(
     vertices improved last round relax their edges, ≡ Δ-stepping's
     active buckets)."""
     w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
-    e = edges.select("src", "dst", w.alias("w")).persist()
+    e = _loop_edges(edges.select("src", "dst", w.alias("w")),
+                    ["src", "dst", "w"])
     dist = vertices.select(
         "id",
         F.when(F.col("id") == source_id, F.lit(0.0)).otherwise(F.lit(None))
@@ -170,35 +185,38 @@ def sssp(
     ).persist()
     frontier = dist.filter(F.col("cost").isNotNull())
     prev = dist
-    for _ in range(max_iterations):
-        cand = (
-            e.join(frontier.withColumnRenamed("id", "src")
-                   .withColumnRenamed("cost", "_fc"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min(F.col("_fc") + F.col("w")).alias("_cand"))
-        )
-        merged = (
-            dist.join(cand, "id", "left")
-            .select(
-                "id",
-                F.when(
-                    F.col("_cand").isNotNull()
-                    & (F.col("cost").isNull() | (F.col("_cand") < F.col("cost"))),
-                    F.col("_cand"),
-                ).otherwise(F.col("cost")).alias("cost"),
-                (F.col("_cand").isNotNull()
-                 & (F.col("cost").isNull() | (F.col("_cand") < F.col("cost")))
-                 ).alias("_improved"),
+    with superstep_conf(vertices.sparkSession):
+        for _ in range(max_iterations):
+            cand = (
+                e.join(frontier.withColumnRenamed("id", "src")
+                       .withColumnRenamed("cost", "_fc"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("_fc") + F.col("w")).alias("_cand"))
             )
-            .localCheckpoint(eager=False)  # truncate lineage per round
-        )
-        improved = merged.filter(F.col("_improved")).count()
-        prev.unpersist()
-        prev = merged
-        dist = merged.select("id", "cost")
-        frontier = merged.filter(F.col("_improved")).select("id", "cost")
-        if improved == 0:
-            break
+            merged = (
+                dist.join(cand, "id", "left")
+                .select(
+                    "id",
+                    F.when(
+                        F.col("_cand").isNotNull()
+                        & (F.col("cost").isNull()
+                           | (F.col("_cand") < F.col("cost"))),
+                        F.col("_cand"),
+                    ).otherwise(F.col("cost")).alias("cost"),
+                    (F.col("_cand").isNotNull()
+                     & (F.col("cost").isNull()
+                        | (F.col("_cand") < F.col("cost")))
+                     ).alias("_improved"),
+                )
+                .localCheckpoint(eager=False)  # truncate lineage per round
+            )
+            improved = merged.filter(F.col("_improved")).count()
+            prev.unpersist()
+            prev = merged
+            dist = merged.select("id", "cost")
+            frontier = merged.filter(F.col("_improved")).select("id", "cost")
+            if improved == 0:
+                break
     e.unpersist()
     return dist.filter(F.col("cost").isNotNull())
 
@@ -224,7 +242,8 @@ def all_shortest_paths(
     stream regime; above ``max_sources`` sources pass a sampled/explicit
     ``sources`` DataFrame, exactly like the closeness family."""
     w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
-    e = edges.select("src", "dst", w.alias("w")).persist()
+    e = _loop_edges(edges.select("src", "dst", w.alias("w")),
+                    ["src", "dst", "w"])
     if sources is None:
         sources = vertices.select("id")
     n_src = sources.count()
@@ -238,34 +257,37 @@ def all_shortest_paths(
         F.lit(0.0).alias("cost"),
     ).localCheckpoint(eager=True)
     frontier = dist
-    for _ in range(max_iterations):
-        cand = (
-            e.join(frontier.withColumnRenamed("id", "src")
-                   .withColumnRenamed("cost", "_fc"), "src")
-            .groupBy("source", F.col("dst").alias("id"))
-            .agg(F.min(F.col("_fc") + F.col("w")).alias("_cand"))
-        )
-        merged = (
-            dist.join(cand, ["source", "id"], "full_outer")
-            .select(
-                "source", "id",
-                F.when(
-                    F.col("_cand").isNotNull()
-                    & (F.col("cost").isNull() | (F.col("_cand") < F.col("cost"))),
-                    F.col("_cand"),
-                ).otherwise(F.col("cost")).alias("cost"),
-                (F.col("_cand").isNotNull()
-                 & (F.col("cost").isNull() | (F.col("_cand") < F.col("cost")))
-                 ).alias("_improved"),
+    with superstep_conf(vertices.sparkSession):
+        for _ in range(max_iterations):
+            cand = (
+                e.join(frontier.withColumnRenamed("id", "src")
+                       .withColumnRenamed("cost", "_fc"), "src")
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.min(F.col("_fc") + F.col("w")).alias("_cand"))
             )
-            .localCheckpoint(eager=False)
-        )
-        improved = merged.filter(F.col("_improved")).count()
-        dist = merged.select("source", "id", "cost")
-        frontier = merged.filter(F.col("_improved")).select(
-            "source", "id", "cost")
-        if improved == 0:
-            break
+            merged = (
+                dist.join(cand, ["source", "id"], "full_outer")
+                .select(
+                    "source", "id",
+                    F.when(
+                        F.col("_cand").isNotNull()
+                        & (F.col("cost").isNull()
+                           | (F.col("_cand") < F.col("cost"))),
+                        F.col("_cand"),
+                    ).otherwise(F.col("cost")).alias("cost"),
+                    (F.col("_cand").isNotNull()
+                     & (F.col("cost").isNull()
+                        | (F.col("_cand") < F.col("cost")))
+                     ).alias("_improved"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            improved = merged.filter(F.col("_improved")).count()
+            dist = merged.select("source", "id", "cost")
+            frontier = merged.filter(F.col("_improved")).select(
+                "source", "id", "cost")
+            if improved == 0:
+                break
     e.unpersist()
     return dist
 
