@@ -446,7 +446,8 @@ def shortest_path_astar(
     ).persist()
 
     w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
-    e = edges.select("src", "dst", w.alias("w")).persist()
+    e = _loop_edges(edges.select("src", "dst", w.alias("w")),
+                    ["src", "dst", "w"])
     dist = vertices.select(
         "id",
         F.when(F.col("id") == source_id, F.lit(0.0)).otherwise(F.lit(None))
