@@ -205,7 +205,7 @@ def _articlerank_unrolled_sql(iters: int) -> str:
             + f"\nSELECT id, round(rank, 6) AS score FROM r{iters}")
 
 
-def _eigenvector_unrolled_sql(iters: int) -> str:
+def _eigenvector_unrolled_sql(iters: int, norm: str = "max") -> str:
     """Unrolled power iteration with per-iteration L2 normalization and
     final max-normalization — mirrors
     operators/centrality_variants.py:eigenvector_centrality (reference
@@ -237,9 +237,13 @@ def _eigenvector_unrolled_sql(iters: int) -> str:
             f"r{i} AS MATERIALIZED (SELECT id, raw / (SELECT v FROM l2_{i}) "
             f"AS rank FROM raw{i})"
         )
+    final = {
+        "max": f"(SELECT max(rank) FROM r{iters})",
+        "l1norm": f"(SELECT sum(rank) FROM r{iters})",
+    }[norm]
     return (
         "WITH " + ",\n".join(parts)
-        + f"\nSELECT id, round(rank / (SELECT max(rank) FROM r{iters}), 6)"
+        + f"\nSELECT id, round(rank / {final}, 6)"
         f" AS score FROM r{iters}"
     )
 
@@ -784,6 +788,18 @@ def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.scores.select("id", F.round("score", 6).alias("score"))
 
 
+def _q_eigenvector_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exercises the Normalization.java l1norm post-step
+    from neo4j_graph_algorithms_spark.operators.centrality_variants import (
+        eigenvector_centrality,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = eigenvector_centrality(_vertices(e), e, max_iterations=PR_ITERS,
+                                 normalization="l1norm")
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic hash-sampled walks — engine-native, rows-only check
     from neo4j_graph_algorithms_spark.operators.traversal import random_walks
@@ -1276,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_shortest_paths": _q_kshortest,
         "articlerank": _q_articlerank,
         "eigenvector": _q_eigenvector,
+        "eigenvector_l1norm": _q_eigenvector_l1,
         "random_walks": _q_random_walks,
         "degree_in": _q_degree("in", False),
         "degree_out": _q_degree("out", False),
@@ -1339,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "articlerank": _articlerank_unrolled_sql(PR_ITERS),
         "eigenvector": _eigenvector_unrolled_sql(PR_ITERS),
+        "eigenvector_l1norm": _eigenvector_unrolled_sql(PR_ITERS, "l1norm"),
         "sssp_from_0": _sssp_unrolled_sql(20),
         "all_shortest_paths": _allsp_unrolled_sql(20),
         "astar_path": _astar_oracle_sql(),

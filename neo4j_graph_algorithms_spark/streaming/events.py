@@ -1,17 +1,31 @@
-"""Watermarked windowed aggregation over the events stream.
+"""Watermarked windowed aggregation + custom stateful operators over
+the events stream.
 
 ``windowed_event_counts`` declares the streaming plan (readStream →
 watermark → window agg); ``run_stream_once`` drives it synchronously to
 completion against a bounded parquet dir using a memory sink — the
 local smoke path. On a cluster the same plan runs against a file/Kafka
 source with ``writeStream`` unchanged.
+
+``stateful_sessionize`` is the CUSTOM stateful operator shape the
+built-in window aggregation cannot express — per-user gap-based
+sessionization with arbitrary per-group state carried across
+micro-batches via ``applyInPandasWithState`` (Arrow-batched; state =
+the open session tuple per user; closed sessions stream out as soon as
+the gap rule fires). The grouping key partitions state across
+executors, so state volume scales horizontally with users.
 """
 
 from __future__ import annotations
 
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-__all__ = ["windowed_event_counts", "run_stream_once"]
+__all__ = ["windowed_event_counts", "run_stream_once",
+           "stateful_sessionize", "run_stateful_sessions_once"]
 
 EVENT_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -57,6 +71,88 @@ def run_stream_once(spark: SparkSession, events_dir: str,
     agg = windowed_event_counts(stream)
     q = (
         agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def stateful_sessionize(stream: DataFrame, *,
+                        gap_seconds: int = 1800) -> DataFrame:
+    """CLOSED sessions per user: a session ends when the next event is
+    more than ``gap_seconds`` after the previous one. The open session
+    survives in group state across micro-batches (epoch-second tuple
+    (start, last, n)); only closed sessions are emitted, as soon as the
+    closing event arrives."""
+
+    def fn(key: Tuple[Any, ...],
+           pdfs: Iterable[pd.DataFrame],
+           state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for pdf in pdfs:
+            ts = pdf["ts"].sort_values()
+            for t in ts:
+                sec = int(t.timestamp())
+                if start is None:
+                    start, last, n = sec, sec, 1
+                elif sec - last > gap_seconds:
+                    closed.append((user_id, start, last, n))
+                    start, last, n = sec, sec, 1
+                else:
+                    last = sec
+                    n += 1
+        if start is not None:
+            state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="s"),
+                    "session_end": pd.to_datetime(
+                        [c[2] for c in closed], unit="s"),
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUT_SCHEMA, _SESSION_STATE_SCHEMA,
+            "update", "NoTimeout",
+        )
+    )
+
+
+def run_stateful_sessions_once(spark: SparkSession, events_dir: str,
+                               query_name: str = "sessions",
+                               gap_seconds: int = 1800) -> DataFrame:
+    """Drive the stateful sessionizer over a bounded parquet dir (all
+    files land in one micro-batch); returns the closed sessions."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    )
+    out = stateful_sessionize(stream, gap_seconds=gap_seconds)
+    q = (
+        out.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .start()

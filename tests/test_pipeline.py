@@ -239,6 +239,43 @@ def test_decode_bmp_roundtrip_and_unsupported():
         decode_bmp(b"\x89PNG" + b"\x00" * 60)
 
 
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.streaming.events import (
+        run_stateful_sessions_once,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "ev_state")
+    src.write.parquet(events_dir)
+    closed = run_stateful_sessions_once(spark, events_dir).persist()
+    # batch oracle: per-user session count via the lag-gap rule; the
+    # stateful operator emits CLOSED sessions only, so per user it must
+    # see (n_sessions - 1) rows, and every closed session respects the gap
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        src.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull()
+             | (F.unix_timestamp("ts") - F.unix_timestamp("_prev") > 1800))
+            .cast("int"))
+        .groupBy("user_id").agg(F.sum("_new").alias("n_sessions"))
+    )
+    got = {r["user_id"]: r["cnt"] for r in
+           closed.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+           .collect()}
+    for r in batch.collect():
+        assert got.get(r["user_id"], 0) == r["n_sessions"] - 1
+    # every emitted session is internally gap-consistent and non-empty
+    bad = closed.filter(
+        (F.col("n_events") < 1)
+        | (F.col("session_end") < F.col("session_start"))).count()
+    assert bad == 0
+    closed.unpersist()
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     from neo4j_graph_algorithms_spark.streaming import run_stream_once
 
