@@ -32,14 +32,26 @@ __all__ = [
 
 
 def jaccard_categories(items: DataFrame, *, cutoff: float = 0.0,
-                       degree_cutoff: int = 0) -> DataFrame:
+                       degree_cutoff: int = 0,
+                       max_category_df: int | None = None) -> DataFrame:
     """All-pairs Jaccard over category sets via inverted-index join.
 
     ``items``: (item, categories: array). Output (item1 < item2,
     similarity) with ``similarity >= cutoff`` and
     ``|categories| >= degree_cutoff`` (JaccardProc.java:43,56).
+
+    ``max_category_df`` (None = exact, the reference semantics): at
+    web scale a category shared by k items contributes k² rows to the
+    inverted-index self-join; setting a document-frequency ceiling
+    drops such hub categories from BOTH the intersections and the set
+    sizes (Jaccard over the pruned sets), the same prune as
+    pipeline.dedup.token_jaccard_pairs.
     """
     base = items.select("item", F.explode("categories").alias("cat")).distinct()
+    if max_category_df is not None:
+        rare = (base.groupBy("cat").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= int(max_category_df)).select("cat"))
+        base = base.join(rare, "cat", "left_semi")
     sizes = base.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     if degree_cutoff > 0:
         keep = sizes.filter(F.col("n") >= degree_cutoff).select("item")

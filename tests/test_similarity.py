@@ -149,3 +149,16 @@ def test_similarity_relationship_sink_roundtrip(spark, tmp_path):
     rows = {(r["src"], r["dst"]): (r["rel_type"], r["similarity"])
             for r in back.collect()}
     assert rows == {(0, 1): ("SIMILAR", 0.9), (1, 2): ("SIMILAR", 0.4)}
+
+
+def test_jaccard_hot_category_prune(spark):
+    from neo4j_graph_algorithms_spark.operators.similarity import (
+        jaccard_categories,
+    )
+
+    rows = [(i, ["hub", f"own{i}"]) for i in range(20)]
+    items = spark.createDataFrame(rows, "item long, categories array<string>")
+    exact = jaccard_categories(items)          # 'hub' links every pair
+    assert exact.count() == 190
+    pruned = jaccard_categories(items, max_category_df=5)
+    assert pruned.count() == 0                  # hub dropped, no overlap left
