@@ -1515,6 +1515,6 @@ def oracle_sql() -> dict[str, str]:
     # intentionally no oracle (data-dependent iteration counts / engine-
     # native payload / inherently-sequential visit orders):
     # pagerank_tolerance, pages_pagerank_e2e, pages_extract_edges,
-    # dfs_from_0, infomap, k_shortest_paths, random_walks, betweenness,
-    # spanning_tree, louvain → driver records rows-only checks
+    # dfs_from_0, infomap, k_shortest_paths, random_walks, louvain
+    # → driver records rows-only checks
     return sql

@@ -82,8 +82,16 @@ def _load_artifact(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 def _write_artifact(vertices: DataFrame, edges: DataFrame, direction: str,
                     artifact_dir: str | None) -> str:
     """Spark-side parallel write of the deduplicated (optionally
-    symmetrized) edge set + vertex ids; returns the artifact root."""
-    root = artifact_dir or tempfile.mkdtemp(prefix="betweenness_csr_")
+    symmetrized) edge set + vertex ids; returns the artifact root.
+
+    Each run gets a UNIQUE subdirectory: reused Python worker processes
+    cache the assembled CSR by path, so reusing one path for a
+    different graph would silently serve the previous graph's
+    adjacency."""
+    import uuid
+
+    base = artifact_dir or tempfile.mkdtemp(prefix="betweenness_csr_")
+    root = os.path.join(base, f"run_{uuid.uuid4().hex}")
     e = edges.select("src", "dst")
     if direction == "both":
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -226,8 +234,17 @@ def betweenness_centrality(
         .groupBy("id")
         .agg(F.sum("part").alias("centrality"))
     )
-    return (
+    result = (
         vertices.select("id")
         .join(partials, "id", "left")
         .select("id", F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
+        # materialize NOW so the O(|E|) artifact can be deleted — the
+        # result is vertex-sized
+        .localCheckpoint(eager=True)
     )
+    import shutil
+
+    # drop the run's artifact (and the whole temp root when we made it)
+    shutil.rmtree(path if artifact_dir is not None
+                  else os.path.dirname(path), ignore_errors=True)
+    return result

@@ -190,6 +190,8 @@ def closeness_centrality(
     )
     out = result.localCheckpoint(eager=True)
     pairs.unpersist()
+    if sources is not None:
+        sources.unpersist()
     return out
 
 
@@ -208,11 +210,15 @@ def harmonic_centrality(vertices: DataFrame, edges: DataFrame, *,
         (F.sum(F.lit(1.0) / F.col("distance")) * F.lit(scale)
          / F.lit(max(n - 1, 1))).alias("centrality")
     )
-    return (
+    out = (
         vertices.select("id")
         .join(inv, "id", "left")
         .select("id", F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
+        .localCheckpoint(eager=True)
     )
+    if sources is not None:
+        sources.unpersist()
+    return out
 
 
 def dangalchev_centrality(vertices: DataFrame, edges: DataFrame, *,
@@ -230,8 +236,12 @@ def dangalchev_centrality(vertices: DataFrame, edges: DataFrame, *,
         (F.sum(F.pow(F.lit(2.0), -F.col("distance"))) * F.lit(scale))
         .alias("centrality")
     )
-    return (
+    out = (
         vertices.select("id")
         .join(sc, "id", "left")
         .select("id", F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
+        .localCheckpoint(eager=True)
     )
+    if sources is not None:
+        sources.unpersist()
+    return out

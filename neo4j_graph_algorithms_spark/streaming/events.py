@@ -106,18 +106,24 @@ def stateful_sessionize(stream: DataFrame, *,
         else:
             start, last, n = None, None, 0
         closed = []
-        for pdf in pdfs:
-            ts = pdf["ts"].sort_values()
-            for t in ts:
-                sec = int(t.timestamp())
-                if start is None:
-                    start, last, n = sec, sec, 1
-                elif sec - last > gap_seconds:
-                    closed.append((user_id, start, last, n))
-                    start, last, n = sec, sec, 1
-                else:
-                    last = sec
-                    n += 1
+        # a group can span MANY Arrow chunks — order is only defined
+        # after concatenating and sorting the whole batch's events
+        chunks = [pdf["ts"] for pdf in pdfs]
+        ts = pd.concat(chunks).sort_values() if chunks else pd.Series([])
+        for t in ts:
+            sec = int(t.timestamp())
+            if start is None:
+                start, last, n = sec, sec, 1
+            elif sec - last > gap_seconds:
+                closed.append((user_id, start, last, n))
+                start, last, n = sec, sec, 1
+            else:
+                # cross-batch late event (sec < last): counted into the
+                # open session without regressing its end — assigning
+                # late data to already-closed sessions would need a
+                # watermark-driven reopen, out of scope here
+                last = max(last, sec)
+                n += 1
         if start is not None:
             state.update((start, last, n))
         if closed:

@@ -113,6 +113,9 @@ def test_minhash_production_params_recall(spark):
              for r in minhash_lsh_candidates(docs).collect()}
     hits = sum((2 * d, 2 * d + 1) in cands for d in range(25))
     assert hits / 25 >= 0.9
+
+
+def test_token_stats_and_quality(spark):
     stats = {r["doc_id"]: r for r in token_stats(_docs(spark)).collect()}
     assert stats[0]["n_tokens"] == 4
     assert stats[3]["n_tokens"] == 7
