@@ -93,14 +93,25 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
         raise ValueError("n_hashes must be divisible by bands")
     r = n_hashes // bands
     sigs = minhash_signatures(docs, text_col, n_hashes)
-    posting = None
-    for b in range(bands):
-        cols = [F.col(f"h{b * r + i}") for i in range(r)]
-        p = sigs.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.concat_ws("|", *[c.cast("string") for c in cols]).alias("bkey"),
+    # ONE pass over the signatures: explode an array of (band, key)
+    # structs — a per-band union would re-run the n_hashes-aggregation
+    # once per band (Catalyst does not dedup the common subplan)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"h{b * r + i}").cast("string")
+                               for i in range(r)]).alias("bkey"),
         )
-        posting = p if posting is None else posting.unionByName(p)
+        for b in range(bands)
+    ]
+    posting = (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("p"))
+        .select("doc_id", F.col("p.band").alias("band"),
+                F.col("p.bkey").alias("bkey"))
+        # both sides of the self-join read this — checkpoint so the
+        # signature aggregation runs once, not once per side
+        .localCheckpoint(eager=False)
+    )
     a = posting.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b_ = posting.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     return (
