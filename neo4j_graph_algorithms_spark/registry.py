@@ -1,0 +1,84 @@
+"""Operator registry — the ``algo.list`` / ``algo.version`` equivalent
+(reference: ListProc.java / VersionProc: enumerate every installed
+procedure so a user can discover the surface).
+
+``list_algorithms()`` maps each reference procedure name to the Python
+entry point that re-expresses it, so a reference user can locate the
+replacement for every call they make today. Kept in sync with
+SURVEY.md §2 — tests assert every entry imports and is callable.
+"""
+
+from __future__ import annotations
+
+from importlib import import_module
+
+__all__ = ["list_algorithms", "resolve", "version"]
+
+_P = "neo4j_graph_algorithms_spark"
+
+# reference procedure -> "module:callable"
+_REGISTRY: dict[str, str] = {
+    "algo.pageRank": f"{_P}.operators.pagerank:pagerank",
+    "algo.articleRank": f"{_P}.operators.centrality_variants:articlerank",
+    "algo.eigenvector": f"{_P}.operators.centrality_variants:eigenvector_centrality",
+    "algo.degree": f"{_P}.operators.degree:degree_centrality",
+    "algo.closeness": f"{_P}.operators.closeness:closeness_centrality",
+    "algo.closeness.harmonic": f"{_P}.operators.closeness:harmonic_centrality",
+    "algo.closeness.dangalchev": f"{_P}.operators.closeness:dangalchev_centrality",
+    "algo.betweenness": f"{_P}.operators.betweenness:betweenness_centrality",
+    "algo.betweenness.sampled": f"{_P}.operators.betweenness:betweenness_centrality",
+    "algo.unionFind": f"{_P}.operators.wcc:connected_components",
+    "algo.labelPropagation": f"{_P}.operators.labelprop:label_propagation",
+    "algo.louvain": f"{_P}.operators.louvain:louvain",
+    "algo.infoMap": f"{_P}.operators.infomap:infomap",
+    "algo.scc": f"{_P}.operators.scc:strongly_connected_components",
+    "algo.triangleCount": f"{_P}.operators.triangles:triangle_count",
+    "algo.triangle.stream": f"{_P}.operators.triangles:triangle_stream",
+    "algo.balancedTriads": f"{_P}.operators.triangles:balanced_triads",
+    "algo.mst": f"{_P}.operators.spanning:spanning_tree",
+    "algo.spanningTree": f"{_P}.operators.spanning:spanning_tree",
+    "algo.spanningTree.kmin": f"{_P}.operators.spanning:k_spanning_tree",
+    "algo.spanningTree.kmax": f"{_P}.operators.spanning:k_spanning_tree",
+    "algo.bfs.stream": f"{_P}.operators.traversal:bfs_distances",
+    "algo.dfs.stream": f"{_P}.operators.traversal:dfs_order",
+    "algo.shortestPath": f"{_P}.operators.traversal:shortest_path",
+    "algo.shortestPath.astar.stream": f"{_P}.operators.traversal:shortest_path_astar",
+    "algo.shortestPath.deltaStepping": f"{_P}.operators.traversal:sssp",
+    "algo.shortestPaths": f"{_P}.operators.traversal:sssp",
+    "algo.allShortestPaths.stream": f"{_P}.operators.traversal:all_shortest_paths",
+    "algo.kShortestPaths": f"{_P}.operators.yens:k_shortest_paths",
+    "algo.randomWalk.stream": f"{_P}.operators.traversal:random_walks",
+    "algo.similarity.jaccard": f"{_P}.operators.similarity:jaccard_categories",
+    "algo.similarity.overlap": f"{_P}.operators.similarity:overlap_categories",
+    "algo.similarity.cosine": f"{_P}.operators.similarity:cosine_vectors",
+    "algo.similarity.euclidean": f"{_P}.operators.similarity:euclidean_vectors",
+    "algo.similarity.pearson": f"{_P}.operators.similarity:pearson_vectors",
+    "algo.similarity.asVector": f"{_P}.operators.similarity:as_vector",
+    "algo.linkprediction.adamicAdar": f"{_P}.operators.linkprediction:link_prediction_for_pairs",
+    "algo.linkprediction.resourceAllocation": f"{_P}.operators.linkprediction:link_prediction_for_pairs",
+    "algo.linkprediction.commonNeighbors": f"{_P}.operators.linkprediction:link_prediction_for_pairs",
+    "algo.linkprediction.preferentialAttachment": f"{_P}.operators.linkprediction:link_prediction_for_pairs",
+    "algo.linkprediction.totalNeighbors": f"{_P}.operators.linkprediction:link_prediction_for_pairs",
+    "algo.linkprediction.sameCommunity": f"{_P}.operators.linkprediction:same_community_for_pairs",
+    "algo.ml.oneHotEncoding": f"{_P}.functions.scalars:one_hot",
+    "algo.graph.load": f"{_P}.catalog:GraphCatalog",
+    "algo.graph.remove": f"{_P}.catalog:GraphCatalog",
+    "algo.graph.info": f"{_P}.catalog:GraphCatalog",
+}
+
+
+def list_algorithms() -> dict[str, str]:
+    """Reference procedure name → ``module:callable`` entry point."""
+    return dict(_REGISTRY)
+
+
+def resolve(proc_name: str):
+    """Import and return the callable for a reference procedure name."""
+    target = _REGISTRY[proc_name]
+    mod, _, attr = target.partition(":")
+    return getattr(import_module(mod), attr)
+
+
+def version() -> str:
+    """Engine version string (``algo.version`` equivalent)."""
+    return "spark-linkgraph 0.2 (round 2)"

@@ -1,0 +1,102 @@
+"""Property-based randomized oracles (hypothesis): the DataFrame
+operators vs straightforward in-memory reference implementations on
+arbitrary small graphs. Bounded example counts — every example spins
+Spark jobs."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from tests.conftest import make_edges
+from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+from neo4j_graph_algorithms_spark.operators.wcc import connected_components
+from neo4j_graph_algorithms_spark.operators.traversal import sssp
+from neo4j_graph_algorithms_spark.registry import list_algorithms, resolve
+
+
+N = 8  # vertices per random graph
+
+edge_sets = st.sets(
+    st.tuples(st.integers(0, N - 1), st.integers(0, N - 1)),
+    min_size=1, max_size=16,
+)
+
+_SETTINGS = settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _v(spark):
+    return spark.createDataFrame([(i,) for i in range(N)], "id long")
+
+
+@given(edges=edge_sets)
+@_SETTINGS
+def test_pagerank_matches_numpy_power_iteration(spark, edges):
+    rows = [(s, d, 1.0) for s, d in edges]
+    res = pagerank(_v(spark), make_edges(spark, rows),
+                   max_iterations=8, tol=0.0)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    # reference semantics: r0 = 0.15; r = 0.15 + 0.85 * sum(r[u]/outdeg(u))
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {i: 0.15 for i in range(N)}
+    for _ in range(8):
+        msg = {i: 0.0 for i in range(N)}
+        for s, d in edges:
+            msg[d] += rank[s] / outdeg[s]
+        rank = {i: 0.15 + 0.85 * msg[i] for i in range(N)}
+    for i in range(N):
+        assert got[i] == pytest.approx(rank[i], abs=1e-9)
+
+
+@given(edges=edge_sets)
+@_SETTINGS
+def test_wcc_matches_union_find(spark, edges):
+    rows = [(s, d, 1.0) for s, d in edges]
+    res = connected_components(_v(spark), make_edges(spark, rows))
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    parent = list(range(N))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent[find(s)] = find(d)
+    comp = {}
+    for i in range(N):
+        comp.setdefault(find(i), []).append(i)
+    expect = {i: min(comp[find(i)]) for i in range(N)}
+    assert got == expect
+
+
+@given(edges=st.sets(
+    st.tuples(st.integers(0, N - 1), st.integers(0, N - 1),
+              st.integers(1, 5)),
+    min_size=1, max_size=16,
+))
+@_SETTINGS
+def test_sssp_matches_bellman_ford(spark, edges):
+    rows = [(s, d, float(w)) for s, d, w in edges]
+    got = {r["id"]: r["cost"]
+           for r in sssp(_v(spark), make_edges(spark, rows), 0).collect()}
+    dist = {0: 0.0}
+    for _ in range(N):
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < dist.get(d, math.inf):
+                dist[d] = dist[s] + w
+    assert got == {k: pytest.approx(v) for k, v in dist.items()}
+
+
+def test_registry_resolves_every_procedure():
+    names = list_algorithms()
+    assert len(names) >= 40
+    for name in names:
+        target = resolve(name)
+        assert callable(target) or isinstance(target, type), name
