@@ -144,6 +144,34 @@ def _pagerank_unrolled_sql(iters: int, weighted: bool) -> str:
             f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}")
 
 
+def _ppr_unrolled_sql(iters: int, sources: list[int]) -> str:
+    """Personalized PageRank: the 0.15 base term only at ``sources``
+    (operators/pagerank.py:_init_ranks source_ids branch)."""
+    src = ", ".join(str(s) for s in sources)
+    base = f"CASE WHEN id IN ({src}) THEN 0.15 ELSE 0.0 END"
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src)",
+        "fac AS (SELECT e.src, e.dst, 1.0 / d.outd AS factor "
+        "FROM edges e JOIN deg d ON e.src = d.src)",
+        f"r0 AS MATERIALIZED (SELECT id, CAST({base} AS DOUBLE) AS rank "
+        f"FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT f.dst AS id, "
+            f"sum(r.rank * f.factor) AS msg "
+            f"FROM fac f JOIN r{i-1} r ON f.src = r.id GROUP BY f.dst)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.id, "
+            f"{base.replace('id', 'n.id')} + 0.85 * coalesce(m.msg, 0.0) "
+            f"AS rank FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)"
+        )
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}")
+
+
 def _lpa_unrolled_sql(iters: int) -> str:
     """Unrolled red-black semi-synchronous LPA (matches
     operators/labelprop.py): each iteration updates even-id listeners
@@ -521,6 +549,24 @@ def _q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
     )
+
+
+def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: the teleport/base term lives only at
+    source nodes 0..9 (PageRank.java sourceNodeIds)."""
+    e = _edges(spark, sf_dir)
+    res = pagerank(_vertices(e), e, max_iterations=PR_ITERS, tol=0.0,
+                   source_ids=range(10))
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """algo.triangle.stream: every triangle once, node_a<node_b<node_c."""
+    from neo4j_graph_algorithms_spark.operators.triangles import (
+        triangle_stream,
+    )
+
+    return triangle_stream(_edges(spark, sf_dir))
 
 
 def _q_pagerank_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "triangle_list": _q_triangle_list,
         "pagerank_csr": _q_pagerank_csr,
         "pagerank_topk": _q_pagerank_topk,
         "pagerank_tolerance": _q_pagerank_tolerance,
@@ -1339,6 +1387,11 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {
         "pagerank": _pagerank_unrolled_sql(PR_ITERS, weighted=False),
         "pagerank_weighted": _pagerank_unrolled_sql(PR_ITERS, weighted=True),
+        "pagerank_personalized": _ppr_unrolled_sql(PR_ITERS, list(range(10))),
+        "triangle_list": f"""
+            WITH {_EDGES_CTE}, {_CANON_CTE}, {_TRI_CTE}
+            SELECT a AS node_a, b AS node_b, c AS node_c FROM tri
+        """,
         "pagerank_csr": _pagerank_unrolled_sql(PR_ITERS, weighted=False),
         "pagerank_topk": (
             _pagerank_unrolled_sql(PR_ITERS, weighted=False)

@@ -93,3 +93,30 @@ def test_graph_reversed_and_undirected(spark):
     assert [(r["src"], r["dst"]) for r in g.reversed().edges.collect()] == [(1, 0)]
     und = g.undirected().edges
     assert {(r["src"], r["dst"]) for r in und.collect()} == {(0, 1), (1, 0)}
+
+
+def test_edge_list_roundtrip_csv_json(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.sources.edgelist import (
+        read_edge_list,
+        write_edge_list,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 0.5), (2, 0, 1.0)],
+        "src long, dst long, weight double")
+    for fmt in ("csv", "json", "parquet"):
+        p = str(tmp_path / f"el_{fmt}")
+        write_edge_list(edges, p, fmt=fmt)
+        back = read_edge_list(spark, p, fmt=fmt, weighted=True)
+        got = {(r["src"], r["dst"]): r["weight"] for r in back.collect()}
+        assert got == {(0, 1): 2.0, (1, 2): 0.5, (2, 0): 1.0}, fmt
+
+
+def test_edge_list_tsv_comments_and_malformed(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.sources.edgelist import read_edge_list
+
+    p = tmp_path / "snap.tsv"
+    p.write_text("# SNAP-style header\n0\t1\n1\t2\nbad\tline\n2\t0\n")
+    df = read_edge_list(spark, str(p), fmt="csv", delimiter="\t")
+    assert {(r["src"], r["dst"]) for r in df.collect()} == \
+        {(0, 1), (1, 2), (2, 0)}
