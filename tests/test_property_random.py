@@ -23,7 +23,7 @@ edge_sets = st.sets(
 )
 
 _SETTINGS = settings(
-    max_examples=5, deadline=None,
+    max_examples=5, deadline=None, derandomize=True, database=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
