@@ -144,6 +144,182 @@ def _pagerank_unrolled_sql(iters: int, weighted: bool) -> str:
             f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}")
 
 
+def _pagerank_tolerance_unrolled_sql(max_iters: int, tol: float,
+                                     block: int,
+                                     prefix: list[str] | None = None) -> str:
+    """Tolerance-convergence PageRank oracle.
+
+    Mirrors ``operators/pagerank.py`` with ``tol>0``: supersteps are
+    fused into blocks of ``block`` (the ``unroll`` parameter), and the
+    loop stops at the first block boundary ``it`` where
+    ``max|r_it − r_{it−block}| < tol`` (capped at ``max_iters``). The
+    oracle unrolls every iteration as MATERIALIZED CTEs, computes the
+    block deltas, picks the first converged boundary, and emits that
+    level's ranks — the exact ranks Spark returns, including the
+    stopping rule.
+
+    MATERIALIZED everywhere a CTE is referenced twice: DuckDB inlines
+    plain CTEs and the r{i}→(m{i+1}, d{it}, levels) fan-out would
+    otherwise recompute the whole chain per reference."""
+    parts = list(prefix) if prefix is not None else [_EDGES_CTE, _NODES_CTE]
+    parts += [
+        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src)",
+        "fac AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / d.outd AS factor "
+        "FROM edges e JOIN deg d ON e.src = d.src)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(0.15 AS DOUBLE) AS rank "
+        "FROM nodes)",
+    ]
+    boundaries = list(range(block, max_iters + 1, block))
+    if boundaries[-1] != max_iters:  # trailing partial block
+        boundaries.append(max_iters)
+    for i in range(1, max_iters + 1):
+        parts.append(
+            f"m{i} AS (SELECT f.dst AS id, sum(r.rank * f.factor) AS msg "
+            f"FROM fac f JOIN r{i-1} r ON f.src = r.id GROUP BY f.dst)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.id, "
+            f"0.15 + 0.85 * coalesce(m.msg, 0.0) AS rank "
+            f"FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)"
+        )
+    prev = 0
+    for it in boundaries:
+        parts.append(
+            f"d{it} AS MATERIALIZED (SELECT max(abs(a.rank - b.rank)) AS d "
+            f"FROM r{it} a JOIN r{prev} b ON a.id = b.id)"
+        )
+        prev = it
+    vals = ", ".join(f"({it}, (SELECT d FROM d{it}))" for it in boundaries)
+    parts.append(
+        f"conv AS (SELECT coalesce(min(it), {max_iters}) AS it "
+        f"FROM (VALUES {vals}) t(it, d) WHERE d < {tol!r})"
+    )
+    levels = " UNION ALL ".join(
+        f"SELECT {it} AS it, id, rank FROM r{it}" for it in boundaries
+    )
+    parts.append(f"levels AS ({levels})")
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT id, round(rank, 6) AS rank FROM levels "
+            "WHERE it = (SELECT it FROM conv)")
+
+
+# --- pure-SQL replica of the synthetic pages link generator ------------
+# sources/pages.py derives every link from splitmix64 mixing of the page
+# index; replaying that arithmetic in DuckDB (64-bit wraparound multiply
+# emulated via HUGEINT split-multiply) gives a fully independent oracle
+# for the extraction pipeline: Spark builds html and regex-extracts the
+# anchors, the oracle recomputes the link list directly — any drift in
+# generation, extraction, or dedup breaks the match.
+_M64 = 1 << 64
+_M32 = 1 << 32
+_MIX_C1 = 0x9E3779B97F4A7C15
+_MIX_C2 = 0xBF58476D1CE4E5B9
+_MIX_C3 = 0x94D049BB133111EB
+
+
+def _sql_xorshift(x: str, s: int) -> str:
+    return f"xor({x}, ({x} >> {s}))"
+
+
+def _sql_mulmod64(x: str, c: int) -> str:
+    """(x * c) mod 2^64 on UBIGINT, via 32-bit split so the HUGEINT
+    intermediates stay below 2^97 (a full 64×64 product would overflow
+    signed 128-bit)."""
+    h = f"CAST({x} AS HUGEINT)"
+    return (f"CAST(((({h} % {_M32}) * {c}) + "
+            f"(((({h} // {_M32}) * {c}) % {_M32}) * {_M32})) % {_M64} "
+            f"AS UBIGINT)")
+
+
+def _sql_addmod64(x: str, c: int) -> str:
+    return f"CAST((CAST({x} AS HUGEINT) + {c}) % {_M64} AS UBIGINT)"
+
+
+def _mix64_chain(name: str, keep: str) -> list[str]:
+    """CTEs name1..name4: splitmix64 finalizer of CTE name0's ``x``."""
+    stages = [
+        _sql_addmod64("x", _MIX_C1),
+        _sql_mulmod64(_sql_xorshift("x", 30), _MIX_C2),
+        _sql_mulmod64(_sql_xorshift("x", 27), _MIX_C3),
+        _sql_xorshift("x", 31),
+    ]
+    return [
+        f"{name}{k+1} AS (SELECT {keep}, {expr} AS x FROM {name}{k})"
+        for k, expr in enumerate(stages)
+    ]
+
+
+def _pages_linklist_parts(n: int, seed: int = 42,
+                          max_degree: int = 64) -> list[str]:
+    """CTE chain ending in ``plinks(src_url, dst_url)`` — the exact link
+    list of ``generate_pages(spark, n)`` (duplicates preserved),
+    replaying sources/pages.py:_out_degree/_targets_for in SQL."""
+    import math as _math
+
+    # embed float64 constants as round-trip decimal literals so DuckDB
+    # parses bit-identical doubles
+    ln_md = repr(_math.log(max_degree))
+    dc = (seed * 0x1234567) ^ 0xDEAD
+    u = f"CAST((x >> 11) AS DOUBLE) / {float(1 << 53)!r}"
+    parts = [f"p AS (SELECT CAST(range AS UBIGINT) AS i FROM range({n}))"]
+    parts.append(f"dg0 AS (SELECT i, xor(i, CAST({dc} AS UBIGINT)) AS x "
+                 f"FROM p)")
+    parts += _mix64_chain("dg", "i")
+    parts.append(f"du AS (SELECT i, {u} AS u FROM dg4)")
+    parts.append(f"dn0 AS (SELECT i, xor(i, CAST({0xBEEF} AS UBIGINT)) AS x "
+                 f"FROM p)")
+    parts += _mix64_chain("dn", "i")
+    parts.append(f"dnu AS (SELECT i, {u} AS u FROM dn4)")
+    parts.append(
+        "degs AS MATERIALIZED (SELECT p.i, CASE WHEN dnu.u < 0.08 THEN 0 "
+        f"ELSE least(greatest(CAST(floor(exp(du.u * {ln_md})) AS BIGINT), 0)"
+        f", {max_degree}) END AS deg "
+        "FROM p JOIN du ON p.i = du.i JOIN dnu ON p.i = dnu.i)")
+    parts.append(
+        f"tj AS (SELECT d.i, CAST(j.range AS UBIGINT) AS j FROM degs d "
+        f"JOIN range({max_degree}) j ON j.range < d.deg)")
+    parts.append(
+        f"tg0 AS (SELECT i, j, xor({_sql_mulmod64('i', _MIX_C1)}, "
+        f"CAST(j + {seed} AS UBIGINT)) AS x FROM tj)")
+    parts += _mix64_chain("tg", "i, j")
+    parts.append(f"tu AS (SELECT i, {u} AS u FROM tg4)")
+    parts.append(
+        f"tt AS (SELECT i, least(greatest("
+        f"CAST(floor(({n} * u) * u) AS BIGINT), 0), {n - 1}) AS t FROM tu)")
+    parts.append(
+        "plinks AS MATERIALIZED (SELECT "
+        "'https://example.org/p/' || CAST(i AS VARCHAR) AS src_url, "
+        "'https://example.org/p/' || CAST(t AS VARCHAR) AS dst_url FROM tt)")
+    return parts
+
+
+def _pages_edges_sql(n: int) -> str:
+    """Oracle for pages_extract_edges: distinct (src_url, dst_url)."""
+    return ("WITH " + ",\n".join(_pages_linklist_parts(n)) +
+            "\nSELECT DISTINCT src_url, dst_url FROM plinks")
+
+
+def _pages_pagerank_sql(n: int, max_iters: int, tol: float,
+                        block: int) -> str:
+    """Oracle for pages_pagerank_e2e: SQL link list → dense id map
+    (row_number over url order, matching graph.py:id_map) → tolerance-
+    convergence PageRank."""
+    prefix = _pages_linklist_parts(n) + [
+        "uedges AS MATERIALIZED (SELECT DISTINCT src_url, dst_url "
+        "FROM plinks)",
+        "urls AS (SELECT DISTINCT url FROM (SELECT src_url AS url "
+        "FROM uedges UNION ALL SELECT dst_url FROM uedges))",
+        "idmap AS MATERIALIZED (SELECT url, "
+        "row_number() OVER (ORDER BY url) - 1 AS id FROM urls)",
+        "edges AS MATERIALIZED (SELECT s.id AS src, d.id AS dst "
+        "FROM uedges e JOIN idmap s ON e.src_url = s.url "
+        "JOIN idmap d ON e.dst_url = d.url)",
+        "nodes AS MATERIALIZED (SELECT id FROM idmap)",
+    ]
+    return _pagerank_tolerance_unrolled_sql(max_iters, tol, block,
+                                            prefix=prefix)
+
+
 def _ppr_unrolled_sql(iters: int, sources: list[int]) -> str:
     """Personalized PageRank: the 0.15 base term only at ``sources``
     (operators/pagerank.py:_init_ranks source_ids branch)."""
@@ -570,8 +746,10 @@ def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pagerank_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # convergence-extension variant (no SQL oracle: iteration count is
-    # data-dependent) — driver records a rows-only check
+    # convergence-extension variant; the oracle unrolls all 100
+    # iterations and replays the block-delta stopping rule
+    # (_pagerank_tolerance_unrolled_sql), so the data-dependent stop
+    # iteration is value-checked too
     e = _edges(spark, sf_dir)
     res = pagerank(_vertices(e), e, max_iterations=100, tol=1e-6)
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
@@ -1275,9 +1453,10 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_pages_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # engine-native payload: synthetic pages → extracted edge table
-    # (rows-only check; the generator/extraction pair is validated
-    # byte-exactly in tests/test_extraction.py)
+    # engine-native payload: synthetic pages → extracted edge table.
+    # Oracle (_pages_edges_sql) recomputes the link list directly from
+    # the splitmix64 arithmetic in SQL — independent of html building
+    # AND of the regex extraction path being checked here
     from neo4j_graph_algorithms_spark.sources import extract_edges, generate_pages
 
     pages = generate_pages(spark, 2000)
@@ -1285,7 +1464,9 @@ def _q_extract_pages_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pages_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # flagship end-to-end: pages → extraction → id-map → PageRank
+    # flagship end-to-end: pages → extraction → id-map → PageRank,
+    # oracle-checked the whole way (_pages_pagerank_sql: SQL link list →
+    # row_number id map → tolerance-unrolled PageRank)
     from neo4j_graph_algorithms_spark.sources import extract_edges, generate_pages
     from neo4j_graph_algorithms_spark.graph import id_map
 
@@ -1393,6 +1574,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS node_a, b AS node_b, c AS node_c FROM tri
         """,
         "pagerank_csr": _pagerank_unrolled_sql(PR_ITERS, weighted=False),
+        "pagerank_tolerance": _pagerank_tolerance_unrolled_sql(
+            100, 1e-6, block=4),
+        "pages_extract_edges": _pages_edges_sql(2000),
+        "pages_pagerank_e2e": _pages_pagerank_sql(2000, 50, 1e-6, block=4),
         "pagerank_topk": (
             _pagerank_unrolled_sql(PR_ITERS, weighted=False)
             + " ORDER BY rank DESC, id ASC LIMIT 20"
@@ -1567,7 +1752,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(pipeline_oracles())
     # intentionally no oracle (data-dependent iteration counts / engine-
     # native payload / inherently-sequential visit orders):
-    # pagerank_tolerance, pages_pagerank_e2e, pages_extract_edges,
     # dfs_from_0, infomap, k_shortest_paths, random_walks, louvain
     # → driver records rows-only checks
     return sql

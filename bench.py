@@ -285,9 +285,64 @@ def run_scaling() -> None:
     }))
 
 
+def run_cluster_scaling() -> None:
+    """North-rule evidence in its literal deployment shape: the SAME
+    spark-submit --py-files job at N and 4N REAL executor JVMs
+    (`local-cluster[n,2,4096]` — separate worker processes, shuffle over
+    the block manager, the in-sandbox stand-in for an n-executor
+    cluster). 2 cores/executor keeps the pair (2 vs 8 total cores)
+    inside this box's DRAM-bandwidth envelope (BASELINE.md §4.2)."""
+    _build_scaling_graph()
+    from submit.make_pyfiles import build as build_zip
+
+    zip_path = build_zip("/tmp/nga_dist/nga_spark.zip")
+    submit_py = os.path.join(REPO, "submit", "pagerank_submit.py")
+    execs = tuple(
+        int(x) for x in os.environ.get("SCALING_EXECUTORS", "1,4").split(",")
+    )
+    results = {}
+    for n in execs:
+        _log(f"spark-submit local-cluster[{n},2,4096] ...")
+        out = subprocess.run(
+            ["spark-submit", "--master", f"local-cluster[{n},2,4096]",
+             "--conf", "spark.ui.enabled=false",
+             "--conf", "spark.executor.memory=3g",
+             "--py-files", zip_path, submit_py,
+             "--edges", os.path.join(SCALING_CACHE, "edges"),
+             "--max-iters", str(SCALING_ITERS), "--warmup-iters", "8",
+             "--unroll", "8", "--shuffle-partitions", str(SCALING_SHUF)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+        _log(f"  -> {results[n]['edges_per_sec_per_superstep']} e/s/superstep")
+    n_small, n_big = execs
+    thr_n = results[n_small]["edges_per_sec_per_superstep"]
+    thr_4n = results[n_big]["edges_per_sec_per_superstep"]
+    eff = (thr_4n / thr_n) / (n_big / n_small)
+    print(json.dumps({
+        "cluster_scaling": {
+            "executors_n": n_small,
+            "executors_4n": n_big,
+            "cores_per_executor": 2,
+            f"throughput_{n_small}exec": thr_n,
+            f"throughput_{n_big}exec": thr_4n,
+            "efficiency": round(eff, 4),
+            "criterion": "efficiency >= 0.8 between N and 4N executors",
+            "protocol": f"spark-submit --py-files, local-cluster (real "
+                        f"executor JVMs), fixed {SCALING_ITERS} supersteps "
+                        f"after 8 warmup, same input & partitioning "
+                        f"({SCALING_SHUF})",
+            "runs": results,
+        }
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--cluster-scaling" in sys.argv:
+        run_cluster_scaling()
     elif "--scalerun" in sys.argv:
         print(json.dumps(run_scalerun()))
     else:
