@@ -939,14 +939,46 @@ def _q_infomap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_kshortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Yen's k shortest loopless paths 0→7 on the induced id<60 subgraph
-    # (spur searches are distributed shortest_path runs) → rows-only
+    # (spur searches are distributed shortest_path runs). Output is the
+    # per-path summary (index, hops, cost): with unit weights the top-k
+    # cost multiset is tie-break independent, so it oracle-checks against
+    # exhaustive simple-path enumeration (_ksp_oracle_sql); per-step node
+    # ids are tie-dependent and stay covered by tests/test_yens.py.
     from neo4j_graph_algorithms_spark.operators.yens import k_shortest_paths
 
     e = _sub_edges(spark, sf_dir, 60)
     v = _vertices(e)
-    return k_shortest_paths(v, e, 0, 7, 3).paths.select(
-        "path_index", "step", "id", F.round("path_cost", 6).alias("path_cost")
+    return (
+        k_shortest_paths(v, e, 0, 7, 3).paths
+        .groupBy("path_index")
+        .agg(F.max("step").cast("int").alias("n_hops"),
+             F.round(F.first("path_cost"), 6).alias("path_cost"))
     )
+
+
+def _ksp_oracle_sql(n: int = 60, source: int = 0, target: int = 7,
+                    k: int = 3, cap: int = 10) -> str:
+    """Exhaustive loopless-path enumeration on the induced id<n subgraph:
+    the k smallest simple-path costs are unique regardless of Yen's
+    tie-breaking. cap=10 verified cap-insensitive for the top-3 at
+    sf0.001 and sf0.01."""
+    return f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        sub AS (SELECT src, dst FROM edges WHERE src < {n} AND dst < {n}),
+        p(id, hops, visited) AS (
+          SELECT CAST({source} AS BIGINT), 0, [CAST({source} AS BIGINT)]
+          UNION ALL
+          SELECT e.dst, p.hops + 1, list_append(p.visited, e.dst)
+          FROM p JOIN sub e ON e.src = p.id
+          WHERE p.id <> {target} AND p.hops < {cap}
+            AND NOT list_contains(p.visited, e.dst)
+        )
+        SELECT CAST(row_number() OVER (ORDER BY hops) - 1 AS INT)
+                 AS path_index,
+               CAST(hops AS INT) AS n_hops,
+               round(CAST(hops AS DOUBLE), 6) AS path_cost
+        FROM p WHERE id = {target} ORDER BY hops LIMIT {k}
+    """
 
 
 def _q_as_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,8 +1056,117 @@ def _q_eigenvector_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.scores.select("id", F.round("score", 6).alias("score"))
 
 
+
+
+# ---- Spark F.hash (Murmur3_x86_32) replicated as DuckDB CTE stages ----
+# random_walks picks out-edge rank hash(walk_id, step, seed) % outdeg
+# (operators/traversal.py:512); the oracle replays the identical hash
+# bit-for-bit (validated 200/200 vs F.hash) and simulates the walk.
+_MM32 = 1 << 32
+_MC1 = 0xCC9E2D51
+_MC2 = 0x1B873593
+
+
+def _mul(x, c):
+    return f"CAST((CAST({x} AS HUGEINT) * {c}) % {_MM32} AS BIGINT)"
+
+
+def _rotl(x, r):
+    return f"(((({x}) << {r}) | (({x}) >> {32 - r})) % {_MM32})"
+
+
+def _xor(a, b):
+    return f"xor(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+
+
+class _HashChain:
+    def __init__(self, name, keep):
+        self.name, self.keep, self.ctes, self.i = name, keep, [], 0
+
+    def stage(self, expr_h, extra=""):
+        prev = f"{self.name}{self.i}"
+        self.i += 1
+        cols = f"{self.keep}, {expr_h} AS h"
+        if extra:
+            cols += f", {extra}"
+        self.ctes.append(
+            f"{self.name}{self.i} AS MATERIALIZED (SELECT {cols} FROM {prev})")
+
+    def mixk1_into(self, src):
+        self.stage("h", extra=f"{_mul(src, _MC1)} AS k")
+        self.stage("h", extra=f"{_rotl('k', 15)} AS k")
+        self.stage("h", extra=f"{_mul('k', _MC2)} AS k")
+
+    def mixh1(self):
+        self.stage(f"({_xor('h', 'k')}) % {_MM32}", extra="k")
+        self.stage(f"{_rotl('h', 13)}", extra="k")
+        self.stage(f"((h * 5) + {0xE6546B64}) % {_MM32}", extra="k")
+
+    def fmix(self, length):
+        self.stage(f"({_xor('h', length)}) % {_MM32}")
+        self.stage(f"({_xor('h', '(h >> 16)')}) % {_MM32}")
+        self.stage(f"{_mul('h', 0x85EBCA6B)}")
+        self.stage(f"({_xor('h', '(h >> 13)')}) % {_MM32}")
+        self.stage(f"{_mul('h', 0xC2B2AE35)}")
+        self.stage(f"({_xor('h', '(h >> 16)')}) % {_MM32}")
+
+
+def murmur3_long_int_int_ctes(name, src_cte, long_col, keep, i1, i2, seed=42):
+    """CTE chain for Spark F.hash(long_col, lit(i1), lit(i2)); final CTE
+    {name}F has columns keep + h (signed 32-bit as BIGINT)."""
+    ch = _HashChain(name, keep)
+    ch.ctes.append(
+        f"{name}0 AS (SELECT {keep}, {seed} AS h, "
+        f"CAST((CAST({long_col} AS HUGEINT) % {1 << 64} + {1 << 64}) "
+        f"% {1 << 64} % {_MM32} AS BIGINT) AS lo, "
+        f"CAST(((CAST({long_col} AS HUGEINT) % {1 << 64} + {1 << 64}) "
+        f"% {1 << 64}) // {_MM32} AS BIGINT) AS hi FROM {src_cte})")
+    ch.keep = keep + ", lo, hi"
+    ch.mixk1_into("lo")
+    ch.mixh1()
+    ch.mixk1_into("hi")
+    ch.mixh1()
+    ch.fmix(8)
+    for iv in (i1, i2):
+        ch.mixk1_into(f"(({iv} % {_MM32}) + {_MM32}) % {_MM32}")
+        ch.mixh1()
+        ch.fmix(4)
+    ch.ctes.append(
+        f"{name}F AS MATERIALIZED (SELECT {keep}, CAST(CASE WHEN h >= {1 << 31} "
+        f"THEN h - {_MM32} ELSE h END AS BIGINT) AS h FROM {name}{ch.i})")
+    return ch.ctes
+
+
+def _random_walks_oracle_sql(n_starts=50, walk_length=3, seed=42):
+    parts = [
+        _EDGES_CTE,
+        "rdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "ranked AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk FROM edges)",
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        f"w0 AS MATERIALIZED (SELECT CAST(id AS BIGINT) AS walk_id, "
+        f"CAST(id AS BIGINT) AS node FROM nodes WHERE id < {n_starts})",
+    ]
+    for s in range(1, walk_length + 1):
+        parts += murmur3_long_int_int_ctes(
+            f"s{s}_", "w0", "walk_id", "walk_id", s, seed)
+        parts.append(
+            f"w{s} AS MATERIALIZED (SELECT w.walk_id, CAST(r.dst AS BIGINT) AS node "
+            f"FROM w{s-1} w "
+            f"JOIN s{s}_F h ON h.walk_id = w.walk_id "
+            f"JOIN rdeg d ON d.src = w.node "
+            f"JOIN ranked r ON r.src = w.node "
+            f"AND r.rk = ((h.h % d.deg) + d.deg) % d.deg)")
+    sel = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS INT) AS step, node FROM w{s}"
+        for s in range(walk_length + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deterministic hash-sampled walks — engine-native, rows-only check
+    # deterministic hash-sampled walks; oracle replays the identical
+    # Murmur3 pick bit-for-bit (_random_walks_oracle_sql)
     from neo4j_graph_algorithms_spark.operators.traversal import random_walks
 
     e = _edges(spark, sf_dir)
@@ -1596,6 +1737,8 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector": _eigenvector_unrolled_sql(PR_ITERS),
         "eigenvector_l1norm": _eigenvector_unrolled_sql(PR_ITERS, "l1norm"),
         "sssp_from_0": _sssp_unrolled_sql(20),
+        "random_walks": _random_walks_oracle_sql(),
+        "k_shortest_paths": _ksp_oracle_sql(),
         "all_shortest_paths": _allsp_unrolled_sql(20),
         "astar_path": _astar_oracle_sql(),
         "as_vector": f"""
@@ -1752,6 +1895,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(pipeline_oracles())
     # intentionally no oracle (data-dependent iteration counts / engine-
     # native payload / inherently-sequential visit orders):
-    # dfs_from_0, infomap, k_shortest_paths, random_walks, louvain
+    # dfs_from_0, infomap, louvain
     # → driver records rows-only checks
     return sql
