@@ -1001,8 +1001,8 @@ def _q_as_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DFS preorder (algo.dfs.stream) from node 0 on the induced id<200
-    # subgraph — deterministic (ascending-adjacency addFirst stack walk)
-    # but inherently sequential, not SQL-expressible → rows-only check
+    # subgraph — deterministic (ascending-adjacency addFirst stack walk);
+    # oracle = single-row stack-machine recursive CTE replaying the walk
     from neo4j_graph_algorithms_spark.operators.traversal import dfs_order
 
     e = _sub_edges(spark, sf_dir)
@@ -1532,6 +1532,17 @@ def _q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sign_lsh_buckets(_t(spark, sf_dir, "embeddings"), n_bits=8)
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sign-LSH bucketed. Threshold 0.3
+    (production default 0.9 — the synthetic embeddings are random, max
+    pairwise cosine ≈ 0.51, so 0.8+ would be a vacuous 0-row check)."""
+    from neo4j_graph_algorithms_spark.pipeline.ann import embedding_near_dup
+
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=8, seed=42
+    )
+
+
 def _q_jaccard_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """algo.similarity.jaccard over category sets: item = src node,
     categories = its out-neighbor set; all pairs u<v<60, cutoff 0.05
@@ -1693,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot_lang": _q_onehot,
         "cosine_knn": _q_cosine_knn,
         "lsh_sign_buckets": _q_lsh_buckets,
+        "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
     }
@@ -1892,9 +1904,42 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id
         """,
     }
+    # DFS visit order is sequential, but the walk is deterministic
+    # (visited-at-push, ascending-adjacency addFirst ≡ largest unvisited
+    # neighbor popped first), so a single-row stack machine in a
+    # recursive CTE replays it exactly: each iteration pops stack[1],
+    # appends it to the preorder, and pushes the still-unvisited
+    # neighbors (reversed, so the largest lands on top).  adj is
+    # MATERIALIZED — the recursive term re-reads it every iteration.
+    sql["dfs_from_0"] = f"""
+        WITH RECURSIVE
+        edges AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % {N_MOD} AS src,
+                          l_partkey % {N_MOD} AS dst FROM lineitem),
+        adj AS MATERIALIZED (
+          SELECT src, list(dst ORDER BY dst) AS nbrs
+          FROM edges WHERE src < {SUB_N} AND dst < {SUB_N} GROUP BY src),
+        walk AS (
+          SELECT [CAST(0 AS BIGINT)] AS stack, [CAST(0 AS BIGINT)] AS visited,
+                 CAST([] AS BIGINT[]) AS ord
+          UNION ALL
+          SELECT list_concat(list_reverse(fresh), stack[2:]) AS stack,
+                 list_concat(visited, fresh) AS visited,
+                 list_append(ord, v) AS ord
+          FROM (
+            SELECT stack, visited, ord, stack[1] AS v,
+                   list_filter(coalesce(a.nbrs, CAST([] AS BIGINT[])),
+                               x -> NOT list_contains(visited, x)) AS fresh
+            FROM walk LEFT JOIN adj a ON a.src = stack[1]
+            WHERE len(stack) > 0)
+        ),
+        fin AS (SELECT ord FROM walk ORDER BY len(ord) DESC LIMIT 1)
+        SELECT CAST(unnest(range(len(ord))) AS INT) AS step,
+               CAST(unnest(ord) AS BIGINT) AS id
+        FROM fin
+    """
     sql.update(pipeline_oracles())
-    # intentionally no oracle (data-dependent iteration counts / engine-
-    # native payload / inherently-sequential visit orders):
-    # dfs_from_0, infomap, louvain
+    # intentionally no oracle (data-dependent iteration counts over
+    # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks
     return sql

@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 __all__ = ["cosine_knn_bruteforce", "sign_lsh_buckets", "cosine_knn_lsh",
-           "hyperplanes"]
+           "embedding_near_dup", "hyperplanes"]
 
 
 def hyperplanes(n_bits: int, dim: int, seed: int) -> np.ndarray:
@@ -110,6 +110,44 @@ def sign_lsh_buckets(emb: DataFrame, *, n_bits: int = 8, seed: int = 42,
         emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def embedding_near_dup(emb: DataFrame, *, threshold: float = 0.9,
+                       n_bits: int = 8, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    The 100 TB dedup shape: candidates come from an equality self-join
+    on the random-hyperplane sign bucket (one shuffle by bucket — never
+    all-pairs), then the exact cosine filter keeps pairs with
+    sim >= threshold. Output (vec_a, vec_b, sim) with vec_a < vec_b,
+    sim rounded to 5 dp. Recall is governed by n_bits (fewer bits →
+    bigger buckets → higher recall, more candidates); production would
+    OR several bucket tables like MinHash bands.
+    """
+    dim = _embedding_dim(emb, vec_col)
+    if dim is None:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, sim double")
+    bucket = _bucket_expr(F.col(vec_col), n_bits, dim, seed)
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
+        bucket.alias("bucket"),
+    ).withColumn("n", _norm(F.col("v")))
+    a = base.select("bucket", F.col("id").alias("vec_a"),
+                    F.col("v").alias("av"), F.col("n").alias("an"))
+    b = base.select("bucket", F.col("id").alias("vec_b"),
+                    F.col("v").alias("bv"), F.col("n").alias("bn"))
+    cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    sims = cand.select(
+        "vec_a", "vec_b",
+        (_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias("_s"),
+    )
+    return (
+        sims.filter(F.col("_s") >= threshold)
+        .select("vec_a", "vec_b", F.round("_s", 5).alias("sim"))
     )
 
 

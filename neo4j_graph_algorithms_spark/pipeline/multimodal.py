@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["attach_metadata", "decode_bmp", "extract_image_features",
-           "frame_sample"]
+           "frame_sample", "resize_images"]
 
 _FEATURE_SCHEMA = (
     "item_id long, n_bytes long, width int, height int, features array<float>"
@@ -128,6 +128,51 @@ def extract_image_features(df: DataFrame, *, payload_col: str = "payload",
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, _FEATURE_SCHEMA)
+
+
+def resize_nn(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample of an (h, w, 3) uint8
+    image to (out_h, out_w, 3): source index = floor(i * in / out) —
+    pure integer arithmetic, platform-stable."""
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+def resize_images(df: DataFrame, *, out_w: int = 64, out_h: int = 64,
+                  payload_col: str = "payload", id_col: str = "item_id",
+                  fake: bool = False) -> DataFrame:
+    """Decode + nearest-neighbor resize via ``mapInPandas`` (Arrow
+    batches). Output (item_id, width, height, out_width, out_height,
+    pixels) where pixels is the packed row-major RGB bytes of the
+    resized image. ``fake=True`` substitutes a deterministic
+    length-derived gradient image for non-BMP payloads (same plumbing,
+    no codec)."""
+    schema = ("item_id long, width int, height int, out_width int, "
+              "out_height int, pixels binary")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf)
+                if fake:
+                    arr = np.frombuffer(buf, dtype=np.uint8)
+                    w = int(max(1, len(buf) % 640))
+                    h = int(max(1, (len(buf) // 640) + 1))
+                    px = np.resize(arr, (h, w, 3))
+                else:
+                    w, h, px = decode_bmp(buf)
+                small = resize_nn(px, out_w, out_h)
+                rows.append((int(item_id), w, h, out_w, out_h,
+                             small.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["item_id", "width", "height",
+                               "out_width", "out_height", "pixels"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
 def frame_sample(df: DataFrame, *, every_n_bytes: int = 4096,

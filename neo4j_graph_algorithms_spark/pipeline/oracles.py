@@ -179,4 +179,22 @@ def pipeline_oracles() -> dict[str, str]:
         FROM b GROUP BY bucket
     """
 
+    # mirrors ann.embedding_near_dup(threshold=0.3, n_bits=8, seed=42):
+    # candidates share a sign-LSH bucket (identical bucket constants as
+    # lsh_sign_buckets), exact cosine filter on the raw double, round
+    # only for output — same as the Spark side
+    sql["embedding_near_dup"] = f"""
+        WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          CAST({bucket_expr} AS BIGINT) AS bucket
+                   FROM embeddings),
+        nb AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS n
+               FROM b),
+        cand AS (SELECT a.vec_id AS vec_a, bq.vec_id AS vec_b,
+                        list_dot_product(a.v, bq.v) / (a.n * bq.n) AS s
+                 FROM nb a JOIN nb bq
+                   ON a.bucket = bq.bucket AND a.vec_id < bq.vec_id)
+        SELECT vec_a, vec_b, round(s, 5) AS sim
+        FROM cand WHERE s >= 0.3
+    """
+
     return sql

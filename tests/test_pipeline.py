@@ -15,6 +15,7 @@ from neo4j_graph_algorithms_spark.pipeline.dedup import (
 from neo4j_graph_algorithms_spark.pipeline.ann import (
     cosine_knn_bruteforce,
     cosine_knn_lsh,
+    embedding_near_dup,
     sign_lsh_buckets,
 )
 from neo4j_graph_algorithms_spark.pipeline.text import (
@@ -171,6 +172,27 @@ def test_lsh_buckets_and_ann(spark):
     assert res.filter(F.col("rank") < 1).count() == 0
 
 
+def test_embedding_near_dup_planted_pairs(spark):
+    import numpy as np
+
+    # 30 random vectors + 3 planted near-dup pairs (tiny perturbations)
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(8).astype("float32").tolist()) for i in range(30)]
+    for j in range(3):
+        base = np.array(rows[j][1], dtype=np.float64)
+        near = base + rng.randn(8) * 0.01
+        rows.append((100 + j, near.astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_near_dup(emb, threshold=0.95, n_bits=2).collect()
+    found = {(r["vec_a"], r["vec_b"]) for r in got}
+    # near-identical vectors land in the same sign bucket (2 bits →
+    # high recall) and survive the exact cosine filter
+    assert {(j, 100 + j) for j in range(3)} <= found
+    assert all(r["sim"] >= 0.95 for r in got)
+    # random non-planted pairs don't reach 0.95 in 8 dims
+    assert found == {(j, 100 + j) for j in range(3)}
+
+
 def test_multimodal_plumbing(spark):
     rows = [(i, bytes(range(0, 256)) * (i + 1)) for i in range(4)]
     df = spark.createDataFrame(rows, "item_id long, payload binary")
@@ -227,6 +249,39 @@ def test_real_bmp_decode_through_kernel(spark):
     for i, (w, h, feats) in oracle.items():
         assert (got[i]["width"], got[i]["height"]) == (w, h)
         assert np.allclose(got[i]["features"], feats, atol=1e-6)
+
+
+def test_resize_images_nearest_neighbor(spark):
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        resize_images,
+        resize_nn,
+    )
+
+    payloads, oracle = [], {}
+    for i, (w, h) in enumerate([(10, 6), (3, 9), (16, 16)]):
+        buf, px = _make_bmp(w, h, seed=20 + i)
+        payloads.append((i, buf))
+        oracle[i] = (w, h, resize_nn(px, 4, 4))
+    df = spark.createDataFrame(payloads, "item_id long, payload binary")
+    got = {r["item_id"]: r
+           for r in resize_images(df, out_w=4, out_h=4).collect()}
+    for i, (w, h, small) in oracle.items():
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["out_width"], r["out_height"]) == (4, 4)
+        assert bytes(r["pixels"]) == small.tobytes()
+    # identity resize reproduces the decoded image exactly
+    buf, px = _make_bmp(5, 4, seed=31)
+    df1 = spark.createDataFrame([(0, buf)], "item_id long, payload binary")
+    r = resize_images(df1, out_w=5, out_h=4).first()
+    assert bytes(r["pixels"]) == px.tobytes()
+    # fake path runs the same plumbing for non-BMP payloads
+    dfx = spark.createDataFrame(
+        [(0, bytes(range(256)) * 8)], "item_id long, payload binary")
+    rf = resize_images(dfx, out_w=2, out_h=2, fake=True).first()
+    assert len(bytes(rf["pixels"])) == 2 * 2 * 3
 
 
 def test_decode_bmp_roundtrip_and_unsupported():
