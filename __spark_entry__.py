@@ -1481,6 +1481,24 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _q_ngram3_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs: unit = word 3-gram shingles
+    (order-sensitive — shuffled text shares tokens but not shingles)."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import token_jaccard_pairs
+
+    return token_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                               threshold=0.8, ngram=3)
+
+
+def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 deterministic coarse cells, 4 probed per query —
+    the scale path next to cosine_knn's exact baseline."""
+    from neo4j_graph_algorithms_spark.pipeline.ann import ivf_knn
+
+    return ivf_knn(_t(spark, sf_dir, "embeddings"),
+                   n_queries=20, k=5, n_centroids=16, n_probe=4)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.dedup import simhash_signatures
 
@@ -1696,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_candidates": _q_minhash_candidates,
         "token_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_jaccard_pairs": _q_ngram3_jaccard,
         "simhash_signatures": _q_simhash,
         "token_stats": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1705,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_knn": _q_cosine_knn,
         "lsh_sign_buckets": _q_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
+        "ivf_knn": _q_ivf_knn,
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
     }

@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 __all__ = ["cosine_knn_bruteforce", "sign_lsh_buckets", "cosine_knn_lsh",
-           "embedding_near_dup", "hyperplanes"]
+           "embedding_near_dup", "ivf_knn", "hyperplanes"]
 
 
 def hyperplanes(n_bits: int, dim: int, seed: int) -> np.ndarray:
@@ -174,6 +174,75 @@ def cosine_knn_lsh(emb: DataFrame, *, k: int, n_bits: int = 8,
     sims = cand.select(
         "query_id", "neighbor_id",
         (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("_s"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_s", 5).alias("sim"))
+    )
+
+
+def ivf_knn(emb: DataFrame, *, n_queries: int, k: int,
+            n_centroids: int = 16, n_probe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style approximate kNN (inverted-file coarse quantizer).
+
+    Coarse quantize the corpus into ``n_centroids`` cells — centroids
+    are a deterministic md5-ordered pseudo-random sample of the corpus
+    itself (oracle-replicable; a production run would plug in sampled
+    k-means centroids, the cell machinery is identical) — assign every
+    vector to its nearest centroid via ONE broadcast join (corpus ×
+    n_centroids, all-JVM), then each query (ids < n_queries) searches
+    only its ``n_probe`` nearest cells.
+
+    The 100 TB shape: the corpus shuffles once by cell id and a query
+    reranks only ~n_probe/n_centroids of the data; nothing all-pairs.
+    Output (query_id, neighbor_id, rank, sim) like
+    ``cosine_knn_bruteforce``; recall < 1 by construction (vectors in
+    unprobed cells are unseen). With n_centroids=1 it degenerates to
+    the exact brute-force result.
+    """
+    base = emb.select(F.col(id_col).alias("id"),
+                      _as_double(F.col(vec_col)).alias("v"))
+    base = base.withColumn("n", _norm(F.col("v")))
+    # deterministic pseudo-random centroid sample: n_centroids smallest
+    # md5(id) values. orderBy+limit compiles to TakeOrderedAndProject —
+    # a per-partition top-k merged on the driver, never a global sort
+    # (a row_number window here would drag the corpus into ONE partition)
+    cents = F.broadcast(
+        base.withColumn("_m", F.md5(F.col("id").cast("string")))
+        .orderBy(F.asc("_m"), F.asc("id"))
+        .limit(n_centroids)
+        .select(F.col("id").alias("cent_id"), F.col("v").alias("cv"),
+                F.col("n").alias("cn"))
+    )
+    # nearest-centroid assignment: corpus x centroids, one row kept
+    ca = base.join(cents, F.lit(True))
+    ca = ca.select(
+        "id", "v", "n", "cent_id",
+        (_dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_cs"),
+    )
+    wa = W.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cent_id"))
+    assigned = (
+        ca.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") == 1)
+        .select(F.col("cent_id").alias("cell"), "id", "v", "n")
+    )
+    # each query probes its n_probe nearest cells
+    probes = (
+        ca.filter(F.col("id") < n_queries)
+        .withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= n_probe)
+        .select(F.col("cent_id").alias("cell"),
+                F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("n").alias("qn"))
+    )
+    cand = assigned.join(probes, "cell").filter(
+        F.col("id") != F.col("query_id"))
+    sims = cand.select(
+        "query_id", F.col("id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))).alias("_s"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("neighbor_id"))
     return (

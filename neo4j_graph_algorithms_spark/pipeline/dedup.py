@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "tokens_expr",
+    "shingles_expr",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -48,6 +49,21 @@ def tokens_expr(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda x: x != "")
 
 
+def shingles_expr(text: Column, n: int) -> Column:
+    """Word n-gram shingles: every contiguous n-token window, joined
+    with a single space (docs shorter than n tokens yield no shingles).
+    All-JVM array expressions — no Python in the path."""
+    toks = tokens_expr(text)
+    m = F.size(toks) - (n - 1)
+    seq = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # sequence(1, m) DESCENDS for m < 1 — guard explicitly
+    return F.when(m >= 1, seq).otherwise(
+        F.array().cast("array<string>"))
+
+
 def _h15(col: Column) -> Column:
     """Portable 60-bit integer hash: first 15 hex chars of md5 → bigint
     (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT)."""
@@ -62,10 +78,10 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(tokens_expr(F.col(text_col))).alias("tok")
-    )
+def _doc_tokens(docs: DataFrame, text_col: str, ngram: int = 1) -> DataFrame:
+    col = (tokens_expr(F.col(text_col)) if ngram <= 1
+           else shingles_expr(F.col(text_col), ngram))
+    return docs.select("doc_id", F.explode(col).alias("tok"))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -156,7 +172,8 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def token_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.8,
                         text_col: str = "text",
-                        df_cutoff: int | None = TOKEN_DF_CUTOFF) -> DataFrame:
+                        df_cutoff: int | None = TOKEN_DF_CUTOFF,
+                        ngram: int = 1) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with token-set Jaccard ≥
     threshold over the df-pruned token sets — inverted-index join, no
     all-pairs blowup.
@@ -165,8 +182,12 @@ def token_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.8,
     documents BEFORE the self-join (and from the set sizes, so the
     score is Jaccard over the pruned sets): a token shared by k docs
     contributes k² candidate rows, so one stopword-grade token would
-    otherwise dominate the join output. None disables the prune."""
-    toks = _doc_tokens(docs, text_col).distinct()
+    otherwise dominate the join output. None disables the prune.
+
+    ``ngram`` > 1 switches the unit from single tokens to word n-gram
+    shingles (n-gram Jaccard — the order-sensitive near-dup measure:
+    shuffled text shares tokens but not shingles)."""
+    toks = _doc_tokens(docs, text_col, ngram).distinct()
     if df_cutoff is not None:
         rare = (
             toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))

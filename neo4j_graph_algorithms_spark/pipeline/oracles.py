@@ -88,6 +88,59 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
     """
 
+    # mirrors dedup.token_jaccard_pairs(ngram=3, threshold=0.8): unit =
+    # word 3-gram shingles (contiguous, space-joined), same df prune
+    sql["ngram_jaccard_pairs"] = """
+        WITH tl AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS t
+                    FROM documents),
+        sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t) - 1),
+                                       i -> array_to_string(t[i:i+2], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END) AS tok FROM tl),
+        dt0 AS (SELECT DISTINCT doc_id, tok FROM sh),
+        rare AS (SELECT tok FROM dt0 GROUP BY tok HAVING count(*) <= 1000),
+        dt AS (SELECT doc_id, dt0.tok FROM dt0 JOIN rare ON rare.tok = dt0.tok),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        j AS (SELECT i.doc_a, i.doc_b,
+                     round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+    """
+
+    # mirrors ann.ivf_knn(n_queries=20, k=5, n_centroids=16, n_probe=4):
+    # identical centroid sample (md5-ordered), assignment and probe
+    # ranking (cosine desc, cent_id asc), rerank (sim desc, id asc)
+    sql["ivf_knn"] = """
+        WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        nb AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM base),
+        cents AS (SELECT id AS cent_id, v AS cv, n AS cn FROM nb
+                  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        ca AS (SELECT nb.id, nb.v, nb.n, c.cent_id,
+                      list_dot_product(nb.v, c.cv) / (nb.n * c.cn) AS cs
+               FROM nb CROSS JOIN cents c),
+        ar AS (SELECT *, row_number() OVER (PARTITION BY id
+                        ORDER BY cs DESC, cent_id ASC) AS _ar FROM ca),
+        assigned AS (SELECT cent_id AS cell, id, v, n FROM ar WHERE _ar = 1),
+        probes AS (SELECT cent_id AS cell, id AS query_id, v AS qv, n AS qn
+                   FROM ar WHERE id < 20 AND _ar <= 4),
+        sims AS (SELECT p.query_id, a.id AS neighbor_id,
+                        list_dot_product(p.qv, a.v) / (p.qn * a.n) AS s
+                 FROM assigned a JOIN probes p
+                   ON a.cell = p.cell AND a.id <> p.query_id),
+        r AS (SELECT query_id, neighbor_id, s,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY s DESC, neighbor_id ASC) AS INTEGER) AS rank
+              FROM sims)
+        SELECT query_id, neighbor_id, rank, round(s, 5) AS sim
+        FROM r WHERE rank <= 5
+    """
+
     sql["token_stats"] = f"""
         WITH {_TOKS}
         SELECT doc_id, count(*) AS n_tokens,

@@ -16,6 +16,7 @@ from neo4j_graph_algorithms_spark.pipeline.ann import (
     cosine_knn_bruteforce,
     cosine_knn_lsh,
     embedding_near_dup,
+    ivf_knn,
     sign_lsh_buckets,
 )
 from neo4j_graph_algorithms_spark.pipeline.text import (
@@ -191,6 +192,65 @@ def test_embedding_near_dup_planted_pairs(spark):
     assert all(r["sim"] >= 0.95 for r in got)
     # random non-planted pairs don't reach 0.95 in 8 dims
     assert found == {(j, 100 + j) for j in range(3)}
+
+
+def test_ngram_jaccard_order_sensitivity(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import token_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    shuffled = "dog the over quick lazy jumps brown tonight fox the"
+    near = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [(0, base), (1, shuffled), (2, near), (3, "entirely different words here")],
+        "doc_id long, text string",
+    )
+    # token sets of 0 and 1 are identical -> token jaccard 1.0
+    tok = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in token_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert tok[(0, 1)] == 1.0
+    # 3-gram shingles: shuffle destroys every window; near-dup keeps most
+    tri = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in token_jaccard_pairs(docs, threshold=0.0, ngram=3).collect()}
+    assert (0, 1) not in tri          # no shared shingle at all
+    assert tri[(0, 2)] > 0.7          # 7 of 8 windows shared
+    # short docs (< n tokens) produce no shingles and no pairs
+    short = spark.createDataFrame([(0, "a b"), (1, "a b")],
+                                  "doc_id long, text string")
+    assert token_jaccard_pairs(short, threshold=0.0, ngram=3).count() == 0
+
+
+def test_ivf_knn_degenerate_and_bounded(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(8).astype("float32").tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one cell, one probe -> exhaustive search == brute force exactly
+    ivf1 = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in ivf_knn(emb, n_queries=6, k=4,
+                         n_centroids=1, n_probe=1).collect())
+    bf = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in cosine_knn_bruteforce(emb, n_queries=6, k=4).collect())
+    assert ivf1 == bf
+    # multi-cell: every query row obeys the contract; recall < 1 allowed
+    res = ivf_knn(emb, n_queries=6, k=4, n_centroids=8, n_probe=2).collect()
+    by_q = {}
+    for r in res:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["sim"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
+    # probing more cells can only add candidates: top-1 sim is monotone
+    res_all = ivf_knn(emb, n_queries=6, k=4, n_centroids=8, n_probe=8).collect()
+    top_all = {r["query_id"]: r["sim"] for r in res_all if r["rank"] == 1}
+    top_2p = {r["query_id"]: r["sim"] for r in res if r["rank"] == 1}
+    for q in top_2p:
+        assert top_all[q] >= top_2p[q]
 
 
 def test_multimodal_plumbing(spark):
