@@ -1506,6 +1506,21 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_t(spark, sf_dir, "documents"), n_bits=16)
 
 
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming near-dup pairs — pigeonhole-complete at
+    n_bands = max_hamming + 1, so the exhaustive oracle matches."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import simhash_near_dup
+
+    return simhash_near_dup(_t(spark, sf_dir, "documents"),
+                            n_bits=16, max_hamming=3, n_bands=4)
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neo4j_graph_algorithms_spark.pipeline.text import bpe_token_stats
+
+    return bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.text import token_stats
 
@@ -1716,7 +1731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_pairs": _q_ngram3_jaccard,
         "simhash_signatures": _q_simhash,
+        "simhash_near_dup": _q_simhash_near_dup,
         "token_stats": _q_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
         "quality_scores": _q_quality,
         "language_id": _q_langid,
         "doc_fingerprints": _q_fingerprint,

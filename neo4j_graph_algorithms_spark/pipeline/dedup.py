@@ -34,6 +34,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash_signatures",
+    "simhash_near_dup",
     "token_jaccard_pairs",
 ]
 
@@ -168,6 +169,55 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
         contrib = -(1 << 63) if j == 63 else (1 << j)
         sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(contrib)).otherwise(F.lit(0))
     return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dup(docs: DataFrame, *, max_hamming: int = 3,
+                     n_bits: int = SIMHASH_BITS, n_bands: int | None = None,
+                     text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs whose SimHash signatures differ
+    in at most ``max_hamming`` bits — the banded Hamming candidate join.
+
+    The signature is split into ``n_bands`` equal bit-bands; docs
+    sharing ANY band value become candidates through one equality
+    self-join on (band, value) posting rows — the all-pairs space is
+    never generated. By pigeonhole, a pair at Hamming distance d has at
+    least one identical band whenever d < n_bands, so with the default
+    ``n_bands = max_hamming + 1`` the banded result is EXACTLY the
+    exhaustive ``popcount(xor) <= max_hamming`` filter (recall 1.0, not
+    approximate) — which is what the DuckDB oracle computes.
+
+    At 100 TB: one signature aggregation + one equality join keyed on
+    (band, value); candidates per band bucket are near-dups by
+    construction, so bucket fan-out stays bounded on real corpora.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bits % n_bands != 0:
+        raise ValueError(f"n_bits={n_bits} not divisible by n_bands={n_bands}")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash_signatures(docs, text_col, n_bits)
+    bands = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), b * width)
+        .bitwiseAND(F.lit(mask)) for b in range(n_bands)
+    ])
+    posts = sig.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("band", "val"))
+    a, b = posts.alias("a"), posts.alias("b")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("_sa"),
+                F.col("b.simhash").alias("_sb"))
+        .distinct()  # a pair may collide in several bands
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def token_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.8,

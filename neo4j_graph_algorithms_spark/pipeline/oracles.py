@@ -69,6 +69,37 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM sums
     """
 
+    # mirrors dedup.simhash_near_dup(n_bits=16, max_hamming=3): with
+    # n_bands = max_hamming+1 the banded join is pigeonhole-complete,
+    # so the oracle computes the mathematically-equal exhaustive
+    # popcount(xor) filter over all pairs
+    sql["simhash_near_dup"] = f"""
+        WITH {_TOKS},
+        hashed AS (SELECT doc_id, {_h15("tok || '#s0'")} AS h FROM toks),
+        sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash FROM sums)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+    # mirrors text.bpe_token_stats: whitespace words + BPE-ish regex
+    # pieces (leftmost-first alternation — identical in RE2 and Java)
+    sql["bpe_token_stats"] = r"""
+        WITH e AS (SELECT doc_id,
+                          regexp_extract_all(text,
+                              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS bpe,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS ws
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(ws) AS INTEGER) AS n_ws_tokens,
+               CAST(len(bpe) AS INTEGER) AS n_bpe_tokens,
+               CAST(len(list_distinct(bpe)) AS INTEGER) AS n_distinct_bpe
+        FROM e
+    """
+
     # mirrors dedup.token_jaccard_pairs(df_cutoff=1000): hot tokens
     # (document frequency > 1000) dropped before sizes AND the join
     sql["token_jaccard_pairs"] = f"""

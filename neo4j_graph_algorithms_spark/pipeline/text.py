@@ -13,8 +13,15 @@ from pyspark.sql import DataFrame, functions as F
 
 from neo4j_graph_algorithms_spark.pipeline.dedup import tokens_expr
 
-__all__ = ["token_stats", "quality_scores", "language_id", "fingerprints",
-           "one_hot_lang", "LANGS", "STOPWORDS", "LANG_PROFILES"]
+__all__ = ["token_stats", "bpe_token_stats", "quality_scores",
+           "language_id", "fingerprints", "one_hot_lang",
+           "LANGS", "STOPWORDS", "LANG_PROFILES", "BPE_PATTERN"]
+
+# GPT-2-style pre-tokenizer shape: letter runs, digit runs, punctuation
+# runs, each absorbing one leading space. Restricted to a dialect with
+# identical leftmost-first semantics in Java regex (Spark) and RE2
+# (DuckDB) so the oracle matches token-for-token.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
 LANGS = ["de", "en", "es", "fr", "zh"]
 
@@ -38,6 +45,23 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("n_distinct_tokens"),
         F.round(F.avg(F.length("tok")), 6).alias("avg_token_len"),
+    )
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_distinct_bpe) — token
+    counting under both units: whitespace words and BPE-ish regex
+    pieces (:data:`BPE_PATTERN`).
+
+    Pure per-row column expressions (``regexp_extract_all`` +
+    ``size``): NO explode, NO shuffle — the whole operator is one
+    narrow map stage, the cheapest possible 100 TB shape."""
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(tokens_expr(F.col(text_col))).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
     )
 
 

@@ -253,6 +253,56 @@ def test_ivf_knn_degenerate_and_bounded(spark):
         assert top_all[q] >= top_2p[q]
 
 
+def test_simhash_near_dup_matches_exhaustive(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        simhash_near_dup, simhash_signatures)
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # near dup of 0
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact dup of 0
+        "one two three four five six seven eight nine",
+        "completely unrelated words in this document here",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_dup(docs, n_bits=16, max_hamming=3,
+                                     n_bands=4).collect()}
+    # exhaustive ground truth from the signatures themselves
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs, n_bits=16).collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((sigs[a] ^ sigs[b]) & 0xFFFF).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    # pigeonhole completeness: banded == exhaustive, exactly
+    assert got == want
+    assert got[(0, 2)] == 0  # exact dup found at distance 0
+
+
+def test_bpe_token_stats_vs_python(spark):
+    import re
+
+    from neo4j_graph_algorithms_spark.pipeline.text import (
+        BPE_PATTERN, bpe_token_stats)
+
+    texts = ["Hello, world! it's 42 degrees  x  e=mc2",
+             "the the the", "", "a-b-c 12x7"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"],
+                         r["n_distinct_bpe"])
+           for r in bpe_token_stats(docs).collect()}
+    for i, t in enumerate(texts):
+        pieces = re.findall(BPE_PATTERN, t)
+        ws = [x for x in t.split(" ") if x]
+        assert got[i] == (len(ws), len(pieces), len(set(pieces))), t
+
+
 def test_multimodal_plumbing(spark):
     rows = [(i, bytes(range(0, 256)) * (i + 1)) for i in range(4)]
     df = spark.createDataFrame(rows, "item_id long, payload binary")
