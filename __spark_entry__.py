@@ -1409,6 +1409,77 @@ def _spanning_oracle_sql(rounds: int = 10, n_sub: int = 300) -> str:
     )
 
 
+def _q_louvain_onelevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Louvain level, exactly 4 parity rounds — deterministic, so
+    (unlike the full multi-level `louvain` query) fully oracle-checked
+    against the unrolled per-round SQL below."""
+    from neo4j_graph_algorithms_spark.operators.louvain import (
+        louvain_one_level,
+    )
+
+    e = _sub_edges(spark, sf_dir)
+    return louvain_one_level(_vertices(e), e, rounds=4)
+
+
+def _louvain_onelevel_sql(rounds: int) -> str:
+    """Unrolled one-level Louvain: per round, votes (v→neighbor-community
+    weight) → Σ_tot → gain → argmax pick → parity-gated moves → next
+    labels. All arithmetic is IEEE-double over integer-valued operands in
+    the same association order as the Spark operator, so gains (and the
+    min-community tie-break on exact ties) agree bit-for-bit."""
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey % {N_MOD} AS BIGINT) AS src, "
+        f"CAST(l_partkey % {N_MOD} AS BIGINT) AS dst FROM lineitem)",
+        f"se AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src < {SUB_N} AND dst < {SUB_N})",
+        # _sym_weighted: unit weights, reverse non-loops, sum
+        "sym AS MATERIALIZED (SELECT src, dst, CAST(sum(w) AS DOUBLE) AS weight FROM ("
+        "SELECT src, dst, 1.0 AS w FROM se UNION ALL "
+        "SELECT dst AS src, src AS dst, 1.0 AS w FROM se WHERE src <> dst"
+        ") GROUP BY src, dst)",
+        "verts AS MATERIALIZED (SELECT src AS id FROM se UNION SELECT dst FROM se)",
+        "e AS MATERIALIZED (SELECT * FROM sym WHERE src <> dst)",
+        "selfw AS MATERIALIZED (SELECT src AS id, 2.0 * weight AS sw FROM sym WHERE src = dst)",
+        # kv exactly as the operator: inner (grouped + self) then outer coalesce
+        "kvi AS MATERIALIZED (SELECT g.id, g._k + coalesce(s.sw, 0.0) AS k FROM "
+        "(SELECT src AS id, sum(weight) AS _k FROM e GROUP BY src) g "
+        "LEFT JOIN selfw s ON s.id = g.id)",
+        "kv AS MATERIALIZED (SELECT v.id, coalesce(kvi.k, 0.0) AS k "
+        "FROM verts v LEFT JOIN kvi ON kvi.id = v.id)",
+        "tm AS MATERIALIZED (SELECT sum(CASE WHEN src = dst THEN 2.0 * weight "
+        "ELSE weight END) AS m2 FROM sym)",
+        "lab0 AS MATERIALIZED (SELECT id, id AS community FROM verts)",
+    ]
+    for r in range(rounds):
+        p = r % 2
+        parts += [
+            f"votes{r} AS MATERIALIZED (SELECT e.src AS id, l.community AS cand, "
+            f"sum(e.weight) AS k_in FROM e JOIN lab{r} l ON l.id = e.dst GROUP BY 1, 2)",
+            f"tot{r} AS MATERIALIZED (SELECT l.community, sum(kv.k) AS tot "
+            f"FROM lab{r} l JOIN kv ON kv.id = l.id GROUP BY 1)",
+            f"gains{r} AS MATERIALIZED (SELECT v.id, v.cand, c.community, kv.k, "
+            f"v.k_in / (tm.m2 / 2.0) - 1.0 * kv.k * "
+            f"(CASE WHEN v.cand = c.community THEN t.tot - kv.k ELSE t.tot END) "
+            f"/ ((tm.m2 / 2.0) * tm.m2) AS gain "
+            f"FROM votes{r} v JOIN lab{r} c ON c.id = v.id "
+            f"JOIN kv ON kv.id = v.id JOIN tot{r} t ON t.community = v.cand "
+            f"CROSS JOIN tm)",
+            f"pick{r} AS MATERIALIZED (SELECT * FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY id ORDER BY gain DESC, cand ASC) AS _rk FROM gains{r}) "
+            f"WHERE _rk = 1)",
+            f"stay{r} AS MATERIALIZED (SELECT id, gain AS _stay FROM gains{r} "
+            f"WHERE cand = community)",
+            f"moves{r} AS MATERIALIZED (SELECT p.id, p.cand FROM pick{r} p "
+            f"LEFT JOIN stay{r} s ON s.id = p.id "
+            f"WHERE p.cand <> p.community AND p.gain > coalesce(s._stay, 0.0) + 1e-12 "
+            f"AND p.id % 2 = {p})",
+            f"lab{r + 1} AS MATERIALIZED (SELECT l.id, "
+            f"coalesce(m.cand, l.community) AS community "
+            f"FROM lab{r} l LEFT JOIN moves{r} m ON m.id = l.id)",
+        ]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, community FROM lab{rounds}")
+
+
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # modularity-optimal communities are not SQL-expressible → rows-only;
     # move rounds capped (each round is several Spark jobs and the dense
@@ -1723,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_triads": _q_balanced_triads,
         "spanning_tree": _q_spanning_tree,
         "louvain": _q_louvain,
+        "louvain_onelevel": _q_louvain_onelevel,
         "euclidean_similarity": _q_euclidean_vectors,
         "pearson_similarity": _q_pearson_vectors,
         "exact_dedup": _q_exact_dedup,
@@ -1786,6 +1858,7 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector": _eigenvector_unrolled_sql(PR_ITERS),
         "eigenvector_l1norm": _eigenvector_unrolled_sql(PR_ITERS, "l1norm"),
         "sssp_from_0": _sssp_unrolled_sql(20),
+        "louvain_onelevel": _louvain_onelevel_sql(4),
         "random_walks": _random_walks_oracle_sql(),
         "k_shortest_paths": _ksp_oracle_sql(),
         "all_shortest_paths": _allsp_unrolled_sql(20),

@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-__all__ = ["louvain", "modularity", "LouvainResult"]
+__all__ = ["louvain", "louvain_one_level", "modularity", "LouvainResult"]
 
 
 @dataclass
@@ -263,6 +263,23 @@ def _one_level(nodes: DataFrame, edges_sym: DataFrame, *,
     e.unpersist()
     kv.unpersist()
     return labels, rounds
+
+
+def louvain_one_level(vertices: DataFrame, edges: DataFrame, *,
+                      rounds: int, gamma: float = 1.0) -> DataFrame:
+    """One Louvain level, at most ``rounds`` parity-scheduled move
+    rounds — (id, community) with raw (initial = own-id) labels.
+
+    Every round is a deterministic function of the previous labels
+    (gain arithmetic over integer-valued doubles, max-gain/min-community
+    tie-break, red/black parity), so a fixed ``rounds`` makes the whole
+    operator SQL-expressible: the driver oracle unrolls each round as
+    votes → Σ_tot → gains → argmax → moves MATERIALIZED CTEs. Early
+    convergence (two consecutive quiet rounds) leaves labels unchanged,
+    identical to running the remaining unrolled rounds on a fixpoint."""
+    sym = _sym_weighted(edges)
+    labels, _ = _one_level(vertices, sym, gamma=gamma, max_moves=rounds)
+    return labels
 
 
 def louvain(
