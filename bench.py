@@ -167,6 +167,17 @@ def run_bench() -> dict:
                   "cosine_knn_lsh")
     queries["cosine_knn_lsh"] = round(t, 3)
 
+    from neo4j_graph_algorithms_spark.pipeline.ann import ivf_knn
+    from neo4j_graph_algorithms_spark.pipeline.dedup import simhash_near_dup
+
+    t, _ = _timed(lambda: ivf_knn(emb, n_queries=100, k=10,
+                                  n_centroids=64, n_probe=8).count(),
+                  "ivf_knn_prod")
+    queries["ivf_knn_prod"] = round(t, 3)
+    t, _ = _timed(lambda: simhash_near_dup(docs).count(),
+                  "simhash_near_dup64")
+    queries["simhash_near_dup64"] = round(t, 3)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "edges_per_sec_per_pagerank_superstep_tol1e-6",

@@ -192,13 +192,16 @@ def ivf_knn(emb: DataFrame, *, n_queries: int, k: int,
     are a deterministic md5-ordered pseudo-random sample of the corpus
     itself (oracle-replicable; a production run would plug in sampled
     k-means centroids, the cell machinery is identical) — assign every
-    vector to its nearest centroid via ONE broadcast join (corpus ×
-    n_centroids, all-JVM), then each query (ids < n_queries) searches
+    vector to its nearest centroid with a NARROW per-row argmax fold
+    over a broadcast centroid-array column (no shuffle, no corpus ×
+    n_centroids blowup), then each query (ids < n_queries) searches
     only its ``n_probe`` nearest cells.
 
-    The 100 TB shape: the corpus shuffles once by cell id and a query
-    reranks only ~n_probe/n_centroids of the data; nothing all-pairs.
-    Output (query_id, neighbor_id, rank, sim) like
+    The 100 TB shape: centroid sampling is a distributed top-k
+    (TakeOrderedAndProject), assignment is a map-only stage, and the
+    corpus shuffles exactly once — by cell id into the candidate join —
+    where a query reranks only ~n_probe/n_centroids of the data;
+    nothing all-pairs. Output (query_id, neighbor_id, rank, sim) like
     ``cosine_knn_bruteforce``; recall < 1 by construction (vectors in
     unprobed cells are unseen). With n_centroids=1 it degenerates to
     the exact brute-force result.
@@ -208,31 +211,50 @@ def ivf_knn(emb: DataFrame, *, n_queries: int, k: int,
     base = base.withColumn("n", _norm(F.col("v")))
     # deterministic pseudo-random centroid sample: n_centroids smallest
     # md5(id) values. orderBy+limit compiles to TakeOrderedAndProject —
-    # a per-partition top-k merged on the driver, never a global sort
-    # (a row_number window here would drag the corpus into ONE partition)
-    cents = F.broadcast(
+    # a per-partition top-k merged on the driver, never a global sort.
+    # The collect is bounded by n_centroids (model-sized, not data-sized).
+    cents_rows = (
         base.withColumn("_m", F.md5(F.col("id").cast("string")))
         .orderBy(F.asc("_m"), F.asc("id"))
         .limit(n_centroids)
-        .select(F.col("id").alias("cent_id"), F.col("v").alias("cv"),
-                F.col("n").alias("cn"))
+        .select("id", "v", "n")
+        .collect()
     )
-    # nearest-centroid assignment: corpus x centroids, one row kept
-    ca = base.join(cents, F.lit(True))
-    ca = ca.select(
-        "id", "v", "n", "cent_id",
-        (_dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("_cs"),
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [([(int(r["id"]), [float(x) for x in r["v"]], float(r["n"]))
+           for r in cents_rows],)],
+        "cents array<struct<cid:bigint,cv:array<double>,cn:double>>",
+    )
+    wc = base.crossJoin(F.broadcast(cdf))  # one row: adds the array col
+    # narrow argmax fold — best (cosine desc, cent_id asc), identical
+    # comparator to the oracle's row_number(ORDER BY cs DESC, cid ASC)
+    init = F.struct(F.lit(float("-inf")).alias("cs"),
+                    F.lit(-1).cast("long").alias("cid"))
+
+    def _step(acc: Column, c: Column) -> Column:
+        cs = _dot(F.col("v"), c["cv"]) / (F.col("n") * c["cn"])
+        better = (cs > acc["cs"]) | ((cs == acc["cs"]) & (c["cid"] < acc["cid"]))
+        return F.when(better,
+                      F.struct(cs.alias("cs"), c["cid"].alias("cid"))
+                      ).otherwise(acc)
+
+    assigned = wc.select(
+        F.aggregate("cents", init, _step)["cid"].alias("cell"),
+        "id", "v", "n")
+    # each query probes its n_probe nearest cells (query side is tiny:
+    # n_queries × n_centroids rows through the window)
+    qca = (
+        base.filter(F.col("id") < n_queries)
+        .crossJoin(F.broadcast(cdf))
+        .select("id", "v", "n", F.explode("cents").alias("c"))
+        .select("id", "v", "n", F.col("c.cid").alias("cent_id"),
+                (_dot(F.col("v"), F.col("c.cv"))
+                 / (F.col("n") * F.col("c.cn"))).alias("_cs"))
     )
     wa = W.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cent_id"))
-    assigned = (
-        ca.withColumn("_ar", F.row_number().over(wa))
-        .filter(F.col("_ar") == 1)
-        .select(F.col("cent_id").alias("cell"), "id", "v", "n")
-    )
-    # each query probes its n_probe nearest cells
     probes = (
-        ca.filter(F.col("id") < n_queries)
-        .withColumn("_ar", F.row_number().over(wa))
+        qca.withColumn("_ar", F.row_number().over(wa))
         .filter(F.col("_ar") <= n_probe)
         .select(F.col("cent_id").alias("cell"),
                 F.col("id").alias("query_id"), F.col("v").alias("qv"),
