@@ -7,7 +7,10 @@ through Python in bounded batches with zero driver involvement.
 
 Decode support: uncompressed 24-bit BMP (BI_RGB) decodes for REAL via
 a pure-numpy parser (:func:`decode_bmp`) — no external codec needed —
-and featurizes to width/height + a 16-bin luminance histogram.
+and featurizes to width/height + a 16-bin luminance histogram; 16-bit
+PCM WAV audio decodes for REAL via the stdlib ``wave`` module
+(:func:`decode_wav`) and featurizes to rate/duration/rms + a 16-bin
+amplitude histogram.
 Compressed formats (JPEG/PNG/...) remain STUBBED: payloads without the
 ``BM`` magic raise ``NotImplementedError`` from the workers (the
 sandbox ships no libjpeg/PIL); ``fake=True`` substitutes a
@@ -25,7 +28,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["attach_metadata", "decode_bmp", "extract_image_features",
+__all__ = ["attach_metadata", "decode_bmp", "decode_wav",
+           "extract_image_features", "extract_audio_features",
            "frame_sample", "resize_images"]
 
 _FEATURE_SCHEMA = (
@@ -128,6 +132,77 @@ def extract_image_features(df: DataFrame, *, payload_col: str = "payload",
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, _FEATURE_SCHEMA)
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Real decoder for 16-bit PCM WAV via the stdlib ``wave`` module
+    (no external codec).
+
+    Returns (n_channels, sample_rate, samples[n_frames, n_channels]
+    int16). Raises ``NotImplementedError`` for non-WAV payloads or
+    non-16-bit sample widths (compressed audio needs external codecs,
+    absent in-sandbox)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(buf)) as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            rate = w.getframerate()
+            nf = w.getnframes()
+            raw = w.readframes(nf)
+    except (wave.Error, EOFError) as exc:
+        raise NotImplementedError(
+            f"only RIFF/WAVE PCM decodes in-sandbox: {exc}") from exc
+    if sw != 2:
+        raise NotImplementedError(
+            f"only 16-bit PCM supported (got {8 * sw}-bit)")
+    samples = np.frombuffer(raw, dtype="<i2")
+    n = (len(samples) // nch) * nch
+    return nch, rate, samples[:n].reshape(-1, nch)
+
+
+def _wav_features(buf: bytes) -> tuple[int, int, int, float, np.ndarray]:
+    nch, rate, samples = decode_wav(buf)
+    mono = samples.astype(np.int64).sum(axis=1) // max(nch, 1) \
+        if samples.size else np.zeros(0, dtype=np.int64)
+    # 16-bin histogram of |amplitude| (integer bucketing → deterministic)
+    hist = np.bincount(
+        np.minimum(np.abs(mono) >> 11, 15).astype(np.int64), minlength=16
+    ).astype(np.float32) if mono.size else np.zeros(16, dtype=np.float32)
+    norm = hist.sum()
+    rms = float(np.sqrt(np.mean((mono.astype(np.float64)) ** 2))) \
+        if mono.size else 0.0
+    return nch, rate, len(mono), rms, hist / norm if norm else hist
+
+
+def extract_audio_features(df: DataFrame, *, payload_col: str = "payload",
+                           id_col: str = "item_id") -> DataFrame:
+    """Decode + featurize 16-bit PCM WAV payloads via ``mapInPandas``
+    (Arrow batches): (item_id, n_bytes, n_channels, sample_rate,
+    n_samples, duration_sec, rms, features) where features is a 16-bin
+    |amplitude| histogram of the channel-mixed signal. Same bounded-
+    batch, zero-driver plumbing as :func:`extract_image_features`."""
+    schema = ("item_id long, n_bytes long, n_channels int, "
+              "sample_rate int, n_samples long, duration_sec double, "
+              "rms double, features array<float>")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf)
+                nch, rate, n, rms, feat = _wav_features(buf)
+                rows.append((int(item_id), len(buf), nch, rate, n,
+                             n / rate if rate else 0.0, rms, feat.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["item_id", "n_bytes", "n_channels",
+                               "sample_rate", "n_samples", "duration_sec",
+                               "rms", "features"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, schema)
 
 
 def resize_nn(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

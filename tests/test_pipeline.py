@@ -407,6 +407,61 @@ def test_decode_bmp_roundtrip_and_unsupported():
         decode_bmp(b"\x89PNG" + b"\x00" * 60)
 
 
+def _make_wav(n_frames, rate=8000, nch=1, seed=0):
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    data = rng.randint(-32768, 32767,
+                       size=(n_frames, nch)).astype("<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(data.tobytes())
+    return bio.getvalue(), data
+
+
+def test_extract_audio_features_wav(spark):
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        decode_wav,
+        extract_audio_features,
+    )
+
+    payloads, oracle = [], {}
+    for i, (nf, rate, nch) in enumerate([(1600, 8000, 1), (800, 16000, 2)]):
+        buf, data = _make_wav(nf, rate, nch, seed=40 + i)
+        payloads.append((i, buf))
+        oracle[i] = (data, rate, nch, nf)
+    df = spark.createDataFrame(payloads, "item_id long, payload binary")
+    got = {r["item_id"]: r for r in extract_audio_features(df).collect()}
+    for i, (data, rate, nch, nf) in oracle.items():
+        r = got[i]
+        assert (r["n_channels"], r["sample_rate"], r["n_samples"]) == \
+            (nch, rate, nf)
+        assert abs(r["duration_sec"] - nf / rate) < 1e-9
+        mono = data.astype(np.int64).sum(axis=1) // nch
+        rms = float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))
+        assert abs(r["rms"] - rms) < 1e-6
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+    # decode_wav round-trips the exact PCM samples
+    buf, data = _make_wav(100, 8000, 2, seed=50)
+    nch, rate, samples = decode_wav(buf)
+    assert (nch, rate) == (2, 8000)
+    assert np.array_equal(samples, data)
+    # non-WAV payloads raise NotImplementedError (surfaced via Py4J)
+    with pytest.raises(Exception, match="RIFF|NotImplemented"):
+        extract_audio_features(
+            spark.createDataFrame([(0, b"notawav" * 10)],
+                                  "item_id long, payload binary")
+        ).collect()
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
     from neo4j_graph_algorithms_spark.streaming.events import (
         run_stateful_sessions_once,
