@@ -162,10 +162,12 @@ def k_spanning_tree(
     sign = -1.0 if minimum else 1.0  # cut heaviest when minimizing
     cut_key = F.struct((F.col("weight") * sign).alias("w"),
                        F.col("lo").alias("l"), F.col("hi").alias("h"))
-    ranked = res.edges.withColumn(
-        "_rk", F.row_number().over(W.orderBy(cut_key))
-    )
-    kept = ranked.filter(F.col("_rk") > (k - 1)).select(
+    # k-1 worst edges via orderBy+limit (TakeOrderedAndProject — a
+    # distributed per-partition top-k, not a single-partition window
+    # sort of all |V|-1 tree edges), then anti-join them out
+    cut = F.broadcast(
+        res.edges.orderBy(cut_key).limit(max(k - 1, 0)).select("lo", "hi"))
+    kept = res.edges.join(cut, ["lo", "hi"], "left_anti").select(
         F.col("lo").alias("src"), F.col("hi").alias("dst"))
     nodes = (
         res.edges.select(F.col("lo").alias("id"))
