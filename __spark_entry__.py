@@ -927,6 +927,68 @@ def _astar_oracle_sql(iters: int = 15, n_sub: int = 60,
     )
 
 
+def _q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-pair weighted shortest path 0→173 with path reconstruction
+    # (pointer-doubling ancestor closure, operators/traversal.py)
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        shortest_path,
+    )
+
+    e = _edges_weighted(spark, sf_dir)
+    return shortest_path(_vertices(e), e, 0, 173).select(
+        "step", "id", F.round("cost", 6).alias("cost")
+    )
+
+
+def _shortest_path_oracle_sql(iters: int = 20, source: int = 0,
+                              target: int = 173) -> str:
+    """Bellman-Ford fixpoint (the _sssp_unrolled_sql chain) + the same
+    deterministic predecessor rule as _recover_path (pred(v) = min src
+    with cost(src) + w == cost(v), 1e-9 tolerance) + a recursive
+    backwalk from the target; step numbers count forward from the
+    source exactly like the Spark operator's output."""
+    parts = [
+        _WEDGES_CTE,
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges))",
+        f"d0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} THEN 0.0 END "
+        "AS cost FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"min(d.cost + e.weight) AS c "
+            f"FROM wedges e JOIN d{i-1} d ON d.id = e.src "
+            f"WHERE d.cost IS NOT NULL GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT p.id, "
+            f"CASE WHEN p.cost IS NULL THEN c.c "
+            f"     WHEN c.c IS NULL THEN p.cost "
+            f"     WHEN c.c < p.cost THEN c.c ELSE p.cost END AS cost "
+            f"FROM d{i-1} p LEFT JOIN c{i} c ON p.id = c.id)"
+        )
+    parts.append(
+        f"dist AS MATERIALIZED (SELECT id, cost FROM d{iters} "
+        f"WHERE cost IS NOT NULL)")
+    parts.append(
+        f"pred AS MATERIALIZED (SELECT e.dst AS id, min(e.src) AS pred "
+        f"FROM wedges e JOIN dist a ON a.id = e.src "
+        f"JOIN dist b ON b.id = e.dst "
+        f"WHERE abs(a.cost + e.weight - b.cost) < 1e-9 "
+        f"AND e.dst <> {source} GROUP BY e.dst)")
+    parts.append(
+        f"walk(id, back) AS (SELECT CAST({target} AS BIGINT), 0 "
+        f"UNION ALL SELECT p.pred, w.back + 1 FROM walk w "
+        f"JOIN pred p ON p.id = w.id WHERE w.back < 200)")
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + "\nSELECT CAST((SELECT max(back) FROM walk) - back AS INT) AS step,"
+        " id, round(d.cost, 6) AS cost"
+        " FROM walk JOIN dist d USING (id)"
+    )
+
+
 def _q_infomap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PageRank-seeded greedy map-equation merging (InfoMap.java) on the
     # induced id<200 subgraph — iterative, engine-native → rows-only
@@ -1770,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_from_0": _q_bfs,
         "dfs_from_0": _q_dfs,
         "sssp_from_0": _q_sssp,
+        "shortest_path": _q_shortest_path,
         "as_vector": _q_as_vector,
         "all_shortest_paths": _q_allsp,
         "astar_path": _q_astar,
@@ -1858,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
         "eigenvector": _eigenvector_unrolled_sql(PR_ITERS),
         "eigenvector_l1norm": _eigenvector_unrolled_sql(PR_ITERS, "l1norm"),
         "sssp_from_0": _sssp_unrolled_sql(20),
+        "shortest_path": _shortest_path_oracle_sql(20),
         "louvain_onelevel": _louvain_onelevel_sql(4),
         "random_walks": _random_walks_oracle_sql(),
         "k_shortest_paths": _ksp_oracle_sql(),
