@@ -196,7 +196,10 @@ def simhash_near_dup(docs: DataFrame, *, max_hamming: int = 3,
         raise ValueError(f"n_bits={n_bits} not divisible by n_bands={n_bands}")
     width = n_bits // n_bands
     mask = (1 << width) - 1
-    sig = simhash_signatures(docs, text_col, n_bits)
+    # both self-join sides read the signatures; cache so the signature
+    # aggregation runs once per action (exchange-reuse does not fire
+    # through the aliased join sides — measured 2 scans without it)
+    sig = simhash_signatures(docs, text_col, n_bits).persist()
     bands = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), b * width)
         .bitwiseAND(F.lit(mask)) for b in range(n_bands)
@@ -236,7 +239,13 @@ def token_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.8,
 
     ``ngram`` > 1 switches the unit from single tokens to word n-gram
     shingles (n-gram Jaccard — the order-sensitive near-dup measure:
-    shuffled text shares tokens but not shingles)."""
+    shuffled text shares tokens but not shingles).
+
+    The pruned posting list feeds three plan branches (set sizes + both
+    self-join sides); Spark's exchange-reuse does not collapse them
+    (measured: 8 parquet scans without the cache), so it is persisted —
+    computed once per action, spill-safe (MEMORY_AND_DISK); callers
+    holding the result long-term may ``spark.catalog.clearCache()``."""
     toks = _doc_tokens(docs, text_col, ngram).distinct()
     if df_cutoff is not None:
         rare = (
@@ -244,6 +253,7 @@ def token_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.8,
             .filter(F.col("_df") <= int(df_cutoff)).select("tok")
         )
         toks = toks.join(rare, "tok", "left_semi")
+    toks = toks.persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
