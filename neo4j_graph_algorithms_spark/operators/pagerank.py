@@ -267,12 +267,28 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     unroll: int = 4,
+    hub_threshold: int | None = None,
+    hub_replicas: int = 8,
     spark: SparkSession | None = None,
 ) -> PageRankResult:
     """Run PageRank to ``max_iterations`` or until ``max|Δ| < tol``.
 
     ``tol=0`` reproduces the reference's fixed-iteration semantics
     (PageRank.java:352-367); ``tol>0`` is the convergence extension.
+
+    ``hub_threshold``: power-law skew defense (dataframe strategy). Web
+    graphs are Zipfian — partitioning edges by ``src`` puts ALL of a hub
+    page's out-edges in one partition, so one task owns deg(hub) edges.
+    With a threshold set, sources whose out-degree exceeds it are split
+    into ``hub_replicas`` sub-vertices (:func:`..plans.skew.split_high_degree`):
+    the edge cache is partitioned by ``(src, replica)`` so a hub's edges
+    spread over ``hub_replicas`` partitions, and each superstep expands
+    the (tiny) hot-vertex rank rows to every replica via a broadcast
+    before the join. Message sums are unchanged up to float re-ordering;
+    the reference's single-JVM equivalent is degree-balanced partition
+    sizing (impl/pagerank/PageRank.java:86-92,289-317). The ``csr``
+    strategy needs no flag — its blocks are already chunked at
+    ``chunk_edges`` regardless of source degree.
 
     ``unroll``: number of supersteps fused into one lazy plan between
     materializations (dataframe strategy only). Each materialization is
@@ -290,6 +306,7 @@ def pagerank(
 
     ef = _edge_factors(edges, weighted)
     csr_path: str | None = None
+    hot_replica_map: DataFrame | None = None
     if strategy == "csr":
         csr_path = _write_csr_artifact(ef, num_blocks)
         plan_side = None
@@ -300,11 +317,36 @@ def pagerank(
         # the sortWithinPartitions the SMJ re-sorts all |E| rows every
         # superstep (measured: the dominant per-superstep CPU at 13.5M
         # edges). Only the vertex-sized rank side moves per superstep.
-        plan_side = (
-            ef.repartition(num_blocks, "src")
-            .sortWithinPartitions("src")
-            .persist()
-        )
+        if hub_threshold is not None:
+            from neo4j_graph_algorithms_spark.plans.skew import split_high_degree
+
+            ef = split_high_degree(ef, hub_threshold, hub_replicas)
+            plan_side = (
+                ef.repartition(num_blocks, "src", "replica")
+                .sortWithinPartitions("src", "replica")
+                .persist()
+            )
+            # hot sources × every replica id — vertex rows for hubs only,
+            # so this table is tiny and broadcast per superstep
+            hot_replica_map = (
+                ef.filter(F.col("replica") > 0)
+                .select(F.col("src").alias("id"))
+                .distinct()
+                .select(
+                    "id",
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(hub_replicas - 1))
+                    ).alias("replica"),
+                )
+                .persist()
+            )
+            hot_replica_map.count()
+        else:
+            plan_side = (
+                ef.repartition(num_blocks, "src")
+                .sortWithinPartitions("src")
+                .persist()
+            )
         plan_side.count()
 
     ckpt = CheckpointManager(
@@ -344,10 +386,25 @@ def pagerank(
             msgs = _csr_superstep(cur.select("id", "rank"), csr_path,
                                   num_blocks)
         else:
-            msgs = (
-                plan_side.join(
-                    cur.select(F.col("id").alias("src"), "rank"), "src"
+            rank_side = cur.select(F.col("id").alias("src"), "rank")
+            if hot_replica_map is not None:
+                # expand hub ranks to all replicas (cheap: hot set only);
+                # cold sources keep the single replica-0 row
+                rank_side = (
+                    rank_side.join(
+                        F.broadcast(
+                            hot_replica_map.withColumnRenamed("id", "src")
+                        ),
+                        "src",
+                        "left",
+                    )
+                    .withColumn("replica", F.coalesce("replica", F.lit(0)))
                 )
+                join_keys = ["src", "replica"]
+            else:
+                join_keys = ["src"]
+            msgs = (
+                plan_side.join(rank_side, join_keys)
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("factor")).alias("msg"))
             )
@@ -393,6 +450,8 @@ def pagerank(
     result = ranks.select("id", "rank")
     metrics = list(ckpt.metrics)
     vbase.unpersist()
+    if hot_replica_map is not None:
+        hot_replica_map.unpersist()
     if csr_path is not None:
         import shutil
 

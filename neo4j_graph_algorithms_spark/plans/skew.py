@@ -6,13 +6,20 @@ reference's single-JVM answer is degree-balanced partition sizing
 (algo/.../impl/pagerank/PageRank.java:86-92,289-317 — partitions bounded
 by accumulated out-degree). The distributed equivalents here:
 
-- :func:`salted_sum_by_key` — two-level aggregation: salt the key,
-  partial-sum per (key, salt), then final-sum per key. Spark's hash
-  aggregate already does map-side partial aggregation, so this only wins
-  when a single *reduce* key overflows one task; it is exposed for the
-  extreme-hub case and used by PageRank when ``salt > 1``.
 - :func:`split_high_degree` — split vertices with out-degree above a
-  threshold into replica sub-vertices so CSR blocks stay bounded.
+  threshold into replica sub-vertices; wired into
+  :func:`..operators.pagerank.pagerank` via ``hub_threshold`` so a hub's
+  edge partition splits into ``hub_replicas`` tasks (the edge cache is
+  keyed ``(src, replica)`` and hub ranks are broadcast-expanded to every
+  replica each superstep).
+- :func:`salted_sum_by_key` — two-level aggregation: salt the key,
+  partial-sum per (key, salt), then final-sum per key. NOTE: Spark's
+  hash aggregate already does map-side partial combine for ``sum``, so
+  after the map side each reduce key receives at most one row per map
+  partition — this helper only wins for aggregations WITHOUT partial
+  combine (``collect_list``-shaped) or when a straggler reduce task must
+  be split further; it is exposed for those cases and unit-tested for
+  equivalence.
 
 AQE (``spark.sql.adaptive.skewJoin``) additionally splits skewed join
 partitions at runtime; sessions from :mod:`..session` enable it.

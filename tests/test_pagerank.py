@@ -138,3 +138,43 @@ def test_pagerank_metrics_recorded(spark):
     # unroll=1 records per-superstep
     res1 = pagerank(v, e, max_iterations=3, tol=1e-12, unroll=1)
     assert len(res1.metrics) == 3
+
+
+def test_pagerank_hub_split_equivalence(spark):
+    """hub_threshold splits hot sources into replica sub-vertices; the
+    message sums must match the unsplit run up to float re-ordering.
+
+    Fixture: a Zipf-ish star — one hub with out-degree 60 (over the
+    threshold), a mid vertex over it too, plus a cold tail — exercising
+    hot- and cold-path joins together.
+    """
+    edges = []
+    for d in range(1, 61):
+        edges.append((0, d, 1.0))            # hub: deg 60
+    for d in range(20, 45):
+        edges.append((1, d, 1.0))            # mid: deg 25
+    for s in range(2, 10):
+        edges.append((s, (s * 7) % 61, 1.0))  # cold tail
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    v = spark.createDataFrame([(i,) for i in range(61)], "id long")
+
+    base = pagerank(v, e, max_iterations=15)
+    split = pagerank(v, e, max_iterations=15, hub_threshold=10,
+                     hub_replicas=4)
+    a = {r["id"]: r["rank"] for r in base.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in split.ranks.collect()}
+    assert set(a) == set(b)
+    for i in a:
+        assert a[i] == pytest.approx(b[i], abs=1e-12), i
+
+
+def test_pagerank_hub_split_weighted_and_tol(spark):
+    e = make_edges(spark, WIKI_EDGES, WIKI_NAMES,)
+    v = _vertices(spark, WIKI_NAMES)
+    base = pagerank(v, e, max_iterations=60, tol=1e-7, weighted=True)
+    split = pagerank(v, e, max_iterations=60, tol=1e-7, weighted=True,
+                     hub_threshold=1, hub_replicas=3)
+    a = {r["id"]: r["rank"] for r in base.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in split.ranks.collect()}
+    for i in a:
+        assert a[i] == pytest.approx(b[i], abs=1e-9), i
