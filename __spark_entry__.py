@@ -249,8 +249,17 @@ def _mix64_chain(name: str, keep: str) -> list[str]:
     ]
 
 
+def _sql_page_url(var: str, n_hosts: int = 1) -> str:
+    """SQL expression for sources/pages.py:page_url(var, n_hosts)."""
+    if n_hosts <= 1:
+        return f"'https://example.org/p/' || CAST({var} AS VARCHAR)"
+    return (f"'https://h' || CAST({var} % {n_hosts} AS VARCHAR) || "
+            f"'.example.org/p/' || CAST({var} AS VARCHAR)")
+
+
 def _pages_linklist_parts(n: int, seed: int = 42,
-                          max_degree: int = 64) -> list[str]:
+                          max_degree: int = 64,
+                          n_hosts: int = 1) -> list[str]:
     """CTE chain ending in ``plinks(src_url, dst_url)`` — the exact link
     list of ``generate_pages(spark, n)`` (duplicates preserved),
     replaying sources/pages.py:_out_degree/_targets_for in SQL."""
@@ -288,9 +297,63 @@ def _pages_linklist_parts(n: int, seed: int = 42,
         f"CAST(floor(({n} * u) * u) AS BIGINT), 0), {n - 1}) AS t FROM tu)")
     parts.append(
         "plinks AS MATERIALIZED (SELECT "
-        "'https://example.org/p/' || CAST(i AS VARCHAR) AS src_url, "
-        "'https://example.org/p/' || CAST(t AS VARCHAR) AS dst_url FROM tt)")
+        f"{_sql_page_url('i', n_hosts)} AS src_url, "
+        f"{_sql_page_url('t', n_hosts)} AS dst_url FROM tt)")
     return parts
+
+
+# DuckDB twin of operators/hostgraph.py:HOST_RE (RE2 syntax, identical)
+_HOST_RE_SQL = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def _host_rollup_parts(n: int, n_hosts: int) -> list[str]:
+    """plinks → distinct page edges → host rollup (self-loops dropped):
+    hw(src_host, dst_host, weight) — oracle of operators/hostgraph.py
+    over the n-page multi-host link list."""
+    return _pages_linklist_parts(n, n_hosts=n_hosts) + [
+        "uedges AS MATERIALIZED (SELECT DISTINCT src_url, dst_url "
+        "FROM plinks)",
+        f"hedges AS (SELECT "
+        f"lower(regexp_extract(src_url, '{_HOST_RE_SQL}', 1)) AS src_host, "
+        f"lower(regexp_extract(dst_url, '{_HOST_RE_SQL}', 1)) AS dst_host "
+        f"FROM uedges)",
+        "hw AS MATERIALIZED (SELECT src_host, dst_host, "
+        "count(*) AS weight FROM hedges WHERE src_host <> dst_host "
+        "GROUP BY src_host, dst_host)",
+    ]
+
+
+def _host_pagerank_sql(n: int, n_hosts: int, iters: int) -> str:
+    """Oracle for pages_host_pagerank: host rollup → lexicographic id
+    map (graph.py:id_map) → weighted fixed-iteration PageRank → ranks
+    joined back to host names."""
+    parts = _host_rollup_parts(n, n_hosts) + [
+        "hosts AS (SELECT DISTINCT host FROM (SELECT src_host AS host "
+        "FROM hw UNION ALL SELECT dst_host FROM hw))",
+        "idmap AS MATERIALIZED (SELECT host, "
+        "row_number() OVER (ORDER BY host) - 1 AS id FROM hosts)",
+        "edges AS MATERIALIZED (SELECT s.id AS src, d.id AS dst, "
+        "CAST(hw.weight AS DOUBLE) AS weight FROM hw "
+        "JOIN idmap s ON hw.src_host = s.host "
+        "JOIN idmap d ON hw.dst_host = d.host)",
+        "nodes AS (SELECT id FROM idmap)",
+        "deg AS (SELECT src, sum(weight) AS outw FROM edges "
+        "WHERE weight > 0 GROUP BY src)",
+        "fac AS MATERIALIZED (SELECT e.src, e.dst, e.weight / d.outw "
+        "AS factor FROM edges e JOIN deg d ON e.src = d.src "
+        "WHERE e.weight > 0)",
+        "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS (SELECT f.dst AS id, sum(r.rank * f.factor) AS msg "
+            f"FROM fac f JOIN r{i-1} r ON f.src = r.id GROUP BY f.dst)")
+        parts.append(
+            f"r{i} AS (SELECT n.id, 0.15 + 0.85 * coalesce(m.msg, 0.0) "
+            f"AS rank FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT i.host AS host, round(r.rank, 6) AS rank "
+            f"FROM r{iters} r JOIN idmap i ON r.id = i.id")
 
 
 def _pages_edges_sql(n: int) -> str:
@@ -743,6 +806,20 @@ def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return triangle_stream(_edges(spark, sf_dir))
+
+
+def _q_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-propagation PageRank (push-style). At θ=0 and a fixed
+    iteration count it is float-reorder-equal to the standard loop, so
+    it shares the same unrolled-SQL oracle (values round to 6 dp before
+    hashing)."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        pagerank_delta,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = pagerank_delta(_vertices(e), e, max_iterations=PR_ITERS, tol=0.0)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
 def _q_pagerank_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1807,6 +1884,56 @@ def _q_pages_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+_HOST_N_PAGES = 2000
+_HOST_N_HOSTS = 64
+_HOST_PR_ITERS = 20
+
+
+def _host_edges(spark: SparkSession) -> DataFrame:
+    """pages (multi-host) → extracted distinct page edges → host rollup
+    (weight = distinct page links between the hosts, self-host edges
+    dropped) — the Common-Crawl-style host graph."""
+    from neo4j_graph_algorithms_spark.operators.hostgraph import host_graph
+    from neo4j_graph_algorithms_spark.sources import (
+        extract_edges, generate_pages,
+    )
+
+    pages = generate_pages(spark, _HOST_N_PAGES, n_hosts=_HOST_N_HOSTS)
+    return host_graph(extract_edges(pages, dedup=True),
+                      drop_self_loops=True)
+
+
+def _q_pages_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _host_edges(spark).select("src_host", "dst_host", "weight")
+
+
+def _q_pages_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end host ranking: pages → page edges → host rollup →
+    weighted PageRank on the host graph → (host, rank)."""
+    from neo4j_graph_algorithms_spark.graph import id_map
+
+    he = _host_edges(spark).persist()
+    he.count()
+    ids = id_map(
+        he.select(F.col("src_host").alias("src"),
+                  F.col("dst_host").alias("dst")),
+        node_col="host",
+    ).persist()
+    e = (
+        he.join(ids.withColumnRenamed("host", "src_host"), "src_host")
+        .withColumnRenamed("id", "src")
+        .join(ids.withColumnRenamed("host", "dst_host"), "dst_host")
+        .withColumnRenamed("id", "dst")
+        .select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    )
+    res = pagerank(ids.select("id"), e, max_iterations=_HOST_PR_ITERS,
+                   tol=0.0, weighted=True)
+    return (
+        res.ranks.join(ids, "id")
+        .select("host", F.round("rank", 6).alias("rank"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -1819,10 +1946,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "triangle_list": _q_triangle_list,
         "pagerank_csr": _q_pagerank_csr,
+        "pagerank_delta": _q_pagerank_delta,
         "pagerank_topk": _q_pagerank_topk,
         "pagerank_tolerance": _q_pagerank_tolerance,
         "pages_pagerank_e2e": _q_pages_pagerank,
         "pages_extract_edges": _q_extract_pages_edges,
+        "pages_host_graph": _q_pages_host_graph,
+        "pages_host_pagerank": _q_pages_host_pagerank,
         "wcc": _q_wcc,
         "wcc_threshold": _q_wcc_threshold,
         "label_propagation": _q_lpa,
@@ -1899,9 +2029,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS node_a, b AS node_b, c AS node_c FROM tri
         """,
         "pagerank_csr": _pagerank_unrolled_sql(PR_ITERS, weighted=False),
+        "pagerank_delta": _pagerank_unrolled_sql(PR_ITERS, weighted=False),
         "pagerank_tolerance": _pagerank_tolerance_unrolled_sql(
             100, 1e-6, block=4),
         "pages_extract_edges": _pages_edges_sql(2000),
+        "pages_host_graph": (
+            "WITH " + ",\n".join(_host_rollup_parts(
+                _HOST_N_PAGES, _HOST_N_HOSTS))
+            + "\nSELECT src_host, dst_host, weight FROM hw"
+        ),
+        "pages_host_pagerank": _host_pagerank_sql(
+            _HOST_N_PAGES, _HOST_N_HOSTS, _HOST_PR_ITERS),
         "pages_pagerank_e2e": _pages_pagerank_sql(2000, 50, 1e-6, block=4),
         "pagerank_topk": (
             _pagerank_unrolled_sql(PR_ITERS, weighted=False)

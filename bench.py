@@ -68,6 +68,35 @@ def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def _cpu_sample() -> tuple[float, float] | None:
+    """(busy_jiffies, steal_jiffies) from /proc/stat, host-wide."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [float(x) for x in parts[1:]]
+        user, nice, system, idle, iowait, irq, softirq, steal = (
+            vals + [0.0] * 8)[:8]
+        return (user + nice + system + irq + softirq, steal)
+    except OSError:
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    """Hypervisor steal as % of all non-idle demand between two samples.
+
+    This VM is multi-tenant: measured steal has ranged 0–25% between
+    rounds, which moves wall-clock numbers by up to ~3x on identical
+    code. Recording it per-run makes BENCH_r{N} comparisons
+    interpretable (a regression with flat steal is real; one tracking a
+    steal spike is the host)."""
+    if before is None or after is None:
+        return None
+    busy = after[0] - before[0]
+    steal = after[1] - before[1]
+    denom = busy + steal
+    return round(100.0 * steal / denom, 1) if denom > 0 else 0.0
+
+
 def _timed(fn, label: str = ""):
     t0 = time.time()
     out = fn()
@@ -113,6 +142,7 @@ def run_bench() -> dict:
 
     spark = _spark()
     queries: dict[str, float] = {}
+    cpu0 = _cpu_sample()
 
     _log(f"building pages graph: n={N_PAGES} cpus={CPUS}")
     t_build, (v, e, n_nodes, n_edges) = _timed(
@@ -129,6 +159,11 @@ def run_bench() -> dict:
          f"converged={res.converged}")
     queries["pagerank_conv"] = round(t_pr, 3)
     edges_per_sec_per_superstep = n_edges * supersteps / t_pr
+
+    # NOTE: pagerank_delta is deliberately NOT benched here — measured
+    # slower than the standard loop on this graph (see its docstring);
+    # it exists for localized-frontier regimes (incremental re-rank,
+    # narrow personalization), not the full-graph headline.
 
     t, wres = _timed(lambda: connected_components(v, e), "wcc")
     queries["wcc"] = round(t, 3)
@@ -191,6 +226,7 @@ def run_bench() -> dict:
                   "pagerank_converged": res.converged,
                   "max_delta": res.max_delta},
         "cpus": CPUS,
+        "host_steal_pct": _steal_pct(cpu0, _cpu_sample()),
     }
     spark.stop()
     return result
@@ -245,6 +281,7 @@ def run_scalerun() -> dict:
     v = spark.read.parquet(os.path.join(SCALING_CACHE, "nodes"))
     n_edges = e.count()
     pagerank(v, e, max_iterations=8, tol=0.0, unroll=8)  # warmup
+    cpu0 = _cpu_sample()
     t0 = _t.time()
     res = pagerank(v, e, max_iterations=SCALING_ITERS, tol=0.0, unroll=8)
     dt = _t.time() - t0

@@ -57,10 +57,21 @@ def _uniform(x: np.ndarray) -> np.ndarray:
     return (_mix64(x) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
-def page_url(i: int | np.ndarray) -> "np.ndarray | str":
+def page_url(i: int | np.ndarray, n_hosts: int = 1) -> "np.ndarray | str":
+    """URL of page ``i``. ``n_hosts > 1`` shards pages across synthetic
+    hosts ``h{i % n_hosts}.example.org`` (deterministic in ``i`` alone)
+    so host-level rollups (operators/hostgraph.py) have real multi-host
+    structure; the default 1 keeps the original single-host byte-exact
+    URL every existing oracle replays."""
+    if n_hosts <= 1:
+        if isinstance(i, np.ndarray):
+            return np.char.add("https://example.org/p/", i.astype(str))
+        return f"https://example.org/p/{i}"
     if isinstance(i, np.ndarray):
-        return np.char.add("https://example.org/p/", i.astype(str))
-    return f"https://example.org/p/{i}"
+        host = np.char.add(np.char.add("https://h", (i % n_hosts).astype(str)),
+                           ".example.org/p/")
+        return np.char.add(host, i.astype(str))
+    return f"https://h{i % n_hosts}.example.org/p/{i}"
 
 
 def page_text(i: int, lang: str) -> str:
@@ -94,7 +105,7 @@ def _targets_for(i: int, deg: int, n: int, seed: int) -> np.ndarray:
 
 
 def _rows_for_indices(idx: np.ndarray, n: int, seed: int,
-                      max_degree: int) -> pd.DataFrame:
+                      max_degree: int, n_hosts: int = 1) -> pd.DataFrame:
     degs = _out_degree(idx, seed, max_degree)
     urls, ts, htmls, texts, langs = [], [], [], [], []
     for i, deg in zip(idx.tolist(), degs.tolist()):
@@ -102,14 +113,14 @@ def _rows_for_indices(idx: np.ndarray, n: int, seed: int,
         text = page_text(i, lang)
         targets = _targets_for(i, deg, n, seed)
         anchors = "".join(
-            f'<a href="https://example.org/p/{t}">link-{k}</a>'
+            f'<a href="{page_url(t, n_hosts)}">link-{k}</a>'
             for k, t in enumerate(targets.tolist())
         )
         html = (
             f"<html><head><title>Page {i}</title></head>"
             f'<body><p>{text}</p><div class="links">{anchors}</div></body></html>'
         )
-        urls.append(page_url(i))
+        urls.append(page_url(i, n_hosts))
         ts.append(pd.Timestamp(_EPOCH + i, unit="s", tz="UTC"))
         htmls.append(html.encode("utf-8"))
         texts.append(text)
@@ -125,6 +136,7 @@ def generate_pages(
     *,
     seed: int = 42,
     max_degree: int = _MAX_DEG_DEFAULT,
+    n_hosts: int = 1,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Pages DataFrame of ``n`` synthetic pages (deterministic in ``n``
@@ -137,7 +149,7 @@ def generate_pages(
         for pdf in batches:
             idx = pdf["id"].to_numpy()
             if len(idx):
-                yield _rows_for_indices(idx, n, seed, max_degree)
+                yield _rows_for_indices(idx, n, seed, max_degree, n_hosts)
 
     rng = spark.range(0, n, 1, num_partitions)
     return rng.mapInPandas(
@@ -146,7 +158,8 @@ def generate_pages(
 
 
 def expected_edges(n: int, *, seed: int = 42,
-                   max_degree: int = _MAX_DEG_DEFAULT) -> pd.DataFrame:
+                   max_degree: int = _MAX_DEG_DEFAULT,
+                   n_hosts: int = 1) -> pd.DataFrame:
     """The generator's own (src_url, dst_url) link list, recomputed in
     driver NumPy — the oracle for extraction correctness (duplicates
     preserved; the engine dedups downstream)."""
@@ -155,6 +168,6 @@ def expected_edges(n: int, *, seed: int = 42,
     srcs, dsts = [], []
     for i, deg in zip(idx.tolist(), degs.tolist()):
         for t in _targets_for(i, deg, n, seed).tolist():
-            srcs.append(page_url(i))
-            dsts.append(f"https://example.org/p/{t}")
+            srcs.append(page_url(i, n_hosts))
+            dsts.append(page_url(t, n_hosts))
     return pd.DataFrame({"src_url": srcs, "dst_url": dsts})

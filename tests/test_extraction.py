@@ -87,3 +87,72 @@ def test_power_law_has_hubs(spark):
         .groupBy("dst_url").count().agg(F.max("count")).first()[0]
     )
     assert indeg > 20
+
+
+# ---------------------------------------------------------------------------
+# Multi-host generation + host-level rollup (operators/hostgraph.py)
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from neo4j_graph_algorithms_spark.operators.hostgraph import (
+    host_graph,
+    url_host,
+)
+
+
+def _host_of(url: str) -> str:
+    return url.split("://", 1)[1].split("/", 1)[0].lower()
+
+
+def test_multihost_generator_and_extraction(spark):
+    K = 8
+    pages = generate_pages(spark, N, n_hosts=K)
+    got = {
+        (r["src_url"], r["dst_url"])
+        for r in extract_edges(pages, dedup=True).collect()
+    }
+    exp_pdf = expected_edges(N, n_hosts=K)
+    exp = set(zip(exp_pdf["src_url"], exp_pdf["dst_url"]))
+    assert got == exp
+    hosts = {_host_of(u) for u, _ in exp} | {_host_of(u) for _, u in exp}
+    assert hosts == {f"h{i}.example.org" for i in range(K)}
+
+
+def test_multihost_default_unchanged(spark):
+    # n_hosts=1 must be byte-identical to the original single-host table
+    a = generate_pages(spark, 40).orderBy("url").collect()
+    b = generate_pages(spark, 40, n_hosts=1).orderBy("url").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_url_host_parsing(spark):
+    rows = [
+        ("https://EXAMPLE.org/p/1", "example.org"),
+        ("http://user:pw@h3.example.org:8080/x?q=1#f", "h3.example.org"),
+        ("ftp://files.example.org/pub", "files.example.org"),
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = {r["url"]: r["h"] for r in
+           df.select("url", url_host("url").alias("h")).collect()}
+    for u, expect in rows:
+        assert got[u] == expect, (u, got[u], expect)
+
+
+def test_host_graph_rollup_vs_python_oracle(spark):
+    K = 8
+    exp_pdf = expected_edges(N, n_hosts=K).drop_duplicates()
+    expected = Counter(
+        (_host_of(s), _host_of(d))
+        for s, d in zip(exp_pdf["src_url"], exp_pdf["dst_url"])
+        if _host_of(s) != _host_of(d)
+    )
+    pages = generate_pages(spark, N, n_hosts=K)
+    hg = host_graph(extract_edges(pages, dedup=True), drop_self_loops=True)
+    got = {(r["src_host"], r["dst_host"]): r["weight"] for r in hg.collect()}
+    assert got == dict(expected)
+    # self-loop retention mode
+    hg_all = host_graph(extract_edges(pages, dedup=True))
+    total = sum(r["weight"] for r in hg_all.collect())
+    assert total == len(exp_pdf)

@@ -178,3 +178,79 @@ def test_pagerank_hub_split_weighted_and_tol(spark):
     b = {r["id"]: r["rank"] for r in split.ranks.collect()}
     for i in a:
         assert a[i] == pytest.approx(b[i], abs=1e-9), i
+
+
+# ---------------------------------------------------------------------------
+# Delta-propagation variant (pagerank_delta)
+# ---------------------------------------------------------------------------
+
+from neo4j_graph_algorithms_spark.operators.pagerank import pagerank_delta
+
+
+def test_pr_delta_golden_fixtures(spark):
+    for names, pairs, golden in [
+        (LABEL1_NAMES, LABEL1_EDGES, LABEL1_GOLDEN),
+        (WIKI_NAMES, WIKI_EDGES, WIKI_GOLDEN),
+    ]:
+        v = _vertices(spark, names)
+        e = make_edges(spark, pairs, names)
+        res = pagerank_delta(v, e, max_iterations=40, tol=0.0)
+        got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+        for i, n in enumerate(names):
+            assert got[i] == pytest.approx(golden[n], abs=1e-2)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(weighted=True),
+    dict(source_ids=(1, 4)),
+])
+def test_pr_delta_exact_equals_standard(spark, kw):
+    """θ=0 delta propagation is float-reorder-equal to the standard loop
+    at the same fixed iteration count (the affine recurrence identity
+    x_K = base + Σ δ_k with δ_{k+1} = d·Aᵀ·δ_k)."""
+    names = WIKI_NAMES
+    v = _vertices(spark, names)
+    e = make_edges(spark, WIKI_EDGES, names)
+    a = pagerank(v, e, max_iterations=15, tol=0.0, **kw)
+    b = pagerank_delta(v, e, max_iterations=15, tol=0.0, **kw)
+    ga = {r["id"]: r["rank"] for r in a.ranks.collect()}
+    gb = {r["id"]: r["rank"] for r in b.ranks.collect()}
+    assert set(ga) == set(gb)
+    for i in ga:
+        assert gb[i] == pytest.approx(ga[i], abs=1e-9)
+
+
+def test_pr_delta_tolerance_converges_to_fixed_point(spark):
+    names = WIKI_NAMES
+    idx = {n: i for i, n in enumerate(names)}
+    v = _vertices(spark, names)
+    e = make_edges(spark, WIKI_EDGES, names)
+    res = pagerank_delta(v, e, max_iterations=200, tol=1e-8)
+    assert res.converged
+    oracle = pagerank_oracle(
+        len(names), [(idx[s], idx[d]) for s, d in WIKI_EDGES],
+        iterations=500, tol=1e-12,
+    )
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    for i in range(len(names)):
+        assert got[i] == pytest.approx(oracle[i], abs=1e-6)
+
+
+def test_pr_delta_prune_error_bound(spark):
+    """θ>0 drops pushed mass; undershoot is bounded by d/(1-d)·Σ|dropped|
+    — here just assert the result stays within a loose band of the
+    exact fixed point while the frontier shrinks."""
+    names = WIKI_NAMES
+    idx = {n: i for i, n in enumerate(names)}
+    v = _vertices(spark, names)
+    e = make_edges(spark, WIKI_EDGES, names)
+    res = pagerank_delta(v, e, max_iterations=100, tol=1e-7,
+                         prune_threshold=1e-6)
+    oracle = pagerank_oracle(
+        len(names), [(idx[s], idx[d]) for s, d in WIKI_EDGES],
+        iterations=500, tol=1e-12,
+    )
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    for i in range(len(names)):
+        assert got[i] == pytest.approx(oracle[i], abs=1e-4)
