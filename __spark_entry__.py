@@ -249,6 +249,47 @@ def _mix64_chain(name: str, keep: str) -> list[str]:
     ]
 
 
+def _incremental_pagerank_sql(iters: int) -> str:
+    """Oracle for pagerank_incremental: ``iters`` fixed PageRank
+    iterations on the base graph produce the warm start, then ``iters``
+    plain power-iteration steps on the perturbed graph (the deterministic
+    ``(src*31+dst)%23 <> 0`` edge drop). Warm-started delta propagation
+    at θ=0/tol=0 IS the plain power iteration from x_prev
+    (operators/pagerank.py:pagerank_delta initial_ranks path), so the
+    replay needs no delta bookkeeping."""
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src)",
+        "fac AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / d.outd AS factor "
+        "FROM edges e JOIN deg d ON e.src = d.src)",
+        "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS (SELECT f.dst AS id, sum(r.rank * f.factor) AS msg "
+            f"FROM fac f JOIN r{i-1} r ON f.src = r.id GROUP BY f.dst)")
+        parts.append(
+            f"r{i} AS (SELECT n.id, 0.15 + 0.85 * coalesce(m.msg, 0.0) "
+            f"AS rank FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)")
+    parts += [
+        "edges1 AS (SELECT src, dst FROM edges "
+        "WHERE (src * 31 + dst) % 23 <> 0)",
+        "deg1 AS (SELECT src, count(*) AS outd FROM edges1 GROUP BY src)",
+        "fac1 AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / d.outd AS factor "
+        "FROM edges1 e JOIN deg1 d ON e.src = d.src)",
+        f"s0 AS (SELECT id, rank FROM r{iters})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"n{i} AS (SELECT f.dst AS id, sum(s.rank * f.factor) AS msg "
+            f"FROM fac1 f JOIN s{i-1} s ON f.src = s.id GROUP BY f.dst)")
+        parts.append(
+            f"s{i} AS (SELECT n.id, 0.15 + 0.85 * coalesce(m.msg, 0.0) "
+            f"AS rank FROM nodes n LEFT JOIN n{i} m ON n.id = m.id)")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT id, round(rank, 6) AS rank FROM s{iters}")
+
+
 def _sql_page_url(var: str, n_hosts: int = 1) -> str:
     """SQL expression for sources/pages.py:page_url(var, n_hosts)."""
     if n_hosts <= 1:
@@ -819,6 +860,24 @@ def _q_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _edges(spark, sf_dir)
     res = pagerank_delta(_vertices(e), e, max_iterations=PR_ITERS, tol=0.0)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started re-rank after a deterministic edge drop: PR_ITERS
+    fixed iterations on the base graph give prev_ranks, then PR_ITERS
+    warm iterations on the perturbed graph via residual delta
+    propagation (_incremental_pagerank_sql replays both phases)."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        pagerank_incremental,
+    )
+
+    e = _edges(spark, sf_dir)
+    v = _vertices(e)
+    prev = pagerank(v, e, max_iterations=PR_ITERS, tol=0.0)
+    e1 = e.filter((F.col("src") * 31 + F.col("dst")) % 23 != 0)
+    res = pagerank_incremental(v, e1, prev.ranks,
+                               max_iterations=PR_ITERS, tol=0.0)
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -1947,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_list": _q_triangle_list,
         "pagerank_csr": _q_pagerank_csr,
         "pagerank_delta": _q_pagerank_delta,
+        "pagerank_incremental": _q_pagerank_incremental,
         "pagerank_topk": _q_pagerank_topk,
         "pagerank_tolerance": _q_pagerank_tolerance,
         "pages_pagerank_e2e": _q_pages_pagerank,
@@ -2030,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_csr": _pagerank_unrolled_sql(PR_ITERS, weighted=False),
         "pagerank_delta": _pagerank_unrolled_sql(PR_ITERS, weighted=False),
+        "pagerank_incremental": _incremental_pagerank_sql(PR_ITERS),
         "pagerank_tolerance": _pagerank_tolerance_unrolled_sql(
             100, 1e-6, block=4),
         "pages_extract_edges": _pages_edges_sql(2000),

@@ -254,3 +254,82 @@ def test_pr_delta_prune_error_bound(spark):
     got = {r["id"]: r["rank"] for r in res.ranks.collect()}
     for i in range(len(names)):
         assert got[i] == pytest.approx(oracle[i], abs=1e-4)
+
+
+@pytest.mark.parametrize("inc_strategy", ["dataframe", "delta"])
+def test_pr_incremental_matches_full_recompute(spark, inc_strategy):
+    """Warm-started re-rank after an edge delta converges to the
+    perturbed graph's fixed point (residual propagation —
+    pagerank_delta initial_ranks path)."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        pagerank_incremental,
+    )
+
+    names = WIKI_NAMES
+    idx = {n: i for i, n in enumerate(names)}
+    v = _vertices(spark, names)
+    e0 = make_edges(spark, WIKI_EDGES, names)
+    prev = pagerank(v, e0, max_iterations=200, tol=1e-9)
+    # delta: drop (e,b), add (a,k) and (c,d)
+    new_pairs = [p for p in WIKI_EDGES if p != ("e", "b")] + [
+        ("a", "k"), ("c", "d")]
+    e1 = make_edges(spark, new_pairs, names)
+    inc = pagerank_incremental(v, e1, prev.ranks, strategy=inc_strategy,
+                               max_iterations=200, tol=1e-9)
+    full = pagerank(v, e1, max_iterations=200, tol=1e-9)
+    gi = {r["id"]: r["rank"] for r in inc.ranks.collect()}
+    gf = {r["id"]: r["rank"] for r in full.ranks.collect()}
+    assert inc.converged
+    for i in range(len(names)):
+        assert gi[i] == pytest.approx(gf[i], abs=1e-7)
+    assert idx  # names fixture used
+
+
+def test_pr_incremental_unchanged_graph_stops_immediately(spark):
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        pagerank_incremental,
+    )
+
+    v = _vertices(spark, WIKI_NAMES)
+    e = make_edges(spark, WIKI_EDGES, WIKI_NAMES)
+    prev = pagerank(v, e, max_iterations=300, tol=1e-10)
+    # delta path: residual of a converged solution is below tol after
+    # the single residual superstep
+    inc = pagerank_incremental(v, e, prev.ranks, strategy="delta",
+                               max_iterations=300, tol=1e-8)
+    assert inc.iterations == 1 and inc.converged
+    # standard warm-start path: stops at the first block boundary
+    inc_std = pagerank_incremental(v, e, prev.ranks,
+                                   max_iterations=300, tol=1e-8)
+    assert inc_std.converged and inc_std.iterations <= 4
+    gp = {r["id"]: r["rank"] for r in prev.ranks.collect()}
+    gi = {r["id"]: r["rank"] for r in inc.ranks.collect()}
+    for i in gp:
+        assert gi[i] == pytest.approx(gp[i], abs=1e-8)
+
+
+def test_pr_incremental_new_nodes_start_at_base(spark):
+    """Vertices absent from prev_ranks (newly crawled pages) are seeded
+    at base and ranked correctly."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        pagerank_incremental,
+    )
+
+    names = WIKI_NAMES
+    v0 = spark.createDataFrame([(i,) for i in range(len(names))], "id long")
+    e0 = make_edges(spark, WIKI_EDGES, names)
+    prev = pagerank(v0, e0, max_iterations=200, tol=1e-9)
+    # grow the graph: one new node (id 11) pointing at b, e pointing at it
+    v1 = spark.createDataFrame([(i,) for i in range(len(names) + 1)],
+                               "id long")
+    extra = spark.createDataFrame([(11, 1, 1.0), (4, 11, 1.0)],
+                                  "src long, dst long, weight double")
+    e1 = e0.unionByName(extra.select(*e0.columns))
+    inc = pagerank_incremental(v1, e1, prev.ranks,
+                               max_iterations=200, tol=1e-9)
+    full = pagerank(v1, e1, max_iterations=200, tol=1e-9)
+    gi = {r["id"]: r["rank"] for r in inc.ranks.collect()}
+    gf = {r["id"]: r["rank"] for r in full.ranks.collect()}
+    assert set(gi) == set(gf)
+    for i in gf:
+        assert gi[i] == pytest.approx(gf[i], abs=1e-7)
