@@ -896,6 +896,22 @@ def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_vertices(e), e).components
 
 
+def _q_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental WCC: components of a deterministic 80% edge subset,
+    then merge the held-out 20% as the "newly crawled" delta via
+    component contraction. Must equal full WCC on all edges — the
+    oracle is _WCC_SQL verbatim."""
+    from neo4j_graph_algorithms_spark.operators.wcc import (
+        connected_components_incremental,
+    )
+
+    e = _edges(spark, sf_dir)
+    e0 = e.filter((F.col("src") + F.col("dst")) % 5 != 0)
+    enew = e.filter((F.col("src") + F.col("dst")) % 5 == 0)
+    prev = connected_components(_vertices(e), e0).components
+    return connected_components_incremental(prev, enew).components
+
+
 def _q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges_weighted(spark, sf_dir)
     return connected_components(_vertices(e), e, threshold=2.0).components
@@ -2014,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_host_graph": _q_pages_host_graph,
         "pages_host_pagerank": _q_pages_host_pagerank,
         "wcc": _q_wcc,
+        "wcc_incremental": _q_wcc_incremental,
         "wcc_threshold": _q_wcc_threshold,
         "label_propagation": _q_lpa,
         "triangles_per_node": _q_triangles,
@@ -2147,6 +2164,7 @@ def oracle_sql() -> dict[str, str]:
         "euclidean_similarity": _EUCLIDEAN_SQL,
         "pearson_similarity": _PEARSON_SQL,
         "wcc": _WCC_SQL,
+        "wcc_incremental": _WCC_SQL,
         "wcc_threshold": _WCC_TH_SQL,
         "label_propagation": _lpa_unrolled_sql(LPA_ITERS),
         "triangles_per_node": f"""

@@ -177,3 +177,73 @@ def connected_components(
 
     work.unpersist()
     return WccResult(labels, it, converged, list(ckpt.metrics))
+
+
+def connected_components_incremental(
+    prev_components: DataFrame,
+    new_edges: DataFrame,
+    *,
+    max_iterations: int = 50,
+    spark: SparkSession | None = None,
+) -> WccResult:
+    """Merge *added* edges into existing WCC labels without touching
+    the old edge table — the daily-crawl-delta path.
+
+    Because labels are canonical min-member ids, edge additions only
+    ever MERGE components, and the merge is fully determined by the
+    delta-sized *contracted* graph: map each new edge ``(u, v)`` to
+    ``(comp(u), comp(v))``, run WCC over those contracted edges (a
+    graph with one node per touched component — |Δ|-sized, independent
+    of |E|), and re-label: ``comp'(x) = merged(comp(x))``. min-id
+    canonicalization survives contraction (min over a union of
+    components = min of their min ids), so the output is exactly
+    ``connected_components(V, E_old ∪ E_new)`` — the driver oracle
+    replays precisely that on the full edge set.
+
+    Cost at 10^12-edge scale: two vertex-table joins against the
+    (typically broadcastable) delta endpoints + one WCC on a |Δ|-sized
+    graph + one label-table join — the 10^12-row edge table is never
+    read. Endpoints absent from ``prev_components`` (new pages) seed
+    their own singleton component first. Edge DELETIONS can split
+    components and need the full recompute — not handled here.
+    """
+    spark = spark or prev_components.sparkSession
+
+    e = (new_edges.select("src", "dst")
+         .filter(F.col("src") != F.col("dst")).dropDuplicates())
+    # seed unseen endpoints as singletons so the contraction join is total
+    ends = (e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id"))).distinct())
+    fresh = (ends.join(prev_components.select("id"), "id", "left_anti")
+             .select("id", F.col("id").alias("component")))
+    base = prev_components.select("id", "component").unionByName(fresh)
+
+    # contract: new edges in component-id space. The delta endpoint set
+    # is small → broadcast it so the (vertex-sized) label table is
+    # joined map-side, no shuffle of `base`.
+    lab = base
+    contracted = (
+        e.join(lab.withColumnRenamed("id", "src")
+               .withColumnRenamed("component", "_cs"), "src")
+        .join(lab.withColumnRenamed("id", "dst")
+              .withColumnRenamed("component", "_cd"), "dst")
+        .select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    cv = (contracted.select(F.col("src").alias("id"))
+          .union(contracted.select(F.col("dst").alias("id"))).distinct())
+    merged = connected_components(
+        cv, contracted, max_iterations=max_iterations, local_dss=False,
+        spark=spark,
+    )
+    remap = merged.components.select(
+        F.col("id").alias("component"), F.col("component").alias("_newc"))
+    out = (
+        base.join(F.broadcast(remap), "component", "left")
+        .select("id",
+                F.coalesce(F.col("_newc"), F.col("component"))
+                .alias("component"))
+    )
+    return WccResult(out, merged.iterations, merged.converged,
+                     list(merged.metrics))

@@ -88,3 +88,64 @@ def test_cc_long_path_fast_convergence(spark):
     assert res.iterations <= 12
     got = {r["id"]: r["component"] for r in res.components.collect()}
     assert set(got.values()) == {0}
+
+
+# ---------------------------------------------------------------------------
+# Incremental WCC (component contraction over an edge delta)
+# ---------------------------------------------------------------------------
+
+from neo4j_graph_algorithms_spark.operators.wcc import (
+    connected_components_incremental,
+)
+
+
+def test_wcc_incremental_merges_lines(spark):
+    # 16 disjoint 10-node lines; delta edges chain lines 0-1, 2-3, and
+    # self-contained extras; result must equal full recompute
+    edges = []
+    for line in range(16):
+        base = line * 10
+        for i in range(9):
+            edges.append((base + i, base + i + 1, 1.0))
+    v = spark.createDataFrame([(i,) for i in range(160)], "id long")
+    e = make_edges(spark, edges)
+    prev = connected_components(v, e).components
+    delta = spark.createDataFrame(
+        [(9, 10), (25, 37), (37, 49), (155, 155), (3, 7)],
+        "src long, dst long")
+    inc = connected_components_incremental(prev, delta)
+    assert inc.converged
+    full = connected_components(
+        v, e.select("src", "dst").unionByName(delta))
+    gi = {r["id"]: r["component"] for r in inc.components.collect()}
+    gf = {r["id"]: r["component"] for r in full.components.collect()}
+    assert gi == gf
+    # transitive merge worked: lines 2,3,4 fused under min id 20
+    assert gi[49] == 20 and gi[25] == 20
+
+
+def test_wcc_incremental_new_nodes(spark):
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = make_edges(spark, [(0, 1, 1.0), (2, 3, 1.0)])
+    prev = connected_components(v, e).components
+    # delta introduces unseen nodes 10, 11: 10 bridges into comp 2,
+    # 11 stays a fresh singleton pair with 12
+    delta = spark.createDataFrame(
+        [(10, 3), (11, 12)], "src long, dst long")
+    inc = connected_components_incremental(prev, delta).components
+    got = {r["id"]: r["component"] for r in inc.collect()}
+    assert got[10] == 2 and got[3] == 2
+    assert got[11] == 11 and got[12] == 11
+    # untouched singletons keep their own labels
+    assert got[4] == 4 and got[5] == 5
+
+
+def test_wcc_incremental_empty_delta(spark):
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = make_edges(spark, [(0, 1, 1.0)])
+    prev = connected_components(v, e).components
+    delta = spark.createDataFrame([], "src long, dst long")
+    inc = connected_components_incremental(prev, delta).components
+    gi = {r["id"]: r["component"] for r in inc.collect()}
+    gp = {r["id"]: r["component"] for r in prev.collect()}
+    assert gi == gp
