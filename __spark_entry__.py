@@ -932,6 +932,24 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_vertices(e), e).node_counts.select("id", "triangles")
 
 
+def _q_triangles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental triangle maintenance: counts on a deterministic 80%
+    edge subset, then merge the held-out 20% as the crawl delta (each
+    delta triangle weighted 1/#new-edges so its k discoveries sum to
+    one). Oracle = full per-node triangle count on all edges."""
+    from neo4j_graph_algorithms_spark.operators.triangles import (
+        triangle_count_incremental,
+    )
+
+    e = _edges(spark, sf_dir)
+    v = _vertices(e)
+    e0 = e.filter((F.col("src") + F.col("dst")) % 5 != 0)
+    enew = e.filter((F.col("src") + F.col("dst")) % 5 == 0)
+    prev = triangle_count(v, e0)
+    res = triangle_count_incremental(v, e0, enew, prev.node_counts)
+    return res.node_counts.select("id", "triangles")
+
+
 def _q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     return triangle_count(_vertices(e), e).node_counts.select(
@@ -2031,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_host_pagerank": _q_pages_host_pagerank,
         "wcc": _q_wcc,
         "wcc_incremental": _q_wcc_incremental,
+        "triangles_incremental": _q_triangles_incremental,
         "wcc_threshold": _q_wcc_threshold,
         "label_propagation": _q_lpa,
         "triangles_per_node": _q_triangles,
@@ -2165,6 +2184,11 @@ def oracle_sql() -> dict[str, str]:
         "pearson_similarity": _PEARSON_SQL,
         "wcc": _WCC_SQL,
         "wcc_incremental": _WCC_SQL,
+        "triangles_incremental": f"""
+            WITH {_EDGES_CTE}, {_NODES_CTE}, {_CANON_CTE}, {_TRI_PER_NODE_CTE}
+            SELECT n.id, coalesce(p.triangles, 0) AS triangles
+            FROM nodes n LEFT JOIN pern p ON n.id = p.id
+        """,
         "wcc_threshold": _WCC_TH_SQL,
         "label_propagation": _lpa_unrolled_sql(LPA_ITERS),
         "triangles_per_node": f"""

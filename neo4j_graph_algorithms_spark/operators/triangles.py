@@ -214,3 +214,109 @@ def balanced_triads(vertices: DataFrame, edges: DataFrame) -> DataFrame:
                 F.coalesce("balanced", F.lit(0)).alias("balanced"),
                 F.coalesce("unbalanced", F.lit(0)).alias("unbalanced"))
     )
+
+
+def triangle_count_incremental(
+    vertices: DataFrame,
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    prev_counts: DataFrame,
+) -> TriangleResult:
+    """Update per-node triangle counts after *adding* ``new_edges``
+    without re-enumerating the old graph's wedges.
+
+    Only triangles containing ≥1 new edge can appear. Each such
+    triangle is discovered once per new edge it contains (join every
+    new canonical pair (a,b) with the union adjacency of ``a``, then
+    close the wedge against the union edge set, keeping per-side
+    is-new flags), carries ``k = 1 + new(a,w) + new(b,w)`` new edges,
+    and contributes weight ``1/k`` to each of its three corners — the
+    ``k`` discoveries then sum to exactly 1 per corner, so no
+    dedup/canonical-discovery bookkeeping is needed. Cost is
+    ``O(Σ_{(a,b)∈Δ} deg'(a))`` wedge candidates instead of the full
+    recompute's ``O(Σ_v deg(v)²)`` — the old edge table is scanned
+    (for adjacency) but never wedge-joined against itself. Coefficients
+    are re-derived from the union degrees for every vertex. Edge
+    deletions are out of scope (they remove triangles).
+
+    The driver oracle replays full per-node triangle counting on the
+    union edge set (query ``triangles_incremental``).
+    """
+    c_old = _canonical_edges(old_edges).persist()
+    c_new = (
+        _canonical_edges(new_edges)
+        .join(c_old, ["lo", "hi"], "left_anti")  # only genuinely new pairs
+        .persist()
+    )
+    is_new = F.col("_new")
+    all_flagged = (
+        c_old.withColumn("_new", F.lit(False))
+        .unionByName(c_new.withColumn("_new", F.lit(True)))
+        .persist()
+    )
+    # symmetric union adjacency with the is-new flag
+    sym = all_flagged.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"), "_new"
+    ).unionByName(all_flagged.select(
+        F.col("hi").alias("u"), F.col("lo").alias("w"), "_new"))
+
+    # wedges from each new edge (a,b): w ∈ N'(a) \ {b}
+    wedge = (
+        c_new.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .join(sym.select(F.col("u").alias("a"), "w",
+                         F.col("_new").alias("_new_aw")), "a")
+        .filter(F.col("w") != F.col("b"))
+    )
+    # close against (b,w) in the union set (canonical lookup)
+    closer = all_flagged.select(
+        F.least("lo", "hi").alias("_clo"), F.greatest("lo", "hi").alias("_chi"),
+        F.col("_new").alias("_new_bw"))
+    tri = wedge.join(
+        closer,
+        (F.least("b", "w") == F.col("_clo"))
+        & (F.greatest("b", "w") == F.col("_chi")),
+    )
+    k = (F.lit(1) + F.col("_new_aw").cast("int")
+         + F.col("_new_bw").cast("int"))
+    delta = (
+        tri.select(F.explode(F.array("a", "b", "w")).alias("id"),
+                   (F.lit(1.0) / k).alias("_wgt"))
+        .groupBy("id")
+        .agg(F.round(F.sum("_wgt")).cast("long").alias("_dtri"))
+    )
+
+    deg = (
+        all_flagged.select(F.col("lo").alias("id"))
+        .union(all_flagged.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    node_counts = (
+        vertices.select("id")
+        .join(prev_counts.select("id", F.col("triangles").alias("_prev")),
+              "id", "left")
+        .join(delta, "id", "left")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            (F.coalesce(F.col("_prev"), F.lit(0))
+             + F.coalesce(F.col("_dtri"), F.lit(0))).alias("triangles"),
+            F.col("deg"),
+        )
+        .select(
+            "id", "triangles",
+            F.when(
+                F.coalesce(F.col("deg"), F.lit(0)) >= 2,
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)).alias("coefficient"),
+        )
+        .persist()
+    )
+    agg = node_counts.agg(
+        (F.sum("triangles") / 3).cast("long").alias("t"),
+        F.avg("coefficient").alias("c"),
+    ).first()
+    c_old.unpersist()
+    c_new.unpersist()
+    all_flagged.unpersist()
+    return TriangleResult(node_counts, int(agg["t"]), float(agg["c"] or 0.0))

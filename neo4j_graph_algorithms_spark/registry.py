@@ -69,6 +69,7 @@ _REGISTRY: dict[str, str] = {
     "ext.pageRank.incremental": f"{_P}.operators.pagerank:pagerank_incremental",
     "ext.unionFind.incremental": f"{_P}.operators.wcc:connected_components_incremental",
     "ext.hostGraph": f"{_P}.operators.hostgraph:host_graph",
+    "ext.triangleCount.incremental": f"{_P}.operators.triangles:triangle_count_incremental",
 }
 
 

@@ -101,3 +101,58 @@ def test_triangles_vs_oracle_random_graph(spark):
         assert got_t[i] == t[i]
         assert got_c[i] == pytest.approx(coef[i], abs=1e-12)
     assert res.average_coefficient == pytest.approx(float(coef.mean()), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Incremental triangle maintenance
+# ---------------------------------------------------------------------------
+
+from neo4j_graph_algorithms_spark.operators.triangles import (
+    triangle_count_incremental,
+)
+
+
+def test_triangles_incremental_vs_full(spark):
+    import random
+
+    random.seed(3)
+    n = 80
+    all_e = set()
+    while len(all_e) < 400:
+        a, b = random.randrange(n), random.randrange(n)
+        if a != b:
+            all_e.add((a, b))
+    all_e = sorted(all_e)
+    old = [e for e in all_e if (e[0] + e[1]) % 5 != 0]
+    # delta includes a duplicate and a reversed duplicate of old edges —
+    # both must be ignored
+    new = [e for e in all_e if (e[0] + e[1]) % 5 == 0]
+    new += [old[0], (old[1][1], old[1][0])]
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    O = spark.createDataFrame(old, "src long, dst long")
+    Nw = spark.createDataFrame(new, "src long, dst long")
+    prev = triangle_count(v, O)
+    inc = triangle_count_incremental(v, O, Nw, prev.node_counts)
+    full = triangle_count(v, O.unionByName(Nw))
+    gi = {r["id"]: (r["triangles"], round(r["coefficient"], 9))
+          for r in inc.node_counts.collect()}
+    gf = {r["id"]: (r["triangles"], round(r["coefficient"], 9))
+          for r in full.node_counts.collect()}
+    assert gi == gf
+    assert inc.triangle_count == full.triangle_count
+    assert inc.average_coefficient == pytest.approx(
+        full.average_coefficient, abs=1e-12)
+
+
+def test_triangles_incremental_all_new_triangle(spark):
+    # a triangle formed entirely of delta edges (k=3 discoveries at
+    # weight 1/3 each) and one mixed (k=1)
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    O = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    Nw = spark.createDataFrame([(3, 4), (4, 5), (5, 3), (2, 0)],
+                               "src long, dst long")
+    prev = triangle_count(v, O)
+    inc = triangle_count_incremental(v, O, Nw, prev.node_counts)
+    got = {r["id"]: r["triangles"] for r in inc.node_counts.collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    assert inc.triangle_count == 2
