@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["url_host", "host_graph"]
+__all__ = ["url_host", "url_domain", "host_graph", "domain_graph"]
 
 # scheme://host[:port]/... → capture group 1 = authority without
 # userinfo/path/query/fragment. Mirrored literally in the DuckDB oracle
@@ -58,5 +58,62 @@ def host_graph(
     if drop_self_loops:
         h = h.filter(F.col("src_host") != F.col("dst_host"))
     return h.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+
+
+# Common multi-label public suffixes (compact heuristic list — NOT the
+# full Mozilla PSL; covers the dominant crawl mass. A production run
+# would broadcast-join the full PSL as a table instead.)
+_MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.nz", "net.nz", "org.nz",
+    "co.za", "org.za", "web.za",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+)
+
+
+def url_domain(url: Column | str) -> Column:
+    """Registrable domain of a URL column: the public suffix plus one
+    label ('example.co.uk' for 'a.b.example.co.uk'; 'example.org' for
+    'h7.example.org'). Pure JVM column expression — split + a
+    suffix-list membership check, no UDF."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.when(n >= 3, F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2),
+        F.element_at(parts, -1)))
+    is_multi = last2.isin(*_MULTI_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_multi, F.coalesce(last3, host))
+        .otherwise(last2)
+    )
+
+
+def domain_graph(
+    url_edges: DataFrame,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    drop_self_loops: bool = False,
+) -> DataFrame:
+    """(src_domain, dst_domain, weight) — :func:`host_graph` at
+    registrable-domain granularity (Common Crawl's domain-level graph)."""
+    h = url_edges.select(
+        url_domain(F.col(src_col)).alias("src_domain"),
+        url_domain(F.col(dst_col)).alias("dst_domain"),
+    )
+    if drop_self_loops:
+        h = h.filter(F.col("src_domain") != F.col("dst_domain"))
+    return h.groupBy("src_domain", "dst_domain").agg(
         F.count(F.lit(1)).alias("weight")
     )

@@ -70,6 +70,7 @@ _REGISTRY: dict[str, str] = {
     "ext.unionFind.incremental": f"{_P}.operators.wcc:connected_components_incremental",
     "ext.hostGraph": f"{_P}.operators.hostgraph:host_graph",
     "ext.triangleCount.incremental": f"{_P}.operators.triangles:triangle_count_incremental",
+    "ext.domainGraph": f"{_P}.operators.hostgraph:domain_graph",
 }
 
 

@@ -156,3 +156,31 @@ def test_host_graph_rollup_vs_python_oracle(spark):
     hg_all = host_graph(extract_edges(pages, dedup=True))
     total = sum(r["weight"] for r in hg_all.collect())
     assert total == len(exp_pdf)
+
+
+def test_url_domain_and_domain_graph(spark):
+    from neo4j_graph_algorithms_spark.operators.hostgraph import (
+        domain_graph,
+        url_domain,
+    )
+
+    rows = [
+        ("https://a.b.example.co.uk/x", "example.co.uk"),
+        ("https://h7.example.org/p/7", "example.org"),
+        ("https://example.org/", "example.org"),
+        ("https://user.github.io/repo", "user.github.io"),
+        ("https://deep.sub.domain.example.com/", "example.com"),
+        ("https://localhost/x", "localhost"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = {r["url"]: r["d"] for r in
+           df.select("url", url_domain("url").alias("d")).collect()}
+    for u, expect in rows:
+        assert got[u] == expect, (u, got[u], expect)
+    # rollup: multi-host synthetic pages collapse to ONE domain
+    K = 4
+    pages = generate_pages(spark, 60, n_hosts=K)
+    dg = domain_graph(extract_edges(pages, dedup=True))
+    out = dg.collect()
+    assert len(out) == 1
+    assert out[0]["src_domain"] == "example.org"
