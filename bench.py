@@ -293,6 +293,7 @@ def run_scalerun() -> dict:
         "wall_sec": round(dt, 2),
         "sec_per_superstep": round(dt / res.iterations, 3),
         "edges_per_sec_per_superstep": round(n_edges * res.iterations / dt, 1),
+        "host_steal_pct": _steal_pct(cpu0, _cpu_sample()),
     }
     spark.stop()
     return out
