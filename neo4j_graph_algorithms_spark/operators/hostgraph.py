@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["url_host", "url_domain", "host_graph", "domain_graph"]
+__all__ = ["url_host", "url_domain", "host_graph", "domain_graph",
+           "with_registrable_domain"]
 
 # scheme://host[:port]/... → capture group 1 = authority without
 # userinfo/path/query/fragment. Mirrored literally in the DuckDB oracle
@@ -63,8 +64,8 @@ def host_graph(
 
 
 # Common multi-label public suffixes (compact heuristic list — NOT the
-# full Mozilla PSL; covers the dominant crawl mass. A production run
-# would broadcast-join the full PSL as a table instead.)
+# full Mozilla PSL; covers the dominant crawl mass. For full-PSL
+# accuracy pass the list as a table to ``with_registrable_domain``.)
 _MULTI_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au",
@@ -97,6 +98,68 @@ def url_domain(url: Column | str) -> Column:
         .when(is_multi, F.coalesce(last3, host))
         .otherwise(last2)
     )
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    url_col: str,
+    *,
+    out_col: str = "domain",
+    suffixes: DataFrame | None = None,
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """Add a registrable-domain column computed from ``url_col``.
+
+    With ``suffixes`` — a DataFrame with one string column ``suffix``
+    holding the full public suffix list (e.g. the Mozilla PSL's plain
+    rules) — matching is longest-suffix-wins via ``max_suffix_labels``
+    BROADCAST hash joins (one per candidate suffix length, all
+    map-side: the PSL is ~10k rows, the page table never shuffles).
+    Hosts matching no rule fall back to the PSL's implicit ``*`` rule
+    (the TLD is the public suffix → registrable domain = last two
+    labels); a host that IS a public suffix maps to itself. Without
+    ``suffixes`` the compact :func:`url_domain` heuristic is used.
+    """
+    host = url_host(F.col(url_col))
+    if suffixes is None:
+        return df.withColumn(out_col, url_domain(F.col(url_col)))
+
+    out = (
+        df.withColumn("_rd_host", host)
+        .withColumn("_rd_parts", F.split(F.col("_rd_host"), r"\."))
+        .withColumn("_rd_n", F.size(F.col("_rd_parts")))
+    )
+    ks = list(range(min(max_suffix_labels, 4), 0, -1))
+    for k in ks:
+        cand = F.when(
+            F.col("_rd_n") >= k,
+            F.concat_ws(".", *[F.element_at(F.col("_rd_parts"), -i)
+                               for i in range(k, 0, -1)]),
+        )
+        sfx = F.broadcast(
+            suffixes.select(F.col("suffix").alias(f"_rd_m{k}"))
+            .dropDuplicates()
+        )
+        out = out.join(sfx, F.col(f"_rd_m{k}") == cand, "left")
+    mk = F.coalesce(*[
+        F.when(F.col(f"_rd_m{k}").isNotNull(), F.lit(k)) for k in ks
+    ])
+    # last (mk + 1) labels, 1-based slice
+    dom = F.array_join(
+        F.slice(F.col("_rd_parts"), F.col("_rd_n") - mk, mk + F.lit(1)),
+        ".",
+    )
+    domain = (
+        F.when(mk.isNull(),
+               F.when(F.col("_rd_n") <= 2, F.col("_rd_host"))
+               .otherwise(F.concat_ws(
+                   ".", F.element_at(F.col("_rd_parts"), -2),
+                   F.element_at(F.col("_rd_parts"), -1))))
+        .when(F.col("_rd_n") <= mk, F.col("_rd_host"))
+        .otherwise(dom)
+    )
+    drop = ["_rd_host", "_rd_parts", "_rd_n"] + [f"_rd_m{k}" for k in ks]
+    return out.withColumn(out_col, domain).drop(*drop)
 
 
 def domain_graph(

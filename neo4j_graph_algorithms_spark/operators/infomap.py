@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
 
-__all__ = ["infomap", "InfoMapResult"]
+__all__ = ["infomap", "infomap_fixed_merges", "InfoMapResult"]
 
 TAU = 0.15
 THRESHOLD = 0.005
@@ -192,3 +192,125 @@ def infomap(
         "id long, community long",
     )
     return InfoMapResult(out, iterations, len(modules))
+
+
+def infomap_fixed_merges(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    n_merges: int = 8,
+    weighted: bool = False,
+    pr_iterations: int = 10,
+    threshold: float = THRESHOLD,
+    tau: float = TAU,
+    max_nodes: int = 50_000,
+) -> InfoMapResult:
+    """Deterministic fixed-merge-count InfoMap — the oracle-checkable
+    mirror of :func:`infomap` (same pattern as ``louvain_onelevel``).
+
+    Up to ``n_merges`` merges; each picks the map-equation argmin
+    (InfoMap.java:281-292, the same ΔL objective) over module stats
+    recomputed as *pure functions of the current community assignment*
+    — p_i/n_i are per-module sums, w_i is the module's exit flow
+    Σ v(s,t)·p(s) over cross-module edges — instead of the reference's
+    incrementally-maintained per-module ``wi`` neighbor map (whose
+    putAll-collision quirk, InfoMap.java:452-455, is not
+    SQL-replayable). ΔL is rounded to 9 dp before comparison, ties
+    break ascending on (ΔL, c_j, c_k) with pairs canonicalized
+    c_j < c_k, and the higher community id merges into the lower; a
+    step with no candidate below ``−threshold`` stops the chain. The
+    PageRank seed (damping 1−τ) runs DISTRIBUTED exactly as in
+    :func:`infomap`; the merge replay is driver-side over the
+    ``max_nodes``-guarded module graph, as is the reference's own
+    sequential loop (InfoMap.java:262-274).
+    """
+    wcol = (F.col("weight").cast("double") if weighted and
+            "weight" in edges.columns else F.lit(1.0))
+    e = edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", wcol.alias("w"))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                         "w"))
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
+    n = vertices.count()
+    if n > max_nodes:
+        raise ValueError(
+            f"InfoMap's merge chain is sequential; {n} nodes > "
+            f"max_nodes={max_nodes}"
+        )
+    if n < 2:
+        return InfoMapResult(
+            vertices.select("id", F.col("id").alias("community")), 0, n)
+
+    pr = pagerank(vertices,
+                  sym.select("src", "dst", F.col("w").alias("weight")),
+                  damping=1.0 - tau, max_iterations=pr_iterations,
+                  weighted=weighted, tol=0.0)
+    p_map = {r["id"]: r["rank"] for r in pr.ranks.collect()}
+
+    tot = sym.groupBy("src").agg(F.sum("w").alias("_tot"))
+    norm_rows = [
+        (r["src"], r["dst"], r["v"])
+        for r in sym.join(tot, "src").select(
+            "src", "dst", (F.col("w") / F.col("_tot")).alias("v")).collect()
+    ]
+    node_ids = sorted(r["id"] for r in vertices.select("id").collect())
+
+    tau1 = 1.0 - tau
+    n1 = n - 1.0
+    comm = {v: v for v in node_ids}
+    merges = 0
+    for _ in range(max(0, n_merges)):
+        p_mod: dict[int, float] = {}
+        n_mod: dict[int, int] = {}
+        for v_id in node_ids:
+            c = comm[v_id]
+            p_mod[c] = p_mod.get(c, 0.0) + p_map.get(v_id, 0.0)
+            n_mod[c] = n_mod.get(c, 0) + 1
+        w_mod: dict[int, float] = {}
+        flow: dict[tuple[int, int], float] = {}
+        for s, t, v in norm_rows:
+            cs, ct = comm[s], comm[t]
+            if cs == ct:
+                continue
+            contrib = v * p_map.get(s, 0.0)
+            w_mod[cs] = w_mod.get(cs, 0.0) + contrib
+            key = (cs, ct) if cs < ct else (ct, cs)
+            flow[key] = flow.get(key, 0.0) + contrib
+        q_mod = {
+            c: tau * p_mod[c] * (n - n_mod[c]) / n1
+            + tau1 * w_mod.get(c, 0.0)
+            for c in p_mod
+        }
+        s_q = sum(q_mod.values())
+        best: tuple[float, int, int] | None = None
+        for (cj, ck), wjk in flow.items():
+            pi = p_mod[cj] + p_mod[ck]
+            ni = n_mod[cj] + n_mod[ck]
+            qi = (tau * pi * (n - ni) / n1
+                  + tau1 * (w_mod.get(cj, 0.0) + w_mod.get(ck, 0.0) - wjk))
+            dl = (_plogp(qi - q_mod[cj] - q_mod[ck] + s_q) - _plogp(s_q)
+                  - 2 * _plogp(qi) + 2 * _plogp(q_mod[cj])
+                  + 2 * _plogp(q_mod[ck])
+                  + _plogp(pi + qi) - _plogp(p_mod[cj] + q_mod[cj])
+                  - _plogp(p_mod[ck] + q_mod[ck]))
+            dlr = round(dl, 9)
+            if dlr < -threshold:
+                cand = (dlr, cj, ck)
+                if best is None or cand < best:
+                    best = cand
+        if best is None:
+            break
+        _, cj, ck = best
+        for v_id in node_ids:
+            if comm[v_id] == ck:
+                comm[v_id] = cj
+        merges += 1
+
+    spark = vertices.sparkSession
+    out = spark.createDataFrame(
+        [(int(v), int(c)) for v, c in comm.items()],
+        "id long, community long",
+    )
+    return InfoMapResult(out, merges, len(set(comm.values())))

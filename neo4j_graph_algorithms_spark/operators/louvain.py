@@ -35,7 +35,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-__all__ = ["louvain", "louvain_one_level", "modularity", "LouvainResult"]
+__all__ = ["louvain", "louvain_one_level", "louvain_two_level",
+           "modularity", "LouvainResult"]
 
 
 @dataclass
@@ -280,6 +281,65 @@ def louvain_one_level(vertices: DataFrame, edges: DataFrame, *,
     sym = _sym_weighted(edges)
     labels, _ = _one_level(vertices, sym, gamma=gamma, max_moves=rounds)
     return labels
+
+
+def louvain_two_level(vertices: DataFrame, edges: DataFrame, *,
+                      rounds1: int, rounds2: int,
+                      gamma: float = 1.0) -> DataFrame:
+    """Two fixed-rounds Louvain levels with coarsening in between —
+    (id, community) canonicalized to min ORIGINAL member id.
+
+    The oracle-checkable mirror of the multi-level :func:`louvain`
+    coarsening path (Louvain.java:32-43): level 1 runs exactly
+    ``rounds1`` parity-scheduled move rounds, communities collapse into
+    super-nodes (edge weights summed, intra-community weight kept as
+    self-loops, the same 2m-invariant bookkeeping as :func:`louvain`),
+    level 2 runs ``rounds2`` rounds on the coarse graph, and the
+    result projects back to original ids. Every step is a deterministic
+    function of the previous labels over integer-valued doubles
+    (unit-weight sums stay exact in IEEE double through coarsening:
+    intra-community flows appear in both symmetrized directions so the
+    self-loop halving is exact), so the whole operator unrolls to SQL
+    (`_louvain_twolevel_sql`)."""
+    sym = _sym_weighted(edges).persist()
+    sym.count()
+    lab1, _ = _one_level(vertices, sym, gamma=gamma, max_moves=rounds1)
+    lab_s = lab1.select(F.col("id").alias("src"),
+                        F.col("community").alias("_cs"))
+    lab_d = lab1.select(F.col("id").alias("dst"),
+                        F.col("community").alias("_cd"))
+    coarse = (
+        sym.join(lab_s, "src").join(lab_d, "dst")
+        .groupBy(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+        .agg(F.sum(
+            F.when(F.col("src") == F.col("dst"), 2.0 * F.col("weight"))
+            .otherwise(F.col("weight"))
+        ).alias("weight"))
+        .withColumn(
+            "weight",
+            F.when(F.col("src") == F.col("dst"), F.col("weight") / 2.0)
+            .otherwise(F.col("weight")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cnodes = lab1.select(F.col("community").alias("id")).distinct()
+    lab2, _ = _one_level(cnodes, coarse, gamma=gamma, max_moves=rounds2)
+    mapping = (
+        lab1.join(
+            lab2.withColumnRenamed("community", "_new")
+            .withColumnRenamed("id", "community"),
+            "community",
+        )
+        .select("id", F.col("_new").alias("community"))
+    )
+    canon = (
+        mapping.groupBy("community").agg(F.min("id").alias("_canon"))
+        .join(mapping, "community")
+        .select("id", F.col("_canon").alias("community"))
+    )
+    canon = canon.localCheckpoint(eager=True)
+    sym.unpersist()
+    return canon
 
 
 def louvain(

@@ -648,14 +648,28 @@ def pagerank_delta(
             return PageRankResult(ranks, it, tol > 0.0 or n_frontier == 0,
                                   max_delta, [])
 
+    # Within an unroll block the frontier can grow by up to the max
+    # out-degree per push, so a broadcast decision taken once from the
+    # PREVIOUS count could force-broadcast a vertex-scale intermediate
+    # frontier J−1 pushes later. Bound each push independently:
+    # broadcast push j only while prev_count · max_out_deg^j (capped at
+    # |V|) stays under broadcast_frontier_rows.
+    max_out_deg = int(
+        plan_side.groupBy("src").count().agg(F.max("count")).first()[0] or 1
+    )
+
     with superstep_conf(spark, n_vertices):
         while it < max_iterations and not converged:
             block = min(max(1, unroll), max_iterations - it)
-            small = 0 < n_frontier <= broadcast_frontier_rows
             steps = []
             cur = frontier
+            frontier_bound = float(n_frontier)
             for j in range(block):
+                small = 0 < frontier_bound <= broadcast_frontier_rows
                 cur = _push(cur, small)
+                frontier_bound = min(
+                    frontier_bound * max_out_deg, float(n_vertices)
+                )
                 steps.append(cur.withColumn("j", F.lit(j)))
             # J supersteps fused in ONE job; each step's subtree is
             # referenced once by the next step and once (flat) by the

@@ -101,6 +101,7 @@ def dfs_order(
     max_depth: int | None = None,
     target_nodes: list[int] | None = None,
     max_nodes: int = 100_000,
+    max_edges: int = 10_000_000,
 ) -> DataFrame:
     """(step, id) in DFS visit order — ``algo.dfs.stream``
     (TraverseProc.java:124-186, impl/Traverse.java:108-151).
@@ -129,13 +130,24 @@ def dfs_order(
             f"the walk with max_depth/target_nodes"
         )
     rid = reach.select("id")
-    adj_rows = (
+    induced = (
         edges.select("src", "dst")
         .join(rid.withColumnRenamed("id", "src"), "src", "left_semi")
         .join(rid.withColumnRenamed("id", "dst"), "dst", "left_semi")
         .dropDuplicates(["src", "dst"])
-        .collect()
-    )
+    ).persist()
+    # node count alone doesn't bound the collect — a dense reachable
+    # subgraph of max_nodes nodes can carry O(max_nodes^2) edges
+    n_edges = induced.count()
+    if n_edges > max_edges:
+        induced.unpersist()
+        raise ValueError(
+            f"DFS visit order is sequential; induced reachable subgraph "
+            f"has {n_edges} edges > max_edges={max_edges} — raise "
+            f"max_edges or bound the walk with max_depth/target_nodes"
+        )
+    adj_rows = induced.collect()
+    induced.unpersist()
     adj: dict[int, list[int]] = {}
     for r in adj_rows:
         adj.setdefault(r["src"], []).append(r["dst"])
@@ -520,12 +532,21 @@ def random_walks(
     """(walk_id, step, node) — fixed-length random walks from every
     vertex, deterministic per (walk, step) via hash-based sampling:
     at each step a walker at u picks out-edge rank
-    ``hash(walk_id, step, seed) mod outdeg(u)``. Dead ends stop."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    ranked = edges.select("src", "dst").withColumn(
+    ``hash(walk_id, step, seed) mod outdeg(u)``. Dead ends stop.
+
+    Scale note: the pick rank is computed BEFORE touching the edge
+    table (frontier ⋈ vertex-sized degree table → ``_rk``), so the
+    step join is an equi-join on ``(node, _rk)`` — a walker sitting on
+    a degree-10^6 hub matches exactly one edge row instead of
+    materializing the hub's whole adjacency and filtering."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")) \
+        .withColumnRenamed("src", "node").persist()
+    ranked = edges.select(
+        F.col("src").alias("node"), "dst"
+    ).withColumn(
         "_rk",
-        F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1,
-    ).join(deg, "src").persist()
+        F.row_number().over(W.partitionBy("node").orderBy("dst")) - 1,
+    ).persist()
     ranked.count()
 
     starts = vertices.select("id").crossJoin(
@@ -541,19 +562,30 @@ def random_walks(
     out = starts.persist()
     cur = starts
     for step in range(1, walk_length + 1):
-        pick = F.pmod(
-            F.hash(F.col("walk_id"), F.lit(step), F.lit(seed)), F.col("_deg")
-        )
-        nxt = (
-            cur.join(ranked.withColumnRenamed("src", "node"), "node")
-            .filter(F.col("_rk") == pick)
-            .select("walk_id", F.lit(step).alias("step"),
-                    F.col("dst").alias("node"))
-        ).localCheckpoint(eager=False)
+        nxt = _walk_step(cur, deg, ranked, step, seed) \
+            .localCheckpoint(eager=False)
         nxt.count()
         out = out.union(nxt)
         cur = nxt
     return out
+
+
+def _walk_step(cur: DataFrame, deg: DataFrame, ranked: DataFrame,
+               step: int, seed: int) -> DataFrame:
+    """One walk step: frontier ⋈ degree (vertex-sized) computes the
+    edge-rank pick, then an equi-join on ``(node, _rk)`` fetches exactly
+    one edge row per walker — plan shape pinned by
+    tests/test_plan_shape.py::test_walk_step_join_is_rank_equi_join."""
+    pick = F.pmod(
+        F.hash(F.col("walk_id"), F.lit(step), F.lit(seed)), F.col("_deg")
+    )
+    return (
+        cur.join(deg, "node")
+        .withColumn("_rk", pick)
+        .join(ranked, ["node", "_rk"])
+        .select("walk_id", F.lit(step).alias("step"),
+                F.col("dst").alias("node"))
+    )
 
 
 def node2vec_walks(

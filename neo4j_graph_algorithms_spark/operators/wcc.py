@@ -222,9 +222,11 @@ def connected_components_incremental(
     # is small → broadcast it so the (vertex-sized) label table is
     # joined map-side, no shuffle of `base`.
     lab = base
+    half = F.broadcast(e).join(
+        lab.withColumnRenamed("id", "src")
+           .withColumnRenamed("component", "_cs"), "src")
     contracted = (
-        e.join(lab.withColumnRenamed("id", "src")
-               .withColumnRenamed("component", "_cs"), "src")
+        F.broadcast(half)
         .join(lab.withColumnRenamed("id", "dst")
               .withColumnRenamed("component", "_cd"), "dst")
         .select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))

@@ -5,14 +5,15 @@ with a metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` kernels so a 100 TB corpus streams
 through Python in bounded batches with zero driver involvement.
 
-Decode support: uncompressed 24-bit BMP (BI_RGB) decodes for REAL via
-a pure-numpy parser (:func:`decode_bmp`) — no external codec needed —
-and featurizes to width/height + a 16-bin luminance histogram; 16-bit
-PCM WAV audio decodes for REAL via the stdlib ``wave`` module
-(:func:`decode_wav`) and featurizes to rate/duration/rms + a 16-bin
-amplitude histogram.
-Compressed formats (JPEG/PNG/...) remain STUBBED: payloads without the
-``BM`` magic raise ``NotImplementedError`` from the workers (the
+Decode support: uncompressed 24-bit BMP (BI_RGB), binary PPM (P6) and
+binary PGM (P5) decode for REAL via pure-numpy parsers
+(:func:`decode_bmp`, :func:`decode_pnm`, dispatched by magic in
+:func:`decode_image`) — no external codec needed — and featurize to
+width/height + a 16-bin luminance histogram; 16-bit PCM WAV audio
+decodes for REAL via the stdlib ``wave`` module (:func:`decode_wav`)
+and featurizes to rate/duration/rms + a 16-bin amplitude histogram.
+Compressed formats (JPEG/PNG/...) remain STUBBED: payloads without a
+known magic raise ``NotImplementedError`` from the workers (the
 sandbox ships no libjpeg/PIL); ``fake=True`` substitutes a
 deterministic stand-in decoder for any payload, exercising the
 identical plumbing — schema, partitioning, UDF signature, Arrow batch
@@ -28,9 +29,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["attach_metadata", "decode_bmp", "decode_wav",
-           "extract_image_features", "extract_audio_features",
-           "frame_sample", "resize_images"]
+__all__ = ["attach_metadata", "decode_bmp", "decode_pnm", "decode_image",
+           "decode_wav", "extract_image_features",
+           "extract_audio_features", "frame_sample", "resize_images"]
 
 _FEATURE_SCHEMA = (
     "item_id long, n_bytes long, width int, height int, features array<float>"
@@ -83,8 +84,67 @@ def decode_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
     return width, h, rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
-def _bmp_features(buf: bytes) -> tuple[int, int, np.ndarray]:
-    w, h, px = decode_bmp(buf)
+def decode_pnm(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy decoder for binary netpbm images: P6 (PPM, RGB) and
+    P5 (PGM, grayscale — replicated to 3 channels).
+
+    Returns (width, height, pixels[h, w, 3] uint8 RGB). Header
+    comments (``#`` to end of line) are skipped per the spec; 2-byte
+    (maxval > 255) samples raise ``NotImplementedError``."""
+    if len(buf) < 2 or buf[0:1] != b"P" or buf[1:2] not in (b"5", b"6"):
+        raise NotImplementedError(
+            "only binary PPM (P6) / PGM (P5) decode in-sandbox")
+    rgb = buf[1:2] == b"6"
+    pos = 2
+    tokens: list[bytes] = []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PNM header")
+        tokens.append(buf[start:pos])
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM samples unsupported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNM dimensions {w}x{h}")
+    nch = 3 if rgb else 1
+    need = w * h * nch
+    if len(buf) - pos < need:
+        raise ValueError(
+            f"truncated PNM: {len(buf) - pos} payload bytes, need {need}")
+    px = np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos) \
+        .reshape(h, w, nch)
+    if not rgb:
+        px = np.repeat(px, 3, axis=2)
+    return w, h, px.copy()
+
+
+def decode_image(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic-dispatched real image decode: BMP (``BM``), binary PPM
+    (``P6``), binary PGM (``P5``). Anything else (JPEG/PNG/...) raises
+    ``NotImplementedError`` — compressed codecs are out of scope
+    in-sandbox."""
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:2] in (b"P5", b"P6"):
+        return decode_pnm(buf)
+    raise NotImplementedError(
+        "only BMP/PPM/PGM decode in-sandbox; compressed formats need an "
+        "external codec (PIL/libjpeg)"
+    )
+
+
+def _image_features(buf: bytes) -> tuple[int, int, np.ndarray]:
+    w, h, px = decode_image(buf)
     # 16-bin histogram of integer luminance (Rec.601 weights, scaled to
     # integers so the result is platform-deterministic)
     lum = (px[:, :, 0].astype(np.uint32) * 299
@@ -112,19 +172,20 @@ def extract_image_features(df: DataFrame, *, payload_col: str = "payload",
                            fake: bool = False) -> DataFrame:
     """Decode + featurize payloads via ``mapInPandas`` (Arrow batches).
 
-    ``fake=False`` (the default) REALLY decodes uncompressed 24-bit BMP
-    payloads (pure numpy, :func:`decode_bmp`) and featurizes to a
-    16-bin luminance histogram; non-BMP payloads raise
-    NotImplementedError from the workers (compressed codecs need
-    PIL/libjpeg, absent in-sandbox). ``fake=True`` runs the
-    deterministic stand-in decoder through the identical plumbing.
+    ``fake=False`` (the default) REALLY decodes uncompressed 24-bit
+    BMP, binary PPM (P6) and binary PGM (P5) payloads (pure numpy,
+    :func:`decode_image`) and featurizes to a 16-bin luminance
+    histogram; other payloads raise NotImplementedError from the
+    workers (compressed codecs need PIL/libjpeg, absent in-sandbox).
+    ``fake=True`` runs the deterministic stand-in decoder through the
+    identical plumbing.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for item_id, buf in zip(pdf[id_col], pdf[payload_col]):
-                decode = _fake_decode if fake else _bmp_features
+                decode = _fake_decode if fake else _image_features
                 w, h, feat = decode(bytes(buf))
                 rows.append((int(item_id), len(buf), w, h, feat.tolist()))
             yield pd.DataFrame(
@@ -221,9 +282,9 @@ def resize_images(df: DataFrame, *, out_w: int = 64, out_h: int = 64,
     """Decode + nearest-neighbor resize via ``mapInPandas`` (Arrow
     batches). Output (item_id, width, height, out_width, out_height,
     pixels) where pixels is the packed row-major RGB bytes of the
-    resized image. ``fake=True`` substitutes a deterministic
-    length-derived gradient image for non-BMP payloads (same plumbing,
-    no codec)."""
+    resized image. Real path decodes BMP/PPM/PGM; ``fake=True``
+    substitutes a deterministic length-derived gradient image for any
+    payload (same plumbing, no codec)."""
     schema = ("item_id long, width int, height int, out_width int, "
               "out_height int, pixels binary")
 
@@ -238,7 +299,7 @@ def resize_images(df: DataFrame, *, out_w: int = 64, out_h: int = 64,
                     h = int(max(1, (len(buf) // 640) + 1))
                     px = np.resize(arr, (h, w, 3))
                 else:
-                    w, h, px = decode_bmp(buf)
+                    w, h, px = decode_image(buf)
                 small = resize_nn(px, out_w, out_h)
                 rows.append((int(item_id), w, h, out_w, out_h,
                              small.tobytes()))

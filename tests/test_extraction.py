@@ -184,3 +184,46 @@ def test_url_domain_and_domain_graph(spark):
     out = dg.collect()
     assert len(out) == 1
     assert out[0]["src_domain"] == "example.org"
+
+
+def test_with_registrable_domain_psl_table(spark):
+    from neo4j_graph_algorithms_spark.operators.hostgraph import (
+        with_registrable_domain,
+    )
+
+    psl = spark.createDataFrame(
+        [("co.uk",), ("com.au",), ("github.io",), ("com",), ("org",),
+         ("uk",), ("pvt.k12.ma.us",)],
+        "suffix string",
+    )
+    rows = [
+        # (url, expected registrable domain via the PSL table)
+        ("https://a.b.example.co.uk/x", "example.co.uk"),
+        ("https://shop.example.com.au/", "example.com.au"),
+        ("https://user.github.io/repo", "user.github.io"),
+        ("https://deep.sub.example.com/", "example.com"),
+        # 4-label suffix match
+        ("https://school.pvt.k12.ma.us/", "school.pvt.k12.ma.us"),
+        # host IS a public suffix → maps to itself
+        ("https://co.uk/", "co.uk"),
+        # unknown suffix → implicit '*' rule (last two labels)
+        ("https://a.b.example.zz/", "example.zz"),
+        # single-label host, no match
+        ("https://localhost/x", "localhost"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    out = with_registrable_domain(df, "url", suffixes=psl)
+    got = {r["url"]: r["domain"] for r in out.collect()}
+    for u, expect in rows:
+        assert got[u] == expect, (u, got[u], expect)
+    assert set(out.columns) == {"url", "domain"}  # helpers dropped
+    # heuristic fallback path (no table) still works
+    got2 = {
+        r["url"]: r["domain"]
+        for r in with_registrable_domain(df, "url").collect()
+    }
+    assert got2["https://a.b.example.co.uk/x"] == "example.co.uk"
+    # the broadcast-join path must not shuffle the page side: every
+    # join in the plan is a BroadcastHashJoin
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

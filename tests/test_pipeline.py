@@ -407,6 +407,77 @@ def test_decode_bmp_roundtrip_and_unsupported():
         decode_bmp(b"\x89PNG" + b"\x00" * 60)
 
 
+def _make_ppm(w, h, seed, gray=False, comment=False):
+    """Minimal binary PPM (P6) / PGM (P5), optional header comment."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    if gray:
+        px = rng.randint(0, 256, size=(h, w, 1), dtype=np.uint8)
+        magic = b"P5"
+        body = px.tobytes()
+        rgb = np.repeat(px, 3, axis=2)
+    else:
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        magic = b"P6"
+        body = rgb.tobytes()
+    cmt = b"# synthetic fixture\n" if comment else b""
+    header = magic + b"\n" + cmt + f"{w} {h}\n255\n".encode()
+    return header + body, rgb
+
+
+def test_real_pnm_decode_through_kernel(spark):
+    import numpy as np
+
+    payloads, oracle = [], {}
+    fixtures = [
+        _make_ppm(6, 4, seed=1),                      # P6 plain
+        _make_ppm(5, 7, seed=2, comment=True),        # P6 with comment
+        _make_ppm(8, 3, seed=3, gray=True),           # P5 grayscale
+    ]
+    for i, (buf, rgb) in enumerate(fixtures):
+        payloads.append((i, buf))
+        lum = (rgb[:, :, 0].astype(np.uint32) * 299
+               + rgb[:, :, 1].astype(np.uint32) * 587
+               + rgb[:, :, 2].astype(np.uint32) * 114) // 1000
+        hist = np.bincount((lum >> 4).ravel(), minlength=16).astype(np.float64)
+        oracle[i] = (rgb.shape[1], rgb.shape[0], hist / hist.sum())
+    df = spark.createDataFrame(payloads, "item_id long, payload binary")
+    got = {r["item_id"]: r
+           for r in extract_image_features(df, fake=False).collect()}
+    for i, (w, h, feats) in oracle.items():
+        assert (got[i]["width"], got[i]["height"]) == (w, h)
+        assert np.allclose(got[i]["features"], feats, atol=1e-6)
+
+
+def test_decode_pnm_roundtrip_and_dispatch():
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        decode_image,
+        decode_pnm,
+    )
+
+    buf, rgb = _make_ppm(4, 3, seed=5, comment=True)
+    w, h, px = decode_pnm(buf)
+    assert (w, h) == (4, 3)
+    assert np.array_equal(px, rgb)
+    # grayscale replicates channels
+    gbuf, grgb = _make_ppm(3, 2, seed=6, gray=True)
+    _, _, gpx = decode_pnm(gbuf)
+    assert np.array_equal(gpx, grgb)
+    # dispatcher routes by magic; unknown magic raises
+    assert np.array_equal(decode_image(buf)[2], rgb)
+    bbuf, bpx = _make_bmp(4, 2, seed=7)
+    assert np.array_equal(decode_image(bbuf)[2], bpx)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG" + b"\x00" * 60)
+    with pytest.raises(NotImplementedError):
+        decode_pnm(b"P6\n2 2\n65535\n" + b"\x00" * 24)  # 16-bit maxval
+    with pytest.raises(ValueError):
+        decode_pnm(b"P6\n10 10\n255\n" + b"\x00" * 5)  # truncated
+
+
 def _make_wav(n_frames, rate=8000, nch=1, seed=0):
     import io
     import wave

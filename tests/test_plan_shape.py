@@ -94,6 +94,75 @@ def test_superstep_join_broadcasts_small_state(spark):
     plan_side.unpersist()
 
 
+def test_walk_step_join_is_rank_equi_join(spark):
+    """random_walks' per-step edge join must be an equi-join on
+    (node, _rk) — the pick rank is computed BEFORE touching the edge
+    table, so a walker on a degree-10^6 hub matches one edge row
+    instead of fanning out the whole adjacency and filtering."""
+    from pyspark.sql import Window as W
+
+    from neo4j_graph_algorithms_spark.operators.traversal import _walk_step
+
+    edges = spark.createDataFrame(
+        [(i % 20, (i * 3) % 20) for i in range(60)], "src long, dst long"
+    ).dropDuplicates()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")) \
+        .withColumnRenamed("src", "node")
+    ranked = edges.select(F.col("src").alias("node"), "dst").withColumn(
+        "_rk", F.row_number().over(W.partitionBy("node").orderBy("dst")) - 1)
+    cur = spark.createDataFrame(
+        [(i, 0, i) for i in range(20)], "walk_id long, step int, node long")
+    plan = _explain(_walk_step(cur, deg, ranked, 1, 42))
+    # the edge-table join carries BOTH keys (node AND the rank)
+    assert re.search(r"keys \[2\]: \[node#\d+L?, _rk#\d+", plan), plan
+    # and no residual _rk equality filter above a single-key join (the
+    # old fan-out shape computed the pick AFTER joining all edges)
+    assert not re.search(r"keys \[1\]: \[node#\d+L?\]\s*$.*_rk = ",
+                         plan, re.S), plan
+
+
+def test_hub_split_expansion_broadcasts_not_shuffles(spark):
+    """The hub-split superstep (pagerank hub_threshold path): hot-vertex
+    rank rows expand to replicas via a BROADCAST join, and the big edge
+    join is keyed (src, replica) so a hub's edges spread over replica
+    partitions."""
+    from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
+    from neo4j_graph_algorithms_spark.plans.skew import split_high_degree
+
+    hub = [(0, d, 1.0 / 200) for d in range(1, 201)]
+    cold = [(s, (s + 1) % 50, 1.0) for s in range(1, 50)]
+    ef = spark.createDataFrame(hub + cold, "src long, dst long, factor double")
+    ef = split_high_degree(ef, threshold=10, replicas=4)
+    plan_side = (
+        ef.repartition(4, "src", "replica")
+        .sortWithinPartitions("src", "replica").persist()
+    )
+    plan_side.count()
+    hot_replica_map = (
+        ef.filter(F.col("replica") > 0).select("src").distinct()
+        .select(F.col("src"),
+                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("replica"))
+    )
+    ranks = spark.createDataFrame(
+        [(i, 0.15) for i in range(201)], "id long, rank double"
+    ).localCheckpoint(eager=True)
+    with superstep_conf(spark, 50_000_000):
+        rank_side = (
+            ranks.select(F.col("id").alias("src"), "rank")
+            .join(F.broadcast(hot_replica_map), "src", "left")
+            .withColumn("replica", F.coalesce("replica", F.lit(0)))
+        )
+        msgs = (
+            plan_side.join(rank_side, ["src", "replica"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("factor")).alias("msg"))
+        )
+        plan = _explain(msgs)
+    assert "BroadcastHashJoin" in plan, plan  # replica expansion
+    assert re.search(r"keys \[2\]: \[src#\d+L?, replica#\d+", plan), plan
+    plan_side.unpersist()
+
+
 def test_parquet_column_pruning_and_filter_pushdown(spark):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     proj = li.select("l_orderkey", "l_partkey").filter(

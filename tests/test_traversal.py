@@ -76,6 +76,21 @@ def test_dfs_max_nodes_guard(spark):
         dfs_order(_v(spark, 3), e, 0, max_nodes=1)
 
 
+def test_dfs_max_edges_guard(spark):
+    # dense fixture: node count passes the max_nodes gate but the
+    # induced edge set exceeds max_edges — the collect must refuse
+    # (a dense 100k-node reachable subgraph can carry 10^9+ edges)
+    n = 12
+    e = make_edges(spark, [(i, j, 1.0) for i in range(n)
+                           for j in range(n) if i != j])
+    with pytest.raises(ValueError, match="max_edges"):
+        dfs_order(_v(spark, n), e, 0, max_nodes=100, max_edges=50)
+    # and passes when the bound accommodates the graph
+    out = dfs_order(_v(spark, n), e, 0, max_nodes=100,
+                    max_edges=n * (n - 1))
+    assert out.count() == n
+
+
 def _hav_nm(lat1, lon1, lat2, lon2):
     import math
 
