@@ -98,12 +98,17 @@ def _steal_pct(before, after) -> float | None:
 
 
 def _timed(fn, label: str = ""):
+    """Times fn AND samples /proc/stat around it, so a steal spike is
+    attributable to the specific query it hit (BENCH_r02's tpch trio
+    regressed under an unattributable whole-run sample)."""
+    c0 = _cpu_sample()
     t0 = time.time()
     out = fn()
     dt = time.time() - t0
+    st = _steal_pct(c0, _cpu_sample())
     if label:
-        _log(f"{label}: {dt:.1f}s")
-    return dt, out
+        _log(f"{label}: {dt:.1f}s (steal {st}%)")
+    return dt, st, out
 
 
 def _build_pages_graph(spark):
@@ -142,22 +147,24 @@ def run_bench() -> dict:
 
     spark = _spark()
     queries: dict[str, float] = {}
+    steal: dict[str, float | None] = {}
     cpu0 = _cpu_sample()
 
     _log(f"building pages graph: n={N_PAGES} cpus={CPUS}")
-    t_build, (v, e, n_nodes, n_edges) = _timed(
+    t_build, st, (v, e, n_nodes, n_edges) = _timed(
         lambda: _build_pages_graph(spark), "pages_extract_build")
     _log(f"graph: {n_nodes} nodes, {n_edges} edges")
     queries["pages_extract_build"] = round(t_build, 3)
+    steal["pages_extract_build"] = st
 
     # headline: PageRank to 1e-6 convergence
-    t0 = time.time()
-    res = pagerank(v, e, max_iterations=150, tol=PR_TOL, unroll=8)
-    t_pr = time.time() - t0
+    t_pr, st, res = _timed(
+        lambda: pagerank(v, e, max_iterations=150, tol=PR_TOL, unroll=8))
     supersteps = res.iterations
     _log(f"pagerank_conv: {t_pr:.1f}s, {supersteps} supersteps, "
-         f"converged={res.converged}")
+         f"converged={res.converged}, steal {st}%")
     queries["pagerank_conv"] = round(t_pr, 3)
+    steal["pagerank_conv"] = st
     edges_per_sec_per_superstep = n_edges * supersteps / t_pr
 
     # NOTE: pagerank_delta is deliberately NOT benched here — measured
@@ -165,24 +172,28 @@ def run_bench() -> dict:
     # it exists for localized-frontier regimes (incremental re-rank,
     # narrow personalization), not the full-graph headline.
 
-    t, wres = _timed(lambda: connected_components(v, e), "wcc")
+    t, st, wres = _timed(lambda: connected_components(v, e), "wcc")
     queries["wcc"] = round(t, 3)
-    t, _ = _timed(
+    steal["wcc"] = st
+    t, st, _ = _timed(
         lambda: label_propagation(v, e, max_iterations=5, partition_col=None,
                                   node_weight_col=None),
         "label_propagation_5",
     )
     queries["label_propagation_5"] = round(t, 3)
-    t, tres = _timed(lambda: triangle_count(v, e), "triangle_count")
+    steal["label_propagation_5"] = st
+    t, st, tres = _timed(lambda: triangle_count(v, e), "triangle_count")
     queries["triangle_count"] = round(t, 3)
+    steal["triangle_count"] = st
 
     # TPC-H-derived graph (the oracle-checked graph) for cross-reference
     import __spark_entry__ as em
 
     for name in ["pagerank", "wcc", "triangles_per_node"]:
-        t, _ = _timed(lambda: em.queries()[name](spark, SF_DIR).count(),
-                      f"tpch_{name}")
+        t, st, _ = _timed(lambda: em.queries()[name](spark, SF_DIR).count(),
+                          f"tpch_{name}")
         queries[f"tpch_{name}"] = round(t, 3)
+        steal[f"tpch_{name}"] = st
 
     # training-data pipeline at PRODUCTION parameters (the driver's
     # correctness queries use the small oracle-matched configs; the
@@ -194,24 +205,28 @@ def run_bench() -> dict:
     from neo4j_graph_algorithms_spark.pipeline.ann import cosine_knn_lsh
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    t, _ = _timed(lambda: minhash_lsh_candidates(docs).count(),
-                  "minhash_lsh_prod128")
+    t, st, _ = _timed(lambda: minhash_lsh_candidates(docs).count(),
+                      "minhash_lsh_prod128")
     queries["minhash_lsh_prod128"] = round(t, 3)
+    steal["minhash_lsh_prod128"] = st
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    t, _ = _timed(lambda: cosine_knn_lsh(emb, k=10, n_bits=8).count(),
-                  "cosine_knn_lsh")
+    t, st, _ = _timed(lambda: cosine_knn_lsh(emb, k=10, n_bits=8).count(),
+                      "cosine_knn_lsh")
     queries["cosine_knn_lsh"] = round(t, 3)
+    steal["cosine_knn_lsh"] = st
 
     from neo4j_graph_algorithms_spark.pipeline.ann import ivf_knn
     from neo4j_graph_algorithms_spark.pipeline.dedup import simhash_near_dup
 
-    t, _ = _timed(lambda: ivf_knn(emb, n_queries=100, k=10,
-                                  n_centroids=64, n_probe=8).count(),
-                  "ivf_knn_prod")
+    t, st, _ = _timed(lambda: ivf_knn(emb, n_queries=100, k=10,
+                                      n_centroids=64, n_probe=8).count(),
+                      "ivf_knn_prod")
     queries["ivf_knn_prod"] = round(t, 3)
-    t, _ = _timed(lambda: simhash_near_dup(docs).count(),
-                  "simhash_near_dup64")
+    steal["ivf_knn_prod"] = st
+    t, st, _ = _timed(lambda: simhash_near_dup(docs).count(),
+                      "simhash_near_dup64")
     queries["simhash_near_dup64"] = round(t, 3)
+    steal["simhash_near_dup64"] = st
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -227,6 +242,7 @@ def run_bench() -> dict:
                   "max_delta": res.max_delta},
         "cpus": CPUS,
         "host_steal_pct": _steal_pct(cpu0, _cpu_sample()),
+        "steal_pct": steal,
     }
     spark.stop()
     return result

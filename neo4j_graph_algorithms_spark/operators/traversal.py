@@ -567,6 +567,9 @@ def random_walks(
         nxt.count()
         out = out.union(nxt)
         cur = nxt
+    # every step is materialized by its checkpoint; drop the loop caches
+    deg.unpersist()
+    ranked.unpersist()
     return out
 
 

@@ -62,6 +62,54 @@ def test_infomap_max_nodes_guard(spark):
         infomap(_v(spark, 3), e, max_nodes=2)
 
 
+def test_infomap_fixed_merges_groups_cliques(spark):
+    # deterministic fixed-merge variant on the 2x3 fixture: enough
+    # merges to collapse both triangles; the isolated node never merges
+    from neo4j_graph_algorithms_spark.operators.infomap import (
+        infomap_fixed_merges,
+    )
+
+    e = make_edges(spark, [(1, 0), (0, 2), (2, 0), (3, 2),
+                           (3, 4), (3, 5), (4, 5)])
+    res = infomap_fixed_merges(_v(spark, 7), e, n_merges=8)
+    got = {r["id"]: r["community"] for r in res.communities.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[6] not in (got[0], got[3])
+    # replaying with the same arguments is bit-identical (determinism)
+    res2 = infomap_fixed_merges(_v(spark, 7), e, n_merges=8)
+    got2 = {r["id"]: r["community"] for r in res2.communities.collect()}
+    assert got == got2
+    # n_merges=0 leaves singletons
+    res0 = infomap_fixed_merges(_v(spark, 7), e, n_merges=0)
+    assert res0.communities.select("community").distinct().count() == 7
+
+
+def test_louvain_two_level_matches_two_cliques(spark):
+    # two K5 cliques + bridge: two fixed-rounds levels must find both
+    # cliques, labels canonical = min original member id
+    from neo4j_graph_algorithms_spark.operators.louvain import (
+        louvain_two_level,
+    )
+
+    edges = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j, 1.0))
+    edges.append((0, 5, 1.0))
+    lab = louvain_two_level(_v(spark, 10), make_edges(spark, edges),
+                            rounds1=4, rounds2=4)
+    got = {r["id"]: r["community"] for r in lab.collect()}
+    assert len({got[i] for i in range(5)}) == 1
+    assert len({got[i] for i in range(5, 10)}) == 1
+    assert got[0] != got[5]
+    # canonical: community label is its min member id
+    for c in set(got.values()):
+        members = [i for i, cc in got.items() if cc == c]
+        assert c == min(members)
+
+
 def test_scc_two_cycles_and_tail(spark):
     # 0→1→2→0 | 2→3 | 3→4→5→3 | 6 isolated; plus 5→6
     edges = make_edges(
