@@ -781,6 +781,31 @@ WITH RECURSIVE {_EDGES_CTE},
 SELECT id, min(comp) AS component FROM r GROUP BY id
 """
 
+_WCC_STATS_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+ sym AS (SELECT src, dst FROM edges WHERE src <> dst
+         UNION SELECT dst, src FROM edges WHERE src <> dst),
+ {_NODES_CTE},
+ r(id, comp) AS (
+   SELECT id, id FROM nodes
+   UNION
+   SELECT sym.dst, r.comp FROM r JOIN sym ON sym.src = r.id AND sym.dst <> r.comp
+ ),
+ comps AS (SELECT id, min(comp) AS component FROM r GROUP BY id),
+ sizes AS (SELECT component, count(*) AS sz FROM comps GROUP BY component)
+SELECT CAST(sum(sz) AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(min(sz) AS BIGINT) AS min_size,
+       round(quantile_cont(sz, 0.25), 6) AS p25,
+       round(quantile_cont(sz, 0.5), 6) AS p50,
+       round(quantile_cont(sz, 0.75), 6) AS p75,
+       round(quantile_cont(sz, 0.9), 6) AS p90,
+       round(quantile_cont(sz, 0.95), 6) AS p95,
+       round(quantile_cont(sz, 0.99), 6) AS p99,
+       CAST(max(sz) AS BIGINT) AS max_size
+FROM sizes
+"""
+
 _WCC_TH_SQL = f"""
 WITH RECURSIVE {_WEDGES_CTE},
  fedges AS (SELECT src, dst FROM wedges WHERE weight >= 2.0),
@@ -965,6 +990,24 @@ def _q_triangle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(res.triangle_count, round(res.average_coefficient, 6))],
         "triangles long, avg_coefficient double",
+    )
+
+
+def _q_wcc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-size stats YIELD row over the WCC result — the
+    reference's write-mode setCount/p* surface
+    (UnionFindProcExec.java:177-198). Exact percentiles, oracle =
+    _WCC_STATS_SQL (quantile_cont ≡ SQL percentile interpolation)."""
+    from neo4j_graph_algorithms_spark.operators.wcc import community_stats
+
+    e = _edges(spark, sf_dir)
+    comps = connected_components(_vertices(e), e).components
+    stats = community_stats(comps)
+    return stats.select(
+        "n_nodes", "n_communities", "min_size",
+        *[F.round(c, 6).alias(c) for c in
+          ("p25", "p50", "p75", "p90", "p95", "p99")],
+        "max_size",
     )
 
 
@@ -2257,7 +2300,10 @@ def _q_pages_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = ids.select("id")
     res = pagerank(v, e, max_iterations=50, tol=1e-6)
-    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    out = res.ranks.select("id", F.round("rank", 6).alias("rank")) \
+        .localCheckpoint(eager=True)
+    raw.unpersist()
+    return out
 
 
 _HOST_N_PAGES = 2000
@@ -2389,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_tolerance": _q_pagerank_tolerance,
         "pages_host_graph": _q_pages_host_graph,
         "wcc_threshold": _q_wcc_threshold,
+        "wcc_stats": _q_wcc_stats,
         "triangle_list": _q_triangle_list,
         "triangles_incremental": _q_triangles_incremental,
         "clustering_coefficient": _q_lcc,
@@ -2487,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
         "euclidean_similarity": _EUCLIDEAN_SQL,
         "pearson_similarity": _PEARSON_SQL,
         "wcc": _WCC_SQL,
+        "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,
         "triangles_incremental": f"""
             WITH {_EDGES_CTE}, {_NODES_CTE}, {_CANON_CTE}, {_TRI_PER_NODE_CTE}

@@ -40,7 +40,37 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from neo4j_graph_algorithms_spark.plans.checkpoint import CheckpointManager
 from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
 
-__all__ = ["connected_components", "WccResult"]
+__all__ = ["connected_components", "connected_components_incremental",
+           "community_stats", "WccResult"]
+
+
+def community_stats(components: DataFrame, *,
+                    component_col: str = "component") -> DataFrame:
+    """Single-row community-size statistics — the reference's write-mode
+    YIELD surface: ``setCount`` plus size-distribution percentiles
+    (UnionFindProcExec.java:177-198, AbstractCommunityResultBuilder's
+    HdrHistogram p* fields). Exact SQL ``percentile`` (linear
+    interpolation) instead of HdrHistogram's lossy buckets — documented
+    deviation, same role. Works for any (id, <label>) table: WCC
+    components, LPA labels, Louvain communities, SCC partitions.
+
+    Scale shape: ONE |V|-row hash aggregation (map-side combined) down
+    to |C| rows, then a single-row aggregate — no joins, no windows.
+    """
+    sizes = components.groupBy(component_col).agg(
+        F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.min("sz").cast("long").alias("min_size"),
+        F.expr("percentile(sz, 0.25)").alias("p25"),
+        F.expr("percentile(sz, 0.5)").alias("p50"),
+        F.expr("percentile(sz, 0.75)").alias("p75"),
+        F.expr("percentile(sz, 0.9)").alias("p90"),
+        F.expr("percentile(sz, 0.95)").alias("p95"),
+        F.expr("percentile(sz, 0.99)").alias("p99"),
+        F.max("sz").cast("long").alias("max_size"),
+    )
 
 
 @dataclass

@@ -149,3 +149,23 @@ def test_wcc_incremental_empty_delta(spark):
     gi = {r["id"]: r["component"] for r in inc.collect()}
     gp = {r["id"]: r["component"] for r in prev.collect()}
     assert gi == gp
+
+
+def test_community_stats_known_distribution(spark):
+    from neo4j_graph_algorithms_spark.operators.wcc import community_stats
+
+    # sizes: 1, 2, 3, 4 over 10 nodes / 4 communities
+    rows = []
+    nid = 0
+    for c, sz in enumerate([1, 2, 3, 4]):
+        for _ in range(sz):
+            rows.append((nid, c))
+            nid += 1
+    comps = spark.createDataFrame(rows, "id long, component long")
+    r = community_stats(comps).first()
+    assert (r["n_nodes"], r["n_communities"]) == (10, 4)
+    assert (r["min_size"], r["max_size"]) == (1, 4)
+    # exact interpolated percentiles over [1,2,3,4]
+    assert r["p50"] == 2.5
+    assert r["p25"] == 1.75
+    assert r["p75"] == 3.25
