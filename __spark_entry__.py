@@ -2104,6 +2104,21 @@ def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   n_hashes=4, bands=2)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: MinHash-LSH candidate pairs → connected
+    components over the pair graph → one canonical survivor per cluster
+    (highest whitespace-token count, ties lowest doc_id). Oracle replays
+    the LSH join + a recursive-CTE min-label WCC + a ranked canonical
+    pick in pure SQL."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        dedup_clusters, minhash_lsh_candidates, tokens_expr)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, n_hashes=4, bands=2)
+    docs_q = docs.withColumn("n_tokens", F.size(tokens_expr(F.col("text"))))
+    return dedup_clusters(docs_q, pairs, quality_col="n_tokens")
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.dedup import token_jaccard_pairs
 
@@ -2409,8 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pearson_similarity": _q_pearson_vectors,
         "cosine_knn": _q_cosine_knn,
         "exact_dedup": _q_exact_dedup,
-        "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_candidates": _q_minhash_candidates,
+        "dedup_clusters": _q_dedup_clusters,
         "token_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_pairs": _q_ngram3_jaccard,
         "simhash_signatures": _q_simhash,
@@ -2428,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         # ---- 51+: rotated out this round (r1/r2-green or rows-only;
         # all still replayed by test_oracle_parity every run) ----------
+        "minhash_signatures": _q_minhash_signatures,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_csr": _q_pagerank_csr,
         "pagerank_delta": _q_pagerank_delta,

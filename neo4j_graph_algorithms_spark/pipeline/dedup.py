@@ -36,6 +36,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_near_dup",
     "token_jaccard_pairs",
+    "dedup_clusters",
 ]
 
 N_MINHASH = 128
@@ -220,6 +221,71 @@ def simhash_near_dup(docs: DataFrame, *, max_hamming: int = 3,
     return (
         cand.select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, *,
+                   quality_col: str | None = None,
+                   doc_col: str = "doc_id",
+                   max_iterations: int = 50) -> DataFrame:
+    """Final step of a dedup pipeline: candidate pairs → duplicate
+    clusters → one canonical survivor per cluster.
+
+    ``pairs`` is any (doc_a, doc_b) near-dup candidate table
+    (minhash_lsh_candidates / simhash_near_dup / token_jaccard_pairs /
+    ann.embedding_near_dup). Returns (doc_id, cluster_id, is_canonical)
+    for EVERY doc in ``docs`` — docs in no pair are singleton clusters
+    and their own canonical. ``cluster_id`` is the minimum doc_id in the
+    cluster (the WCC min-label). The canonical doc is the cluster member
+    with the highest ``quality_col`` (ties → lowest doc_id); with no
+    quality column the lowest doc_id wins.
+
+    Scale shape: connected components run ONLY over pair endpoints —
+    on a 10^12-doc corpus the candidate-endpoint set is orders of
+    magnitude smaller than the corpus, and the full doc table is touched
+    by exactly one left join + one aggregation. Canonical selection is a
+    groupBy-min over a struct key (map-side partial agg), NOT a window
+    over cluster_id — a boilerplate mega-cluster would make one window
+    partition hot, while the agg stays skew-tolerant.
+    """
+    from neo4j_graph_algorithms_spark.operators.wcc import connected_components
+
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .union(pairs.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    labels = connected_components(
+        endpoints, edges, max_iterations=max_iterations).components
+
+    cols = [F.col(doc_col).alias("doc_id")]
+    # quality sorts DESCENDING via a negated struct field (struct min =
+    # lexicographic, so (-quality, doc_id) min == best quality, then id)
+    q = (-F.col(quality_col).cast("double") if quality_col
+         else F.lit(0.0))
+    cols.append(q.alias("_negq"))
+    base = (
+        docs.select(*cols)
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", "_negq",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    canon = (
+        base.groupBy("cluster_id")
+        .agg(F.min(F.struct(F.col("_negq").alias("q"),
+                            F.col("doc_id").alias("d"))).alias("_k"))
+        .select("cluster_id", F.col("_k.d").alias("_canon"))
+    )
+    return (
+        base.join(canon, "cluster_id")
+        .select(
+            "doc_id", "cluster_id",
+            (F.col("doc_id") == F.col("_canon")).cast("int").alias("is_canonical"),
+        )
     )
 
 

@@ -62,6 +62,40 @@ def pipeline_oracles() -> dict[str, str]:
     sig_expr = " + ".join(
         f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
     )
+    # mirrors dedup.dedup_clusters over minhash_lsh_candidates(4, 2):
+    # pairs → min-label connected components (recursive CTE) → canonical
+    # = highest whitespace-token count, ties lowest doc_id. Docs in no
+    # pair are singleton clusters (seeded by the non-recursive branch).
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE {_TOKS},
+        sigs AS (SELECT doc_id, {minhash_aggs} FROM toks GROUP BY doc_id),
+        c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a
+               JOIN sigs b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+        c2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a
+               JOIN sigs b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id),
+        cand AS (SELECT DISTINCT doc_a, doc_b
+                 FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+        sym AS (SELECT doc_a AS s, doc_b AS d FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+        r(id, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT sym.d, r.lab FROM r JOIN sym ON sym.s = r.id AND sym.d <> r.lab
+        ),
+        comp AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id),
+        q AS (SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+              FROM documents),
+        ranked AS (SELECT comp.cluster_id, comp.doc_id,
+                          row_number() OVER (PARTITION BY comp.cluster_id
+                                             ORDER BY q.n DESC, comp.doc_id) AS rn
+                   FROM comp JOIN q USING (doc_id)),
+        canon AS (SELECT cluster_id, doc_id AS c FROM ranked WHERE rn = 1)
+        SELECT comp.doc_id AS doc_id, comp.cluster_id AS cluster_id,
+               CAST(comp.doc_id = canon.c AS INTEGER) AS is_canonical
+        FROM comp JOIN canon USING (cluster_id)
+    """
+
     sql["simhash_signatures"] = f"""
         WITH {_TOKS},
         hashed AS (SELECT doc_id, {_h15("tok || '#s0'")} AS h FROM toks),

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from neo4j_graph_algorithms_spark.pipeline.dedup import (
+    dedup_clusters,
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -48,6 +49,31 @@ def test_exact_duplicates(spark):
     groups = {r["min_doc_id"]: r["n_docs"] for r in res}
     assert groups[0] == 2  # docs 0,1 identical
     assert len(res) == 4
+
+
+def test_dedup_clusters_canonical_and_singletons(spark):
+    # pair graph: {0,1,2} transitively linked (0-1, 1-2), {5,6} linked,
+    # 3 and 4 in no pair → singleton clusters
+    docs = spark.createDataFrame(
+        [(i, q) for i, q in [(0, 5.0), (1, 9.0), (2, 9.0),
+                             (3, 1.0), (4, 2.0), (5, 7.0), (6, 3.0)]],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(docs, pairs, quality_col="quality").collect()}
+    assert len(out) == 7
+    # transitive cluster {0,1,2}: min-label 0; canonical = best quality
+    # 9.0 tie between 1 and 2 → lowest doc_id (1) wins
+    assert out[0] == (0, 0) and out[1] == (0, 1) and out[2] == (0, 0)
+    assert out[5] == (5, 1) and out[6] == (5, 0)  # 7.0 > 3.0
+    for s in (3, 4):  # singletons are their own canonical
+        assert out[s] == (s, 1)
+    # no quality column → lowest doc_id canonical everywhere
+    out2 = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in dedup_clusters(docs, pairs).collect()}
+    assert out2[0] == (0, 1) and out2[1] == (0, 0) and out2[5] == (5, 1)
 
 
 def test_minhash_identical_docs_same_signature(spark):
