@@ -270,6 +270,7 @@ def pagerank(
     hub_threshold: int | None = None,
     hub_replicas: int = 8,
     initial_ranks: DataFrame | None = None,
+    edges_prelayout: bool = False,
     spark: SparkSession | None = None,
 ) -> PageRankResult:
     """Run PageRank to ``max_iterations`` or until ``max|Δ| < tol``.
@@ -295,6 +296,15 @@ def pagerank(
     sizing (impl/pagerank/PageRank.java:86-92,289-317). The ``csr``
     strategy needs no flag — its blocks are already chunked at
     ``chunk_edges`` regardless of source degree.
+
+    ``edges_prelayout``: set when ``edges`` comes from a src-bucketed,
+    src-sorted table (sources/bucketed.py) — the one-time storage layout
+    replaces the per-run repartition+sort, so edge rows are NEVER
+    shuffled, not even once at startup (the only startup pass is a
+    narrow, partition-local sort over already-ordered bucket data to
+    re-assert the ordering at the cache boundary). Ignored under
+    ``hub_threshold`` (hub splitting re-keys the cache to
+    ``(src, replica)``).
 
     ``unroll``: number of supersteps fused into one lazy plan between
     materializations (dataframe strategy only). Each materialization is
@@ -347,6 +357,31 @@ def pagerank(
                 .persist()
             )
             hot_replica_map.count()
+        elif edges_prelayout:
+            # the source is already bucketed+sorted on src (sources/
+            # bucketed.py): its scan reports HashPartitioning(src), so
+            # degree-factor groupBy/join and the superstep SMJ all run
+            # exchange-free on this side — repartitioning here would
+            # re-shuffle |E| rows to throw that layout away. Two
+            # subtleties, both measured on the plan:
+            # (a) the planner drops bucketed reading when nothing in the
+            #     CACHE BUILD plan needs the distribution ("Bucketed:
+            #     false (disabled by query planner)") — the cache then
+            #     carries UnknownPartitioning and every superstep
+            #     re-shuffles it; pin autoBucketedScan off for the build;
+            # (b) the cached relation loses the bucket files' sort order
+            #     through AQE, so the SMJ would re-sort |E| rows per
+            #     superstep; sortWithinPartitions is NARROW (no shuffle)
+            #     and near-free on the already-ordered bucket data, and
+            #     restores the ordering knowledge at the cache boundary.
+            auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            prev_auto = spark.conf.get(auto_key, "true")
+            spark.conf.set(auto_key, "false")
+            try:
+                plan_side = ef.sortWithinPartitions("src").persist()
+                plan_side.count()
+            finally:
+                spark.conf.set(auto_key, prev_auto)
         else:
             plan_side = (
                 ef.repartition(num_blocks, "src")

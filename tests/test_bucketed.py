@@ -1,0 +1,120 @@
+"""Bucketed edge-table contract (sources/bucketed.py): the stored
+layout replaces the per-run repartition+sort — src-keyed aggregations
+and joins over the table plan with NO Exchange on the edge side, and
+pagerank(edges_prelayout=True) reproduces the default path's ranks."""
+
+import math
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graph_algorithms_spark.sources.bucketed import (
+    read_edges_bucketed,
+    write_edges_bucketed,
+)
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture()
+def bucketed_edges(spark):
+    tmp = tempfile.mkdtemp(prefix="nga_bucketed_")
+    name = "t_edges_bucketed_test"
+    edges = spark.createDataFrame(
+        [(i % 60, (i * 13 + 1) % 60) for i in range(400)],
+        "src long, dst long",
+    ).dropDuplicates(["src", "dst"])
+    write_edges_bucketed(edges, name, n_buckets=4, path=f"{tmp}/edges")
+    yield name, edges
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_scan_aggregates_without_exchange(spark, bucketed_edges):
+    name, _ = bucketed_edges
+    df = read_edges_bucketed(spark, name)
+    plan = _explain(df.groupBy("src").count())
+    # bucket layout satisfies the aggregation's distribution requirement
+    assert "Exchange" not in plan, plan
+
+
+def test_bucketed_edge_factors_without_shuffle(spark, bucketed_edges):
+    from neo4j_graph_algorithms_spark.operators.pagerank import _edge_factors
+
+    name, _ = bucketed_edges
+    df = read_edges_bucketed(spark, name)
+    plan = _explain(_edge_factors(df, weighted=False))
+    # degree groupBy rides the buckets and the degree table broadcasts
+    # back onto the scan: a BroadcastExchange of the vertex-sized side
+    # is fine, a shuffle of the |E| side is not
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_prelayout_superstep_join_no_exchange_no_sort(spark, bucketed_edges):
+    """The whole point of the storage layout: the per-superstep SMJ
+    consumes the cached edge side with NO Exchange and NO Sort — same
+    contract as test_plan_shape.test_superstep_join_streams_cached_edges
+    but with the layout coming from the bucketed table instead of a
+    per-run repartition+sort."""
+    import re
+
+    from neo4j_graph_algorithms_spark.operators.pagerank import _edge_factors
+    from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
+
+    name, _ = bucketed_edges
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(auto_key, "false")
+    try:
+        ef = (_edge_factors(read_edges_bucketed(spark, name), weighted=False)
+              .sortWithinPartitions("src").persist())
+        ef.count()
+    finally:
+        spark.conf.set(auto_key, "true")
+    ranks = spark.createDataFrame(
+        [(i, 0.15) for i in range(60)], "id long, rank double"
+    ).localCheckpoint(eager=True)
+    with superstep_conf(spark, 50_000_000):
+        msgs = (
+            ef.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("factor")).alias("msg"))
+        )
+        plan = _explain(msgs)
+    assert "SortMergeJoin" in plan, plan
+    # left (cached-edge) branch: join node down to the InMemoryTableScan
+    lines, active, branch = plan.splitlines(), False, []
+    for ln in lines:
+        if "SortMergeJoin" in ln:
+            active = True
+            continue
+        if active:
+            if not ln.lstrip().startswith(":"):
+                break
+            branch.append(ln)
+            if "InMemoryTableScan" in ln:
+                break
+    assert any("InMemoryTableScan" in ln for ln in branch), plan
+    for ln in branch:
+        assert "Exchange" not in ln, plan
+        assert not re.search(r"\bSort\b", ln), plan
+    ef.unpersist()
+
+
+def test_pagerank_prelayout_matches_default(spark, bucketed_edges):
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+
+    name, edges = bucketed_edges
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(60)], "id long")
+    base = pagerank(vertices, edges, max_iterations=8)
+    pre = pagerank(vertices, read_edges_bucketed(spark, name),
+                   max_iterations=8, edges_prelayout=True)
+    a = {r["id"]: r["rank"] for r in base.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in pre.ranks.collect()}
+    assert a.keys() == b.keys()
+    assert all(math.isclose(a[k], b[k], rel_tol=1e-12) for k in a)
