@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -206,6 +207,64 @@ def run_bench() -> dict:
     t, st, tres = _timed(lambda: triangle_count(v, e), "triangle_count")
     queries["triangle_count"] = round(t, 3)
     steal["triangle_count"] = st
+
+    if os.environ.get("BENCH_PRELAYOUT"):
+        # one-time storage layout (sources/bucketed.py) vs the per-run
+        # repartition+sort: write the edge table bucketed+sorted once,
+        # then re-run the identical loops over the prelayout scan (zero
+        # edge-side shuffles, plan-pinned by test_bucketed.py). The
+        # write cost amortizes across every downstream job on the lake.
+        import tempfile
+
+        from neo4j_graph_algorithms_spark.sources.bucketed import (
+            read_edges_bucketed,
+            write_edges_bucketed,
+        )
+
+        lay = tempfile.mkdtemp(prefix="bench_prelayout_")
+        t, st, _ = _timed(lambda: write_edges_bucketed(
+            e, "bench_edges_src", n_buckets=CPUS, path=f"{lay}/src"),
+            "prelayout_write_src")
+        queries["prelayout_write_src"] = round(t, 3)
+        steal["prelayout_write_src"] = st
+        eb = read_edges_bucketed(spark, "bench_edges_src")
+        t, st, res_p = _timed(lambda: pagerank(
+            v, eb, max_iterations=150, tol=PR_TOL, unroll=8,
+            edges_prelayout=True), "pagerank_conv_prelayout")
+        _log(f"pagerank_conv_prelayout: {t:.1f}s, {res_p.iterations} "
+             f"supersteps, converged={res_p.converged}")
+        queries["pagerank_conv_prelayout"] = round(t, 3)
+        steal["pagerank_conv_prelayout"] = st
+
+        t, st, _ = _timed(lambda: write_edges_bucketed(
+            e, "bench_edges_sym", n_buckets=CPUS, path=f"{lay}/sym",
+            symmetrize=True), "prelayout_write_sym")
+        queries["prelayout_write_sym"] = round(t, 3)
+        steal["prelayout_write_sym"] = st
+        es = read_edges_bucketed(spark, "bench_edges_sym")
+        t, st, _ = _timed(lambda: connected_components(
+            v, es, edges_prelayout=True), "wcc_prelayout")
+        queries["wcc_prelayout"] = round(t, 3)
+        steal["wcc_prelayout"] = st
+
+        # LP's default run gathers on dst (direction='out') — the
+        # comparable prelayout table is keyed on the gather endpoint
+        t, st, _ = _timed(lambda: write_edges_bucketed(
+            e, "bench_edges_dst", n_buckets=CPUS, key="dst",
+            path=f"{lay}/dst"), "prelayout_write_dst")
+        queries["prelayout_write_dst"] = round(t, 3)
+        steal["prelayout_write_dst"] = st
+        ed = read_edges_bucketed(spark, "bench_edges_dst")
+        t, st, _ = _timed(lambda: label_propagation(
+            v, ed, max_iterations=5, partition_col=None,
+            node_weight_col=None, edges_prelayout=True),
+            "label_propagation_5_prelayout")
+        queries["label_propagation_5_prelayout"] = round(t, 3)
+        steal["label_propagation_5_prelayout"] = st
+        spark.sql("DROP TABLE IF EXISTS bench_edges_src")
+        spark.sql("DROP TABLE IF EXISTS bench_edges_sym")
+        spark.sql("DROP TABLE IF EXISTS bench_edges_dst")
+        shutil.rmtree(lay, ignore_errors=True)
 
     # drop the pages-graph caches before the small tpch/pipeline queries:
     # leaving the 6.7M-edge persists + superstep block residue in the

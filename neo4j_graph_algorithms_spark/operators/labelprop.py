@@ -62,6 +62,7 @@ def label_propagation(
     min_iterations: int = 0,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
+    edges_prelayout: bool = False,
     spark: SparkSession | None = None,
 ) -> LabelPropagationResult:
     """Run synchronous LPA.
@@ -73,6 +74,17 @@ def label_propagation(
     all. ``min_iterations`` forces at least that many rounds even after
     convergence (used for fixed-k oracle comparison; a converged sync
     LPA state is a fixed point, so extra rounds are no-ops).
+
+    ``edges_prelayout``: set when ``edges`` comes from a bucketed+sorted
+    table (``sources.bucketed.write_edges_bucketed``) whose bucket key
+    is this run's GATHER endpoint — the neighbor whose label is read:
+    ``dst`` for ``direction='out'``, ``src`` for ``'in'``. The stored
+    layout then replaces the per-run repartition+sort, so edge rows are
+    never shuffled; per round only the vertex-sized label table moves.
+    ``direction='both'`` unions the two orientations (destroying any
+    single-key layout) — for undirected gather over a prelayout table,
+    write it with ``symmetrize=True`` and run ``direction='in'``, which
+    reads every neighbor exactly once.
     """
     spark = spark or vertices.sparkSession
 
@@ -87,24 +99,46 @@ def label_propagation(
     elif direction == "in":
         pairs = in_pairs
     else:
+        if edges_prelayout:
+            raise ValueError(
+                "edges_prelayout supports direction 'out'/'in' only — the "
+                "'both' union destroys any single-key storage layout; for "
+                "undirected gather write the table with symmetrize=True "
+                "and run direction='in'")
         pairs = out_pairs.union(in_pairs)
 
     # Node weights (LabelPropagation's "weight" property, default 1.0).
+    # All-default weights skip the join outright: vote_w == ew.
     if node_weight_col and node_weight_col in vertices.columns:
         nw = vertices.select(
             F.col("id").alias("u"),
             F.coalesce(F.col(node_weight_col).cast("double"), F.lit(1.0)).alias("nw"),
         )
+        pairs = pairs.join(nw, "u", "left").na.fill({"nw": 1.0})
+        pairs = pairs.withColumn("vote_w", F.col("ew") * F.col("nw"))
     else:
-        nw = vertices.select(F.col("id").alias("u"), F.lit(1.0).alias("nw"))
-    pairs = pairs.join(nw, "u", "left").na.fill({"nw": 1.0})
-    pairs = pairs.withColumn("vote_w", F.col("ew") * F.col("nw")).select(
-        "v", "u", "vote_w"
-    )
-    # pre-partition + pre-sort on the gather key: the per-round votes
-    # join streams the cached pairs with no exchange/re-sort
-    pairs = pairs.repartition("u").sortWithinPartitions("u").persist()
-    pairs.count()
+        pairs = pairs.withColumn("vote_w", F.col("ew"))
+    pairs = pairs.select("v", "u", "vote_w")
+    if edges_prelayout:
+        # the scan is bucketed+sorted on the gather endpoint (aliased to
+        # ``u``); select/filter/withColumn above are narrow, so the
+        # layout survives to here. Same two planner subtleties as
+        # pagerank/wcc's prelayout branches: pin bucketed reading ON for
+        # the cache build and re-assert the files' sort order (narrow)
+        # at the cache boundary.
+        auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prev_auto = spark.conf.get(auto_key, "true")
+        spark.conf.set(auto_key, "false")
+        try:
+            pairs = pairs.sortWithinPartitions("u").persist()
+            pairs.count()
+        finally:
+            spark.conf.set(auto_key, prev_auto)
+    else:
+        # pre-partition + pre-sort on the gather key: the per-round votes
+        # join streams the cached pairs with no exchange/re-sort
+        pairs = pairs.repartition("u").sortWithinPartitions("u").persist()
+        pairs.count()
 
     # Seed labels: partition property else own id (LabelPropagation.java:221-228).
     if partition_col and partition_col in vertices.columns:

@@ -125,9 +125,21 @@ def connected_components(
     local_dss: bool = True,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
+    edges_prelayout: bool = False,
     spark: SparkSession | None = None,
 ) -> WccResult:
-    """Compute WCC labels ``(id, component=min member id)``."""
+    """Compute WCC labels ``(id, component=min member id)``.
+
+    ``edges_prelayout``: set when ``edges`` comes from a PRE-SYMMETRIZED
+    src-bucketed, src-sorted table
+    (``sources.bucketed.write_edges_bucketed(symmetrize=True)``) — the
+    stored layout replaces both the read-time symmetrization (whose
+    reversed half would be keyed by the other endpoint, destroying the
+    buckets) and the per-run repartition+sort, so edge rows are never
+    shuffled. The local-DSS pre-collapse is skipped in this mode: its
+    rewritten star edges would need a fresh shuffle, forfeiting the
+    layout the mode exists to exploit.
+    """
     spark = spark or vertices.sparkSession
 
     e = edges
@@ -135,23 +147,40 @@ def connected_components(
         # union only if weight >= threshold (GraphUnionFind.java:82-99)
         e = e.filter(F.col("weight") >= float(threshold))
     e = e.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
-    if local_dss:
-        stars = _local_dss_collapse(sym).dropDuplicates(["src", "dst"])
-        work = stars.union(
-            stars.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).filter(F.col("src") != F.col("dst"))
+    if edges_prelayout:
+        # narrow ops only above the bucketed scan (filter/select keep
+        # HashPartitioning(src)); pin bucketed reading on for the cache
+        # build and re-assert the bucket files' sort order at the cache
+        # boundary — same two planner subtleties as pagerank's
+        # edges_prelayout branch (operators/pagerank.py)
+        auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        prev_auto = spark.conf.get(auto_key, "true")
+        spark.conf.set(auto_key, "false")
+        try:
+            work = e.sortWithinPartitions("src").persist()
+            work.count()
+        finally:
+            spark.conf.set(auto_key, prev_auto)
     else:
-        work = sym
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # pre-partition + pre-sort on the join key: each min-label round's
-    # sort-merge join then streams the cached edge partitions with no
-    # exchange/re-sort; only the vertex-sized label table moves
-    work = (
-        work.repartition(shuffle_n, "src").sortWithinPartitions("src").persist()
-    )
-    work.count()
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+        if local_dss:
+            stars = _local_dss_collapse(sym).dropDuplicates(["src", "dst"])
+            work = stars.union(
+                stars.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).filter(F.col("src") != F.col("dst"))
+        else:
+            work = sym
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # pre-partition + pre-sort on the join key: each min-label round's
+        # sort-merge join then streams the cached edge partitions with no
+        # exchange/re-sort; only the vertex-sized label table moves
+        work = (
+            work.repartition(shuffle_n, "src").sortWithinPartitions("src").persist()
+        )
+        work.count()
 
     labels = vertices.select("id", F.col("id").alias("component"))
     ckpt = CheckpointManager(spark, checkpoint_dir, checkpoint_interval,

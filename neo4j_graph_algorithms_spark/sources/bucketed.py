@@ -40,11 +40,25 @@ def write_edges_bucketed(
     key: str = "src",
     path: str | None = None,
     mode: str = "overwrite",
+    symmetrize: bool = False,
 ) -> None:
     """Materialize ``edges`` as a parquet table bucketed + sorted on
     ``key``. One shuffle now, zero edge-side shuffles in every
     downstream run. ``path`` makes it an external table (the 100-TB
-    case: data lives on the lake, only metadata in the catalog)."""
+    case: data lives on the lake, only metadata in the catalog).
+
+    ``symmetrize`` stores the UNDIRECTED view (each edge also reversed,
+    self-loops dropped, deduplicated) — the layout WCC / label
+    propagation consume. Symmetrizing at read time would destroy the
+    bucket partitioning (the reversed half is keyed by the other
+    endpoint), so an undirected-consumer table must be written this way."""
+    if symmetrize:
+        from pyspark.sql import functions as F
+
+        e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        edges = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates(["src", "dst"])
     writer = (
         edges.repartition(n_buckets, key)  # exactly one file per bucket
         .write.format("parquet")

@@ -105,6 +105,80 @@ def test_prelayout_superstep_join_no_exchange_no_sort(spark, bucketed_edges):
     ef.unpersist()
 
 
+def test_wcc_prelayout_matches_default(spark):
+    from neo4j_graph_algorithms_spark.operators.wcc import connected_components
+
+    tmp = tempfile.mkdtemp(prefix="nga_bucketed_sym_")
+    name = "t_edges_bucketed_sym_test"
+    # two chains + a singleton: components {0..9}, {20..24}, {40}
+    rows = ([(i, i + 1) for i in range(9)]
+            + [(i, i + 1) for i in range(20, 24)])
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    vertices = spark.createDataFrame(
+        [(i,) for i in list(range(10)) + list(range(20, 25)) + [40]],
+        "id long")
+    try:
+        write_edges_bucketed(edges, name, n_buckets=4,
+                             path=f"{tmp}/edges", symmetrize=True)
+        base = connected_components(vertices, edges)
+        pre = connected_components(
+            vertices, read_edges_bucketed(spark, name), edges_prelayout=True)
+        a = {r["id"]: r["component"] for r in base.components.collect()}
+        b = {r["id"]: r["component"] for r in pre.components.collect()}
+        assert a == b
+        assert b[9] == 0 and b[24] == 20 and b[40] == 40
+        assert pre.converged
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_labelprop_prelayout_matches_default(spark):
+    from neo4j_graph_algorithms_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="nga_bucketed_lp_")
+    rows = [(i % 60, (i * 13 + 1) % 60) for i in range(400)]
+    edges = spark.createDataFrame(
+        rows, "src long, dst long").dropDuplicates(["src", "dst"])
+    vertices = spark.createDataFrame([(i,) for i in range(60)], "id long")
+    t_dst, t_sym = "t_lp_bucketed_dst", "t_lp_bucketed_sym"
+    try:
+        # direction='out' gathers on dst → table bucketed on dst
+        write_edges_bucketed(edges, t_dst, n_buckets=4, key="dst",
+                             path=f"{tmp}/dst")
+        base = label_propagation(vertices, edges, max_iterations=5)
+        pre = label_propagation(
+            vertices, read_edges_bucketed(spark, t_dst),
+            max_iterations=5, edges_prelayout=True)
+        a = {r["id"]: r["label"] for r in base.labels.collect()}
+        b = {r["id"]: r["label"] for r in pre.labels.collect()}
+        assert a == b
+
+        # undirected: symmetrized src-bucketed table + direction='in'
+        # == default direction='both' on the raw edges
+        write_edges_bucketed(edges, t_sym, n_buckets=4, key="src",
+                             path=f"{tmp}/sym", symmetrize=True)
+        base_u = label_propagation(vertices, edges, max_iterations=5,
+                                   direction="both")
+        pre_u = label_propagation(
+            vertices, read_edges_bucketed(spark, t_sym),
+            max_iterations=5, direction="in", edges_prelayout=True)
+        au = {r["id"]: r["label"] for r in base_u.labels.collect()}
+        bu = {r["id"]: r["label"] for r in pre_u.labels.collect()}
+        assert au == bu
+
+        with pytest.raises(ValueError, match="symmetrize"):
+            label_propagation(
+                vertices, read_edges_bucketed(spark, t_sym),
+                direction="both", edges_prelayout=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_dst}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_sym}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_pagerank_prelayout_matches_default(spark, bucketed_edges):
     from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
 
