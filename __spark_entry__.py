@@ -1560,6 +1560,75 @@ def _random_walks_oracle_sql(n_starts=50, walk_length=3, seed=42):
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
+def _hyperball_oracle_sql(radius: int = 3, b: int = 4) -> str:
+    """Bit-exact DuckDB replay of operators/hyperball.py: the Murmur3
+    register init (same hash chain as the random-walk oracle), ``radius``
+    elementwise-max gather rounds, and the shared HLL estimate expression
+    (``hll_estimate_sql`` emits ONE text valid in both engines, so the
+    double arithmetic runs in the same order — register sums are dyadic
+    rationals, exact in IEEE doubles)."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import (
+        HASH_SALT1,
+        HASH_SALT2,
+        hll_estimate_sql,
+    )
+
+    m = 1 << b
+    rho_cap = 32 - b + 1
+    parts = [
+        _EDGES_CTE,
+        _NODES_CTE,
+        "hedges AS (SELECT src, dst FROM edges WHERE src <> dst)",
+    ]
+    parts += murmur3_long_int_int_ctes(
+        "hb_", "nodes", "id", "id", HASH_SALT1, HASH_SALT2)
+    parts.append(
+        "hu AS (SELECT id, CASE WHEN h < 0 THEN h + 4294967296 ELSE h END "
+        "AS u FROM hb_F)")
+    parts.append(
+        f"hrho AS (SELECT id, CAST(u % {m} AS INT) AS j, "
+        f"CASE WHEN u // {m} = 0 THEN {rho_cap} "
+        f"ELSE CAST(log2((u // {m}) & (-(u // {m}))) AS INT) + 1 END AS rho "
+        f"FROM hu)")
+    parts.append(
+        "regs0 AS MATERIALIZED (SELECT id, "
+        + ", ".join(
+            f"CASE WHEN j = {j} THEN rho ELSE 0 END AS r{j}" for j in range(m)
+        )
+        + " FROM hrho)")
+    for t in range(1, radius + 1):
+        parts.append(
+            f"gath{t} AS (SELECT e.src AS id, "
+            + ", ".join(f"max(g.r{j}) AS m{j}" for j in range(m))
+            + f" FROM hedges e JOIN regs{t-1} g ON g.id = e.dst GROUP BY e.src)")
+        parts.append(
+            f"regs{t} AS MATERIALIZED (SELECT v.id, "
+            + ", ".join(
+                f"GREATEST(v.r{j}, COALESCE(g.m{j}, 0)) AS r{j}"
+                for j in range(m)
+            )
+            + f" FROM regs{t-1} v LEFT JOIN gath{t} g ON g.id = v.id)")
+    est = hll_estimate_sql(m)
+    sel = " UNION ALL ".join(
+        f"SELECT id, CAST({t} AS INT) AS r, {est} AS ball_est FROM regs{t}"
+        for t in range(radius + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall ball-size estimates (id, r, ball_est) for r=0..3 at
+    m=16 registers — the HLL-sketch scale path for the closeness family
+    (exact MS-BFS is O(V*reach); see operators/hyperball.py docstring).
+    The oracle replays registers and estimate bit-for-bit."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import hyperball
+
+    e = _edges(spark, sf_dir)
+    v = _vertices(e)
+    res = hyperball(v, e, radius=3, b=4)
+    return res.balls.select("id", F.col("r").cast("int").alias("r"),
+                            "ball_est")
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic hash-sampled walks; oracle replays the identical
     # Murmur3 pick bit-for-bit (_random_walks_oracle_sql)
@@ -2428,8 +2497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "token_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_pairs": _q_ngram3_jaccard,
-        "simhash_signatures": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
+        "hyperball_balls": _q_hyperball,
         "token_stats": _q_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,
         "quality_scores": _q_quality,
@@ -2444,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 51+: rotated out this round (r1/r2-green or rows-only;
         # all still replayed by test_oracle_parity every run) ----------
         "minhash_signatures": _q_minhash_signatures,
+        "simhash_signatures": _q_simhash,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_csr": _q_pagerank_csr,
         "pagerank_delta": _q_pagerank_delta,
@@ -2525,6 +2595,7 @@ def oracle_sql() -> dict[str, str]:
         "infomap_fixedmerges": _infomap_fixedmerges_sql(8),
         "louvain_twolevel": _louvain_twolevel_sql(4, 4),
         "random_walks": _random_walks_oracle_sql(),
+        "hyperball_balls": _hyperball_oracle_sql(radius=3, b=4),
         "k_shortest_paths": _ksp_oracle_sql(),
         "all_shortest_paths": _allsp_unrolled_sql(20),
         "astar_path": _astar_oracle_sql(),

@@ -71,6 +71,10 @@ _REGISTRY: dict[str, str] = {
     "ext.hostGraph": f"{_P}.operators.hostgraph:host_graph",
     "ext.triangleCount.incremental": f"{_P}.operators.triangles:triangle_count_incremental",
     "ext.domainGraph": f"{_P}.operators.hostgraph:domain_graph",
+    "ext.hyperBall": f"{_P}.operators.hyperball:hyperball",
+    "ext.hyperBall.anf": f"{_P}.operators.hyperball:approx_neighborhood_function",
+    "ext.hyperBall.effectiveDiameter": f"{_P}.operators.hyperball:approx_effective_diameter",
+    "ext.closeness.hyperball": f"{_P}.operators.hyperball:closeness_hyperball",
 }
 
 
