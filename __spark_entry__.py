@@ -939,6 +939,38 @@ def _q_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_incremental(prev, enew).components
 
 
+def _q_streaming_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained WCC: the edge table arrives as FOUR
+    crawl-drop micro-batches through Structured Streaming (foreachBatch
+    folding streaming/graph_maintenance.run_component_maintenance:
+    full WCC on drop 0, delta-sized component contraction per later
+    drop, durable per-batch state + lineage metrics). The final
+    maintained state must equal batch WCC over all edges — the oracle
+    is _WCC_SQL verbatim (min-label canonicalization is
+    arrival-order-independent)."""
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.streaming.graph_maintenance import (
+        run_component_maintenance,
+    )
+
+    root = tempfile.mkdtemp(prefix="nga_stream_wcc_")
+    deltas = os.path.join(root, "deltas")
+    os.makedirs(deltas)
+    e = _edges(spark, sf_dir)
+    for i in range(4):
+        stage = os.path.join(root, f"stage{i}")
+        (e.filter(F.pmod(F.col("src") + F.col("dst"), F.lit(4)) == i)
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part),
+                  os.path.join(deltas, f"drop{i}.parquet"))
+    return run_component_maintenance(
+        spark, deltas, os.path.join(root, "state"),
+        max_files_per_trigger=1)
+
+
 def _q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges_weighted(spark, sf_dir)
     return connected_components(_vertices(e), e, threshold=2.0).components
@@ -2467,7 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract_edges": _q_extract_pages_edges,
         "pages_host_pagerank": _q_pages_host_pagerank,
         "wcc": _q_wcc,
-        "wcc_incremental": _q_wcc_incremental,
+        "streaming_wcc": _q_streaming_wcc,
         "label_propagation": _q_lpa,
         "triangles_per_node": _q_triangles,
         "balanced_triads": _q_balanced_triads,
@@ -2514,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still replayed by test_oracle_parity every run) ----------
         "minhash_signatures": _q_minhash_signatures,
         "simhash_signatures": _q_simhash,
+        "wcc_incremental": _q_wcc_incremental,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_csr": _q_pagerank_csr,
         "pagerank_delta": _q_pagerank_delta,
@@ -2621,6 +2654,7 @@ def oracle_sql() -> dict[str, str]:
         "euclidean_similarity": _EUCLIDEAN_SQL,
         "pearson_similarity": _PEARSON_SQL,
         "wcc": _WCC_SQL,
+        "streaming_wcc": _WCC_SQL,
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,
         "triangles_incremental": f"""

@@ -71,6 +71,9 @@ _REGISTRY: dict[str, str] = {
     "ext.hostGraph": f"{_P}.operators.hostgraph:host_graph",
     "ext.triangleCount.incremental": f"{_P}.operators.triangles:triangle_count_incremental",
     "ext.domainGraph": f"{_P}.operators.hostgraph:domain_graph",
+    "ext.stream.wcc": f"{_P}.streaming.graph_maintenance:run_component_maintenance",
+    "ext.stream.pageRank": f"{_P}.streaming.graph_maintenance:run_pagerank_maintenance",
+    "ext.stream.triangleCount": f"{_P}.streaming.graph_maintenance:run_triangle_maintenance",
     "ext.hyperBall": f"{_P}.operators.hyperball:hyperball",
     "ext.hyperBall.anf": f"{_P}.operators.hyperball:approx_neighborhood_function",
     "ext.hyperBall.effectiveDiameter": f"{_P}.operators.hyperball:approx_effective_diameter",

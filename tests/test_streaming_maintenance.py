@@ -1,0 +1,151 @@
+"""Streaming graph maintenance: foreachBatch folds of the incremental
+operators must converge to the batch engine's answer on the union of all
+deltas, survive restarts (stream + state checkpoints), and never
+double-count replayed or re-discovered edges.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+from neo4j_graph_algorithms_spark.operators.triangles import triangle_count
+from neo4j_graph_algorithms_spark.operators.wcc import connected_components
+from neo4j_graph_algorithms_spark.streaming.graph_maintenance import (
+    run_component_maintenance,
+    run_pagerank_maintenance,
+    run_triangle_maintenance,
+)
+
+# three crawl drops over a 12-node graph; (3,4) appears in drops 1 AND 2
+# (re-discovered edge) and drop 3 brings a component-merging bridge
+BATCHES = [
+    [(0, 1), (1, 2), (2, 0), (3, 4), (5, 6)],
+    [(3, 4), (4, 5), (7, 8), (8, 9)],
+    [(6, 7), (2, 3), (10, 11)],
+]
+
+
+def _union_edges(spark):
+    rows = sorted({e for b in BATCHES for e in b})
+    return spark.createDataFrame(
+        [(s, d) for s, d in rows], "src long, dst long")
+
+
+def _write_batches(spark, deltas_dir, batches):
+    # one file per drop => one micro-batch per drop at maxFilesPerTrigger=1
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(deltas_dir, exist_ok=True)
+    for i, b in enumerate(batches):
+        tbl = pa.table({"src": [int(s) for s, _ in b],
+                        "dst": [int(d) for _, d in b]})
+        pq.write_table(tbl, os.path.join(deltas_dir, f"drop{i:03d}.parquet"))
+
+
+def _vertices(edges):
+    return (edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id"))).distinct())
+
+
+def test_component_maintenance_matches_batch(spark, tmp_path):
+    deltas = str(tmp_path / "deltas")
+    _write_batches(spark, deltas, BATCHES)
+    got = run_component_maintenance(spark, deltas, str(tmp_path / "state"))
+    e = _union_edges(spark)
+    want = connected_components(_vertices(e), e).components
+    assert {(r.id, r.component) for r in got.collect()} == \
+        {(r.id, r.component) for r in want.collect()}
+
+
+def test_component_maintenance_metrics_lineage(spark, tmp_path):
+    import json
+
+    deltas = str(tmp_path / "deltas")
+    _write_batches(spark, deltas, BATCHES)
+    run_component_maintenance(spark, deltas, str(tmp_path / "state"))
+    mpath = tmp_path / "state" / "wcc_state" / "metrics.jsonl"
+    rows = [json.loads(ln) for ln in open(mpath)]
+    assert [r["batch_id"] for r in rows] == [0, 1, 2]
+    assert all(r["checkpoint"] for r in rows)
+    # drop 3's bridge (6,7)+(2,3) merges {0,1,2},{3,4,5,6},{7,8,9} into one
+    assert rows[-1]["components"] == 2
+    assert rows[-1]["vertices"] == 12
+
+
+def test_component_maintenance_resume_across_runs(spark, tmp_path):
+    deltas = str(tmp_path / "deltas")
+    state = str(tmp_path / "state")
+    _write_batches(spark, deltas, BATCHES[:2])
+    run_component_maintenance(spark, deltas, state)
+    # a later crawl drop lands; a NEW driver run resumes both checkpoints
+    _write_batches(spark, deltas, BATCHES)  # rewrites 0,1 + adds drop 2
+    got = run_component_maintenance(spark, deltas, state)
+    e = _union_edges(spark)
+    want = connected_components(_vertices(e), e).components
+    assert {(r.id, r.component) for r in got.collect()} == \
+        {(r.id, r.component) for r in want.collect()}
+
+
+def test_pagerank_maintenance_matches_batch(spark, tmp_path):
+    deltas = str(tmp_path / "deltas")
+    _write_batches(spark, deltas, BATCHES)
+    got = run_pagerank_maintenance(
+        spark, deltas, str(tmp_path / "state"), tol=1e-9,
+        max_iterations=200)
+    e = _union_edges(spark)
+    want = pagerank(_vertices(e), e, tol=1e-9, max_iterations=200).ranks
+    g = {r.id: r.rank for r in got.collect()}
+    w = {r.id: r.rank for r in want.collect()}
+    assert set(g) == set(w)
+    for vid in w:
+        assert g[vid] == pytest.approx(w[vid], abs=1e-6), vid
+
+
+def test_pagerank_maintenance_rerank_cadence(spark, tmp_path):
+    import json
+
+    deltas = str(tmp_path / "deltas")
+    _write_batches(spark, deltas, BATCHES)
+    got = run_pagerank_maintenance(
+        spark, deltas, str(tmp_path / "state"), tol=1e-9,
+        max_iterations=200, rerank_every=2)
+    # 3 drops at cadence 2 => rank after drop 1 (batch id 1) + trailing
+    mpath = tmp_path / "state" / "rank_state" / "metrics.jsonl"
+    rows = [json.loads(ln) for ln in open(mpath)]
+    assert len(rows) == 2
+    e = _union_edges(spark)
+    want = pagerank(_vertices(e), e, tol=1e-9, max_iterations=200).ranks
+    w = {r.id: r.rank for r in want.collect()}
+    g = {r.id: r.rank for r in got.collect()}
+    for vid in w:
+        assert g[vid] == pytest.approx(w[vid], abs=1e-6), vid
+
+
+def test_triangle_maintenance_matches_batch(spark, tmp_path):
+    # (3,4) repeats across drops and drop 3 closes triangles over old
+    # edges — both the anti-join and the delta-wedge paths are exercised
+    tri_batches = [
+        [(0, 1), (1, 2), (3, 4)],
+        [(2, 0), (3, 4), (4, 5)],
+        [(3, 5), (0, 3)],
+    ]
+    deltas = str(tmp_path / "deltas")
+    _write_batches(spark, deltas, tri_batches)
+    got = run_triangle_maintenance(spark, deltas, str(tmp_path / "state"))
+    rows = sorted({e for b in tri_batches for e in b})
+    e = spark.createDataFrame(rows, "src long, dst long")
+    want = triangle_count(_vertices(e), e).node_counts
+    g = {(r.id, r.triangles, round(r.coefficient, 9)) for r in got.collect()}
+    w = {(r.id, r.triangles, round(r.coefficient, 9)) for r in want.collect()}
+    assert g == w
+
+
+def test_empty_stream_returns_empty_state(spark, tmp_path):
+    deltas = str(tmp_path / "deltas")
+    os.makedirs(deltas)
+    got = run_component_maintenance(spark, deltas, str(tmp_path / "state"))
+    assert got.count() == 0
+    assert got.columns == ["id", "component"]
