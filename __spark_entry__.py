@@ -1661,6 +1661,34 @@ def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "ball_est")
 
 
+def _q_hyperball_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF: neighborhood function anf(r) = Σ_v |ball(v, r)| from the
+    same sketch as hyperball_balls. Per-vertex estimates are quantized to
+    integer micro-units BEFORE the sum (each term is bit-exact vs the
+    oracle, and an integer sum is addition-order-independent — a raw
+    double Σ over 1000 vertices could differ in the last ulp between
+    engines)."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import hyperball
+
+    e = _edges(spark, sf_dir)
+    v = _vertices(e)
+    res = hyperball(v, e, radius=3, b=4)
+    return (
+        res.balls
+        .select(F.col("r").cast("int").alias("r"),
+                F.round(F.col("ball_est") * 1e6).cast("long").alias("_q"))
+        .groupBy("r")
+        .agg(F.sum("_q").alias("anf_micro"))
+    )
+
+
+def _hyperball_anf_oracle_sql(radius: int = 3, b: int = 4) -> str:
+    return (
+        "SELECT r, SUM(CAST(ROUND(ball_est * 1e6) AS BIGINT)) AS anf_micro "
+        f"FROM ({_hyperball_oracle_sql(radius, b)}) GROUP BY r"
+    )
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic hash-sampled walks; oracle replays the identical
     # Murmur3 pick bit-for-bit (_random_walks_oracle_sql)
@@ -2547,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "simhash_signatures": _q_simhash,
         "wcc_incremental": _q_wcc_incremental,
+        "hyperball_anf": _q_hyperball_anf,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_csr": _q_pagerank_csr,
         "pagerank_delta": _q_pagerank_delta,
@@ -2629,6 +2658,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_twolevel": _louvain_twolevel_sql(4, 4),
         "random_walks": _random_walks_oracle_sql(),
         "hyperball_balls": _hyperball_oracle_sql(radius=3, b=4),
+        "hyperball_anf": _hyperball_anf_oracle_sql(radius=3, b=4),
         "k_shortest_paths": _ksp_oracle_sql(),
         "all_shortest_paths": _allsp_unrolled_sql(20),
         "astar_path": _astar_oracle_sql(),

@@ -208,6 +208,15 @@ def run_bench() -> dict:
     queries["triangle_count"] = round(t, 3)
     steal["triangle_count"] = st
 
+    # HLL neighborhood function (the closeness-family scale path):
+    # 4 elementwise-max gather rounds over 16 register columns
+    from neo4j_graph_algorithms_spark.operators.hyperball import hyperball
+
+    t, st, _ = _timed(lambda: hyperball(v, e, radius=4, b=4).balls.count(),
+                      "hyperball_r4_m16")
+    queries["hyperball_r4_m16"] = round(t, 3)
+    steal["hyperball_r4_m16"] = st
+
     if os.environ.get("BENCH_PRELAYOUT"):
         # one-time storage layout (sources/bucketed.py) vs the per-run
         # repartition+sort: write the edge table bucketed+sorted once,

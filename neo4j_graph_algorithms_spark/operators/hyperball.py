@@ -46,6 +46,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.loop_conf import superstep_conf
+
 __all__ = [
     "hyperball",
     "approx_neighborhood_function",
@@ -164,38 +166,45 @@ def hyperball(
     pairs.count()
 
     regs = _init_registers(vertices, b).persist()
-    regs.count()
+    n_vertices = regs.count()
     est = F.expr(hll_estimate_sql(m)).alias("ball_est")
     out = [regs.select("id", F.lit(0).alias("r"), est)]
 
     reg_cols = [f"r{j}" for j in range(m)]
-    for it in range(1, radius + 1):
-        nbr = regs.select(
-            F.col("id").alias("u"),
-            *[F.col(c).alias(f"n{j}") for j, c in enumerate(reg_cols)],
-        )
-        gath = (
-            pairs.join(nbr, "u")
-            .groupBy("v")
-            .agg(*[F.max(f"n{j}").alias(f"m{j}") for j in range(m)])
-        )
-        new_regs = (
-            regs.join(gath, regs.id == gath.v, "left")
-            .select(
-                "id",
-                *[
-                    F.greatest(F.col(c), F.coalesce(F.col(f"m{j}"), F.lit(0)))
-                    .alias(c)
-                    for j, c in enumerate(reg_cols)
-                ],
+    # same loop policy as the pagerank superstep (plans/loop_conf.py):
+    # AQE off (static shapes, re-planning latency dominates), broadcast
+    # off above the threshold (the register table is the EVOLVING side —
+    # broadcasting |V| x (m+1) ints per round would be a driver build
+    # per round)
+    with superstep_conf(spark, n_vertices):
+        for it in range(1, radius + 1):
+            nbr = regs.select(
+                F.col("id").alias("u"),
+                *[F.col(c).alias(f"n{j}") for j, c in enumerate(reg_cols)],
             )
-            .localCheckpoint(eager=False)  # truncate lineage every round
-            .persist()
-        )
-        new_regs.count()
-        regs.unpersist()
-        regs = new_regs
-        out.append(regs.select("id", F.lit(it).alias("r"), est))
+            gath = (
+                pairs.join(nbr, "u")
+                .groupBy("v")
+                .agg(*[F.max(f"n{j}").alias(f"m{j}") for j in range(m)])
+            )
+            new_regs = (
+                regs.join(gath, regs.id == gath.v, "left")
+                .select(
+                    "id",
+                    *[
+                        F.greatest(F.col(c),
+                                   F.coalesce(F.col(f"m{j}"), F.lit(0)))
+                        .alias(c)
+                        for j, c in enumerate(reg_cols)
+                    ],
+                )
+                .localCheckpoint(eager=False)  # truncate lineage per round
+                .persist()
+            )
+            new_regs.count()
+            regs.unpersist()
+            regs = new_regs
+            out.append(regs.select("id", F.lit(it).alias("r"), est))
 
     balls = out[0]
     for o in out[1:]:

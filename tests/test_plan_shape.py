@@ -187,3 +187,38 @@ def test_edges_scan_reads_only_two_columns(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"l_orderkey", "l_partkey"}, plan
+
+
+def test_hyperball_gather_streams_cached_pairs(spark):
+    """HyperBall's per-radius gather join must stream the cached
+    u-partitioned, u-sorted edge side with no Exchange/Sort — only the
+    vertex-sized register table moves per round (the same superstep
+    contract as PageRank, operators/hyperball.py)."""
+    from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
+
+    m = 16
+    pairs = spark.createDataFrame(
+        [(i % 40, (i * 7) % 40) for i in range(120)], "v long, u long"
+    ).repartition(4, "u").sortWithinPartitions("u").persist()
+    pairs.count()
+    regs = spark.createDataFrame(
+        [tuple([i] + [j % 5 for j in range(m)]) for i in range(40)],
+        "id long, " + ", ".join(f"r{j} int" for j in range(m)),
+    ).localCheckpoint(eager=True)
+    with superstep_conf(spark, 50_000_000):
+        nbr = regs.select(
+            F.col("id").alias("u"),
+            *[F.col(f"r{j}").alias(f"n{j}") for j in range(m)])
+        gath = (
+            pairs.join(nbr, "u")
+            .groupBy("v")
+            .agg(*[F.max(f"n{j}").alias(f"m{j}") for j in range(m)])
+        )
+        plan = _explain(gath)
+    assert "SortMergeJoin" in plan, plan
+    branch = _left_branch_lines(plan)
+    assert any("InMemoryTableScan" in ln for ln in branch), plan
+    for ln in branch:
+        assert "Exchange" not in ln, plan
+        assert not re.search(r"\bSort\b", ln), plan
+    pairs.unpersist()
