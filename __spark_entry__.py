@@ -1849,6 +1849,39 @@ def _betweenness_oracle_sql(levels: int = 10, n_sub: int = 120) -> str:
     )
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership after 8 peel rounds (operators/kcore.py — the
+    peel converges on this graph well before round 8, and a fixpoint is
+    stable under further rounds, so the fixed-round oracle replay is
+    exact). Returns the surviving (id) set."""
+    from neo4j_graph_algorithms_spark.operators.kcore import k_core
+
+    e = _edges(spark, sf_dir)
+    return k_core(_vertices(e), e, 3, max_rounds=8).members
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    parts = [
+        _EDGES_CTE,
+        _NODES_CTE,
+        # MATERIALIZED: alive{t} is referenced three times in round t+1;
+        # DuckDB would otherwise inline it and the plan grows 3^rounds
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM edges WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM edges WHERE src <> dst))",
+        "alive0 AS MATERIALIZED (SELECT id FROM nodes)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"deg{t} AS (SELECT e.u AS id, COUNT(*) AS d FROM sym e "
+            f"JOIN alive{t-1} x ON e.u = x.id "
+            f"JOIN alive{t-1} y ON e.v = y.id GROUP BY e.u)")
+        parts.append(
+            f"alive{t} AS MATERIALIZED (SELECT a.id FROM alive{t-1} a "
+            f"JOIN deg{t} d ON d.id = a.id AND d.d >= {k})")
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id FROM alive{rounds}"
+
+
 def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.operators.scc import (
         strongly_connected_components,
@@ -2522,7 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- window 1-50: driver-checked this round -------------------
         "pagerank": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
-        "pagerank_incremental": _q_pagerank_incremental,
+        "k_core": _q_kcore,
         "pages_pagerank_e2e": _q_pages_pagerank,
         "pages_extract_edges": _q_extract_pages_edges,
         "pages_host_pagerank": _q_pages_host_pagerank,
@@ -2575,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "simhash_signatures": _q_simhash,
         "wcc_incremental": _q_wcc_incremental,
+        "pagerank_incremental": _q_pagerank_incremental,
         "hyperball_anf": _q_hyperball_anf,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_csr": _q_pagerank_csr,
@@ -2685,6 +2719,7 @@ def oracle_sql() -> dict[str, str]:
         "pearson_similarity": _PEARSON_SQL,
         "wcc": _WCC_SQL,
         "streaming_wcc": _WCC_SQL,
+        "k_core": _kcore_oracle_sql(3, 8),
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,
         "triangles_incremental": f"""

@@ -395,12 +395,14 @@ def run_scalerun() -> dict:
     v = spark.read.parquet(os.path.join(SCALING_CACHE, "nodes"))
     n_edges = e.count()
     pagerank(v, e, max_iterations=8, tol=0.0, unroll=8)  # warmup
+    speed0 = _host_speed_sec()  # per-leg: host drift between legs skews eff
     cpu0 = _cpu_sample()
     t0 = _t.time()
     res = pagerank(v, e, max_iterations=SCALING_ITERS, tol=0.0, unroll=8)
     dt = _t.time() - t0
     out = {
         "cpus": CPUS,
+        "host_speed_sec": {"start": speed0, "end": _host_speed_sec()},
         "shuffle_partitions": SCALING_SHUF,
         "edges": n_edges,
         "supersteps": res.iterations,

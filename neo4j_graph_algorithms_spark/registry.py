@@ -74,6 +74,8 @@ _REGISTRY: dict[str, str] = {
     "ext.stream.wcc": f"{_P}.streaming.graph_maintenance:run_component_maintenance",
     "ext.stream.pageRank": f"{_P}.streaming.graph_maintenance:run_pagerank_maintenance",
     "ext.stream.triangleCount": f"{_P}.streaming.graph_maintenance:run_triangle_maintenance",
+    "ext.kCore": f"{_P}.operators.kcore:k_core",
+    "ext.coreness": f"{_P}.operators.kcore:coreness",
     "ext.hyperBall": f"{_P}.operators.hyperball:hyperball",
     "ext.hyperBall.anf": f"{_P}.operators.hyperball:approx_neighborhood_function",
     "ext.hyperBall.effectiveDiameter": f"{_P}.operators.hyperball:approx_effective_diameter",

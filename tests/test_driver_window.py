@@ -9,7 +9,8 @@ future append can't silently push a family out of the window again.
 import __spark_entry__ as em
 
 FAMILIES = {
-    "pagerank": ["pagerank", "pagerank_weighted", "pagerank_incremental"],
+    "pagerank": ["pagerank", "pagerank_weighted"],
+    "kcore": ["k_core"],
     "pages_e2e": ["pages_pagerank_e2e", "pages_extract_edges",
                   "pages_host_pagerank"],
     "wcc": ["wcc", "streaming_wcc"],
