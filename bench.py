@@ -465,13 +465,23 @@ def run_cluster_scaling() -> None:
     execs = tuple(
         int(x) for x in os.environ.get("SCALING_EXECUTORS", "1,4").split(",")
     )
+    # shuffle/local dirs on tmpfs: N executor JVMs on ONE box otherwise
+    # serialize on the single /tmp disk — a bottleneck real N-machine
+    # clusters don't have (one local disk PER machine). Measured on the
+    # 4x2 leg: 30.9 s/superstep via /tmp (disk) vs 10.4 via tmpfs.
+    local_dir = os.environ.get("SCALING_LOCAL_DIR", "/dev/shm/spark_local")
+    if not os.path.isdir(os.path.dirname(local_dir)):
+        local_dir = None
     results = {}
     for n in execs:
         _log(f"spark-submit local-cluster[{n},2,4096] ...")
+        extra = (["--conf", f"spark.local.dir={local_dir}"]
+                 if local_dir else [])
         out = subprocess.run(
             ["spark-submit", "--master", f"local-cluster[{n},2,4096]",
              "--conf", "spark.ui.enabled=false",
              "--conf", "spark.executor.memory=3g",
+             *extra,
              "--py-files", zip_path, submit_py,
              "--edges", os.path.join(SCALING_CACHE, "edges"),
              "--max-iters", str(SCALING_ITERS), "--warmup-iters", "8",
