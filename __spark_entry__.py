@@ -556,6 +556,60 @@ def _eigenvector_unrolled_sql(iters: int, norm: str = "max") -> str:
     )
 
 
+def _hits_unrolled_sql(iters: int) -> str:
+    """Unrolled HITS (Kleinberg): per iteration an authority half-step
+    (auth = A^T.hub, L2-normalize) then a hub half-step (hub = A.auth,
+    L2-normalize) — mirrors operators/centrality_variants.py:hits.
+    Deterministic at fixed iterations; every per-step CTE MATERIALIZED
+    for the same reason as _eigenvector_unrolled_sql."""
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "s0 AS MATERIALIZED (SELECT id, "
+        "1.0 / (SELECT count(*) FROM nodes) AS hub, "
+        "1.0 / (SELECT count(*) FROM nodes) AS auth FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"am{i} AS MATERIALIZED (SELECT e.dst AS id, sum(s.hub) AS araw "
+            f"FROM edges e JOIN s{i-1} s ON s.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"araw{i} AS MATERIALIZED (SELECT s.id, s.hub, "
+            f"coalesce(a.araw, 0.0) AS araw "
+            f"FROM s{i-1} s LEFT JOIN am{i} a ON s.id = a.id)"
+        )
+        parts.append(
+            f"al2_{i} AS MATERIALIZED (SELECT CASE WHEN sqrt(sum(araw * araw)) > 0 "
+            f"THEN sqrt(sum(araw * araw)) ELSE 1.0 END AS v FROM araw{i})"
+        )
+        parts.append(
+            f"mid{i} AS MATERIALIZED (SELECT id, hub, "
+            f"araw / (SELECT v FROM al2_{i}) AS auth FROM araw{i})"
+        )
+        parts.append(
+            f"hm{i} AS MATERIALIZED (SELECT e.src AS id, sum(m.auth) AS hraw "
+            f"FROM edges e JOIN mid{i} m ON m.id = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"hraw{i} AS MATERIALIZED (SELECT m.id, m.auth, "
+            f"coalesce(h.hraw, 0.0) AS hraw "
+            f"FROM mid{i} m LEFT JOIN hm{i} h ON m.id = h.id)"
+        )
+        parts.append(
+            f"hl2_{i} AS MATERIALIZED (SELECT CASE WHEN sqrt(sum(hraw * hraw)) > 0 "
+            f"THEN sqrt(sum(hraw * hraw)) ELSE 1.0 END AS v FROM hraw{i})"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT id, "
+            f"hraw / (SELECT v FROM hl2_{i}) AS hub, auth FROM hraw{i})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, round(hub, 6) AS hub, round(auth, 6) AS authority "
+        f"FROM s{iters}"
+    )
+
+
 def _sssp_unrolled_sql(iters: int) -> str:
     """Unrolled Bellman-Ford from node 0 over the multiplicity-weighted
     graph — mirrors operators/traversal.py:sssp (reference
@@ -1470,6 +1524,19 @@ def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = eigenvector_centrality(_vertices(e), e, max_iterations=PR_ITERS,
                                  normalization="max")
     return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS hubs & authorities (engine extension — no reference proc);
+    # fixed-iteration alternating power iteration is deterministic —
+    # oracle = unrolled auth/hub half-step CTE pairs (_hits_unrolled_sql)
+    from neo4j_graph_algorithms_spark.operators.centrality_variants import hits
+
+    e = _edges(spark, sf_dir)
+    res = hits(_vertices(e), e, max_iterations=PR_ITERS)
+    return res.scores.select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"))
 
 
 def _q_eigenvector_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2571,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_shortest_paths": _q_kshortest,
         "random_walks": _q_random_walks,
         "eigenvector": _q_eigenvector,
+        "hits": _q_hits,
         "degree_in": _q_degree("in", False),
         "link_prediction": _q_linkprediction,
         "jaccard_categories": _q_jaccard_categories,
@@ -2583,7 +2651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_twolevel": _q_louvain_twolevel,
         "infomap_fixedmerges": _q_infomap_fixedmerges,
         "euclidean_similarity": _q_euclidean_vectors,
-        "pearson_similarity": _q_pearson_vectors,
         "cosine_knn": _q_cosine_knn,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_candidates": _q_minhash_candidates,
@@ -2634,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_wf": _q_closeness(True),
         "harmonic": _q_harmonic,
         "dangalchev": _q_dangalchev,
+        "pearson_similarity": _q_pearson_vectors,
         "louvain": _q_louvain,
     }
 
@@ -2684,6 +2752,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "articlerank": _articlerank_unrolled_sql(PR_ITERS),
         "eigenvector": _eigenvector_unrolled_sql(PR_ITERS),
+        "hits": _hits_unrolled_sql(PR_ITERS),
         "eigenvector_l1norm": _eigenvector_unrolled_sql(PR_ITERS, "l1norm"),
         "sssp_from_0": _sssp_unrolled_sql(20),
         "shortest_path": _shortest_path_oracle_sql(20),

@@ -24,7 +24,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["articlerank", "eigenvector_centrality"]
+__all__ = ["articlerank", "eigenvector_centrality", "hits"]
 
 
 @dataclass
@@ -157,3 +157,106 @@ def eigenvector_centrality(
         s = scores.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).first()[0] or 1.0
         scores = scores.select("id", (F.col("score") / F.lit(s)).alias("score"))
     return CentralityResult(scores, it, converged, metrics)
+
+
+def hits(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iterations: int = 20,
+    tol: float = 0.0,
+    spark: SparkSession | None = None,
+) -> CentralityResult:
+    """HITS hubs & authorities (Kleinberg 1999) — engine extension; the
+    reference has no HITS procedure, but it is the canonical second
+    link-analysis algorithm next to PageRank and reuses the exact
+    superstep shape of :func:`eigenvector_centrality`, alternated over
+    the two edge directions.
+
+    Per iteration: ``auth = Aᵀ·hub`` then L2-normalize, ``hub = A·auth``
+    then L2-normalize. The edge table is cached twice — once
+    partitioned by ``src`` (authority gather groups by ``dst``) and
+    once by ``dst`` (hub gather groups by ``src``) — so neither
+    half-superstep re-shuffles the edge side; only the vertex-sized
+    hub/auth state moves, the same 100×-scale contract as pagerank's
+    loop. Deterministic at fixed iterations → the driver oracle unrolls
+    the recurrence into chained SQL CTEs (``_hits_unrolled_sql``).
+
+    Returns scores as ``(id, hub, authority)`` in ``CentralityResult``
+    (``scores`` carries both columns).
+    """
+    spark = spark or vertices.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    e = edges.select("src", "dst")
+    ef_src = e.repartition(shuffle_n, "src").persist()
+    ef_dst = e.repartition(shuffle_n, "dst").persist()
+    ef_src.count()
+    ef_dst.count()
+
+    n = vertices.count()
+    state = vertices.select(
+        "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    ).persist()
+    state.count()
+
+    converged, it = False, 0
+    metrics: list[dict[str, Any]] = []
+    prev_persisted = state
+    for it in range(1, max_iterations + 1):
+        # authority half-step: auth_raw(v) = Σ_{u→v} hub(u)
+        a_msgs = (
+            ef_src.join(state.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_araw"))
+        )
+        mid = (
+            state.join(a_msgs, state["id"] == a_msgs["dst"], "left")
+            .select(state["id"], "hub",
+                    F.coalesce(F.col("_araw"), F.lit(0.0)).alias("_araw"),
+                    state["auth"].alias("_aprev"),
+                    state["hub"].alias("_hprev"))
+            .localCheckpoint(eager=False)
+        )
+        a_l2 = mid.agg(F.sqrt(F.sum(F.col("_araw") * F.col("_araw")))).first()[0] or 1.0
+        a_l2 = a_l2 if a_l2 > 0 else 1.0
+        mid = mid.select(
+            "id", "hub", (F.col("_araw") / F.lit(a_l2)).alias("auth"),
+            "_aprev", "_hprev",
+        )
+        # hub half-step: hub_raw(u) = Σ_{u→v} auth(v)
+        h_msgs = (
+            ef_dst.join(mid.select(F.col("id").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("_hraw"))
+        )
+        nxt = (
+            mid.join(h_msgs, mid["id"] == h_msgs["src"], "left")
+            .select(mid["id"], "auth",
+                    F.coalesce(F.col("_hraw"), F.lit(0.0)).alias("_hraw"),
+                    "_aprev", "_hprev")
+            .localCheckpoint(eager=False)
+        )
+        h_l2 = nxt.agg(F.sqrt(F.sum(F.col("_hraw") * F.col("_hraw")))).first()[0] or 1.0
+        h_l2 = h_l2 if h_l2 > 0 else 1.0
+        new_state = nxt.select(
+            "id", (F.col("_hraw") / F.lit(h_l2)).alias("hub"), "auth",
+            "_aprev", "_hprev",
+        ).persist()
+        max_delta = new_state.agg(
+            F.max(F.greatest(F.abs(F.col("hub") - F.col("_hprev")),
+                             F.abs(F.col("auth") - F.col("_aprev"))))
+        ).first()[0] or 0.0
+        metrics.append({"iteration": it, "max_delta": max_delta,
+                        "auth_l2": a_l2, "hub_l2": h_l2})
+        prev_persisted.unpersist()
+        prev_persisted = new_state
+        state = new_state.select("id", "hub", "auth")
+        if tol > 0.0 and max_delta < tol:
+            converged = True
+            break
+    ef_src.unpersist()
+    ef_dst.unpersist()
+    return CentralityResult(
+        state.select("id", "hub", F.col("auth").alias("authority")),
+        it, converged, metrics)

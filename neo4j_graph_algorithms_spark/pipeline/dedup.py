@@ -3,10 +3,17 @@
 Scale notes (the point of each design):
 
 - exact: one hash-aggregate on md5(text) — never materializes pairs.
-- MinHash+LSH: per-doc signature of md5-derived min-hashes, banded;
-  candidate pairs appear only through ONE equality self-join on
+- MinHash+LSH: per-doc signature of min-hashes, banded; candidate
+  pairs appear only through ONE equality self-join on
   (band_id, band_key) posting rows — the all-pairs space is never
   generated, and the shuffle count is independent of the band count.
+  Permutations are universal hashes ``(a_k·h + b_k) mod (2^31−1)``
+  over ONE md5-derived 32-bit base hash per token — one md5 per token
+  occurrence instead of ``n_hashes`` salted md5s, so the signature
+  aggregation is 1 string hash + n_hashes codegen'd multiply-add-mods
+  per token (the dominant cost at 128 permutations drops ~an order of
+  magnitude). Operand bounds keep every intermediate under 2^63, so
+  the arithmetic is exact (no wrap) in both Spark and DuckDB.
   Production defaults: 128 permutations × 16 bands of 8 rows (the
   S-curve threshold ≈ (1/16)^(1/8) ≈ 0.71 Jaccard); the driver's
   oracle-matched config (4 hashes, 2×2 bands) stays available by
@@ -72,6 +79,41 @@ def _h15(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
+def perm_consts(k: int) -> tuple[int, int]:
+    """Deterministic universal-hash constants for permutation ``k``:
+    odd multiplier ``a < 2^30`` and offset ``b < 2^31−1``. Fixed
+    integer arithmetic — any SQL engine replays the same constants.
+
+    The modulus is the Mersenne prime 2^31−1, deliberately SMALLER
+    than the 32-bit base-hash universe: ``a·h`` exceeds the modulus by
+    ~2^31 multiples, so the mod genuinely permutes (Carter-Wegman
+    pairwise independence over ``h mod p``). A modulus ≫ a·h would
+    wrap at most once, leaving every "permutation" nearly monotone in
+    ``h`` — all minima would land on the same token and LSH recall
+    collapses (caught by test_minhash_production_params_recall).
+    Bounds: ``a·h + b < 2^30·2^32 + 2^31 < 2^63`` — no signed-64
+    overflow in Spark or DuckDB."""
+    a = ((k * 2654435761 + 1013904223) % ((1 << 30) - 1)) | 1
+    b = (k * 2246822519 + 3266489917) % MERSENNE31
+    return a, b
+
+
+def _h8(col: Column) -> Column:
+    """Portable 32-bit base hash: first 8 hex chars of md5 → bigint
+    (DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _perm_col(k: int) -> Column:
+    """Permutation ``k`` applied to the base-hash column ``h`` —
+    pure codegen'd integer arithmetic, no string hashing."""
+    a, b = perm_consts(k)
+    return (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(fingerprint, n_docs, min_doc_id) — one row per distinct text."""
     return (
@@ -88,13 +130,13 @@ def _doc_tokens(docs: DataFrame, text_col: str, ngram: int = 1) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, h0..h{n-1}) — min over tokens of salted md5 hashes."""
+    """(doc_id, h0..h{n-1}) — min over tokens of universal-hash
+    permutations of one md5-derived 32-bit base hash per token (see
+    module docstring; one md5 total, not one per permutation)."""
     toks = _doc_tokens(docs, text_col)
-    aggs = [
-        F.min(_h15(F.concat(F.col("tok"), F.lit(f"|{k}")))).alias(f"h{k}")
-        for k in range(n_hashes)
-    ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    hashed = toks.select("doc_id", _h8(F.col("tok")).alias("h"))
+    aggs = [F.min(_perm_col(k)).alias(f"h{k}") for k in range(n_hashes)]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",

@@ -8,6 +8,7 @@ with dedup.py / text.py / ann.py.
 
 from __future__ import annotations
 
+from neo4j_graph_algorithms_spark.pipeline.dedup import MERSENNE31, perm_consts
 from neo4j_graph_algorithms_spark.pipeline.text import LANGS, LANG_PROFILES, STOPWORDS
 
 _TOKS = (
@@ -15,9 +16,21 @@ _TOKS = (
     "x -> x <> '')) AS tok FROM documents)"
 )
 
+# mirrors dedup._h8 + dedup._perm_col: one 32-bit md5 base hash per
+# token, n universal-hash permutations (a_k·h + b_k) mod (2^31−1)
+_HASHED = (
+    "hashed AS (SELECT doc_id, "
+    "('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks)"
+)
+
 
 def _h15(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _perm_sql(k: int) -> str:
+    a, b = perm_consts(k)
+    return f"({a} * h + {b}) % {MERSENNE31}"
 
 
 def _sql_list(words: list[str]) -> str:
@@ -34,18 +47,17 @@ def pipeline_oracles() -> dict[str, str]:
     """
 
     minhash_aggs = ", ".join(
-        "min({h}) AS h{k}".format(h=_h15("tok || '|{k}'".format(k=k)), k=k)
-        for k in range(4)
+        f"min({_perm_sql(k)}) AS h{k}" for k in range(4)
     )
     sql["minhash_signatures"] = f"""
-        WITH {_TOKS}
+        WITH {_TOKS}, {_HASHED}
         SELECT doc_id, {minhash_aggs}
-        FROM toks GROUP BY doc_id
+        FROM hashed GROUP BY doc_id
     """
 
     sql["minhash_lsh_candidates"] = f"""
-        WITH {_TOKS},
-        sigs AS (SELECT doc_id, {minhash_aggs} FROM toks GROUP BY doc_id),
+        WITH {_TOKS}, {_HASHED},
+        sigs AS (SELECT doc_id, {minhash_aggs} FROM hashed GROUP BY doc_id),
         c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a
                JOIN sigs b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
         c2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a
@@ -67,8 +79,8 @@ def pipeline_oracles() -> dict[str, str]:
     # = highest whitespace-token count, ties lowest doc_id. Docs in no
     # pair are singleton clusters (seeded by the non-recursive branch).
     sql["dedup_clusters"] = f"""
-        WITH RECURSIVE {_TOKS},
-        sigs AS (SELECT doc_id, {minhash_aggs} FROM toks GROUP BY doc_id),
+        WITH RECURSIVE {_TOKS}, {_HASHED},
+        sigs AS (SELECT doc_id, {minhash_aggs} FROM hashed GROUP BY doc_id),
         c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a
                JOIN sigs b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
         c2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a

@@ -191,3 +191,52 @@ def test_betweenness_sampled_scales(spark):
     )
     got = {r["id"]: r["centrality"] for r in res.collect()}
     assert all(v >= 0.0 for v in got.values())
+
+
+# ---- HITS (engine extension) -------------------------------------------
+
+HITS_EDGES = [(0, 3, 1.0), (0, 4, 1.0), (1, 3, 1.0), (1, 4, 1.0),
+              (2, 4, 1.0), (4, 5, 1.0)]
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    # independent oracle: dense numpy alternating power iteration with
+    # the same init (1/n) and per-half-step L2 normalization
+    import numpy as np
+    from neo4j_graph_algorithms_spark.operators.centrality_variants import hits
+
+    n, iters = 6, 12
+    A = np.zeros((n, n))
+    for s, d, _ in HITS_EDGES:
+        A[s, d] = 1.0
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        auth = A.T @ hub
+        l2 = np.sqrt((auth ** 2).sum()) or 1.0
+        auth = auth / l2
+        hub = A @ auth
+        l2 = np.sqrt((hub ** 2).sum()) or 1.0
+        hub = hub / l2
+
+    res = hits(_v(spark, n), make_edges(spark, HITS_EDGES),
+               max_iterations=iters)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+    assert res.iterations == iters
+    for i in range(n):
+        assert got[i][0] == pytest.approx(hub[i], abs=1e-9), f"hub {i}"
+        assert got[i][1] == pytest.approx(auth[i], abs=1e-9), f"auth {i}"
+    # structure: 0 and 1 are the best hubs (point at both authorities);
+    # 4 is the top authority (3 in-links)
+    assert got[0][0] == pytest.approx(got[1][0])
+    assert got[0][0] > got[2][0] > got[3][0]
+    assert got[4][1] > got[3][1] > got[0][1]
+
+
+def test_hits_tolerance_converges(spark):
+    from neo4j_graph_algorithms_spark.operators.centrality_variants import hits
+
+    res = hits(_v(spark, 6), make_edges(spark, HITS_EDGES),
+               max_iterations=50, tol=1e-9)
+    assert res.converged
+    assert res.iterations < 50
