@@ -2312,6 +2312,29 @@ def _q_pearson_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- pipeline: documents / embeddings / events ----------------------------
 
 
+def _q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic per-language Bernoulli downsample (en 0.5, zh 0.25,
+    # everything else kept) — the hash threshold is a pure function of
+    # (doc_id, seed), so the DuckDB oracle replays the identical rows
+    from neo4j_graph_algorithms_spark.pipeline.sampling import sample_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_documents(
+        docs, by="lang", fractions={"en": 0.5, "zh": 0.25}, seed=0
+    ).select("doc_id", "lang")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exactly 10 docs per language, hash-ordered (deterministic)
+    from neo4j_graph_algorithms_spark.pipeline.sampling import (
+        stratified_sample_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, 10, by="lang", seed=0).select(
+        "doc_id", "lang")
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.dedup import exact_duplicates
 
@@ -2664,7 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "language_id": _q_langid,
         "doc_fingerprints": _q_fingerprint,
-        "one_hot_lang": _q_onehot,
+        "sample_documents": _q_sample_documents,
         "lsh_sign_buckets": _q_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
         "ivf_knn": _q_ivf_knn,
@@ -2702,6 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": _q_harmonic,
         "dangalchev": _q_dangalchev,
         "pearson_similarity": _q_pearson_vectors,
+        "one_hot_lang": _q_onehot,
+        "stratified_sample": _q_stratified_sample,
         "louvain": _q_louvain,
     }
 

@@ -327,4 +327,27 @@ def pipeline_oracles() -> dict[str, str]:
         FROM cand WHERE s >= 0.3
     """
 
+
+    # mirrors sampling.sample_documents(by='lang',
+    # fractions={'en': 0.5, 'zh': 0.25}, seed=0): hash threshold over
+    # the md5-derived 32-bit hash of (doc_id || '#smp0'), mod 2^20
+    _smp = ("('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#smp0'), 1, 8))"
+            "::BIGINT % 1048576")
+    sql["sample_documents"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_smp} < CASE WHEN lang = 'en' THEN 524288
+                            WHEN lang = 'zh' THEN 262144
+                            ELSE 1048576 END
+    """
+
+    # mirrors sampling.stratified_sample_exact(k=10, by='lang', seed=0)
+    sql["stratified_sample"] = f"""
+        WITH h AS (SELECT doc_id, lang, {_smp} AS hv FROM documents),
+        r AS (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY hv, doc_id) AS rk
+              FROM h)
+        SELECT doc_id, lang FROM r WHERE rk <= 10
+    """
+
     return sql

@@ -1,0 +1,105 @@
+"""Deterministic document sampling for training-data curation.
+
+The two shapes a 100-TB pipeline needs:
+
+- :func:`sample_documents` — Bernoulli sampling at a fixed ``fraction``
+  (optionally per stratum, e.g. per language): keep a row iff a
+  deterministic md5-derived hash of ``(doc_id, seed)`` falls under the
+  fraction threshold. Map-only — no shuffle, no RNG state; the SAME
+  rows are kept on every run, on any cluster, and in the DuckDB oracle
+  (seeded-RNG builtins are engine-specific; a hash threshold is not).
+- :func:`stratified_sample_exact` — exactly ``k`` docs per stratum,
+  chosen by hash order (a deterministic "random" order): one
+  ``row_number`` window per stratum. One shuffle by the stratum key;
+  per-stratum skew is bounded because only rank ≤ k survives the sort
+  (Spark's window sort spills; for pathological strata pre-filter with
+  a generous Bernoulli pass first — ``prefilter_fraction`` does this
+  automatically when set).
+
+Both are engine extensions (the reference is a graph library and has no
+sampling surface); they live beside dedup/quality because real curation
+pipelines chain them: dedup → quality score → stratified downsample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from neo4j_graph_algorithms_spark.pipeline.dedup import _h8
+
+__all__ = ["sample_documents", "stratified_sample_exact"]
+
+# hash threshold resolution: fraction is quantized to 1/2^20 — the
+# deterministic analogue of a Bernoulli draw with 20 bits of precision
+_RES = 1 << 20
+
+
+def _sample_hash(seed: int) -> Column:
+    """Uniform value in [0, 2^20) from (doc_id, seed) — md5-derived so
+    DuckDB replays it bit-for-bit (same shape as dedup's base hash)."""
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(f"#smp{seed}"))
+    return _h8(key) % F.lit(_RES)
+
+
+def sample_documents(
+    docs: DataFrame,
+    fraction: float | None = None,
+    *,
+    by: str | None = None,
+    fractions: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli sample of the documents table.
+
+    ``fraction`` applies one rate to every row. With ``by`` +
+    ``fractions`` (e.g. ``by='lang', fractions={'en': 0.1, 'de': 0.5}``)
+    each stratum gets its own rate; strata absent from the dict keep
+    EVERYTHING (rate 1.0) — curation usually downsamples the dominant
+    language and keeps the tail.
+
+    Map-only: the filter is a pure function of ``(doc_id, seed)``, so
+    it pushes into the scan, never shuffles, and composes with any
+    downstream operator. Expected |sample| = Σ_s rate_s·|stratum_s|;
+    exact counts need :func:`stratified_sample_exact`.
+    """
+    h = _sample_hash(seed)
+    if fractions is not None:
+        if by is None:
+            raise ValueError("fractions requires by=<stratum column>")
+        # nested whens in sorted-key order (deterministic plan text)
+        expr = F.lit(_RES)
+        for val, fr in sorted(fractions.items()):
+            expr = F.when(F.col(by) == F.lit(val),
+                          F.lit(int(fr * _RES))).otherwise(expr)
+        return docs.filter(h < expr)
+    if fraction is None:
+        raise ValueError("pass fraction or fractions")
+    return docs.filter(h < F.lit(int(fraction * _RES)))
+
+
+def stratified_sample_exact(
+    docs: DataFrame,
+    k: int,
+    *,
+    by: str = "lang",
+    seed: int = 0,
+    prefilter_fraction: float | None = None,
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` docs per stratum, selected and
+    ordered by the deterministic sample hash (ties broken by doc_id, so
+    the result set is unique). One shuffle on the stratum key.
+
+    ``prefilter_fraction`` bounds window-sort input on huge strata: a
+    Bernoulli pass at that rate runs first (map-only), then the exact
+    top-k — statistically safe whenever ``rate·|stratum| ≫ k``.
+    """
+    base = docs
+    if prefilter_fraction is not None:
+        base = sample_documents(base, prefilter_fraction, seed=seed + 1)
+    h = _sample_hash(seed)
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

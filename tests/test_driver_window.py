@@ -33,6 +33,7 @@ FAMILIES = {
     "ann": ["lsh_sign_buckets", "embedding_near_dup", "ivf_knn"],
     "text": ["token_stats", "bpe_token_stats", "quality_scores",
              "language_id", "doc_fingerprints", "one_hot_lang"],
+    "sampling": ["sample_documents", "stratified_sample"],
     "events": ["events_window", "events_sessionize"],
 }
 

@@ -609,3 +609,90 @@ def test_streaming_windowed_counts(spark, tmp_path):
     )
     assert out.count() == batch.count()
     assert out.agg(F.sum("n")).first()[0] == src.count()
+
+
+# ---- deterministic sampling (pipeline/sampling.py) ----------------------
+
+def _lang_docs(spark):
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_sample_documents_deterministic_and_rate(spark):
+    from neo4j_graph_algorithms_spark.pipeline.sampling import sample_documents
+
+    docs = _lang_docs(spark)
+    a = {r["doc_id"] for r in sample_documents(docs, 0.5, seed=7).collect()}
+    b = {r["doc_id"] for r in sample_documents(docs, 0.5, seed=7).collect()}
+    assert a == b  # same rows every run
+    assert 0.35 <= len(a) / 300 <= 0.65
+    # different seed -> different (but overlapping) set
+    c = {r["doc_id"] for r in sample_documents(docs, 0.5, seed=8).collect()}
+    assert c != a
+    # fraction monotonicity: the 0.25 sample is a subset of the 0.5 one
+    d = {r["doc_id"] for r in sample_documents(docs, 0.25, seed=7).collect()}
+    assert d <= a
+
+
+def test_sample_documents_per_stratum_rates(spark):
+    from neo4j_graph_algorithms_spark.pipeline.sampling import sample_documents
+
+    docs = _lang_docs(spark)
+    out = sample_documents(docs, by="lang",
+                           fractions={"en": 0.2, "de": 0.8}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], 0)
+        by_lang[r["lang"]] += 1
+    assert by_lang["fr"] == 100          # absent stratum keeps everything
+    assert by_lang["de"] > by_lang["en"]
+    assert 5 <= by_lang["en"] <= 40      # ~20 of 100
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sample_documents(docs, fractions={"en": 0.5}).collect()
+    with _pt.raises(ValueError):
+        sample_documents(docs).collect()
+
+
+def test_stratified_sample_exact_k(spark):
+    from neo4j_graph_algorithms_spark.pipeline.sampling import (
+        stratified_sample_exact,
+    )
+
+    docs = _lang_docs(spark)
+    out = stratified_sample_exact(docs, 7, by="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in by_lang.items()} == {
+        "en": 7, "de": 7, "fr": 7}
+    # deterministic
+    out2 = stratified_sample_exact(docs, 7, by="lang").collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in out2}
+    # k > stratum size -> whole stratum
+    small = docs.filter("doc_id < 5")
+    assert stratified_sample_exact(small, 100, by="lang").count() == 5
+
+
+def test_stratified_sample_prefilter_consistent(spark):
+    from neo4j_graph_algorithms_spark.pipeline.sampling import (
+        stratified_sample_exact,
+    )
+
+    docs = _lang_docs(spark)
+    # the prefilter is itself deterministic, so the prefiltered variant
+    # still returns exactly k per stratum and the same set every run
+    pre = {r["doc_id"]
+           for r in stratified_sample_exact(
+               docs, 2, by="lang", prefilter_fraction=0.9).collect()}
+    pre2 = {r["doc_id"]
+            for r in stratified_sample_exact(
+                docs, 2, by="lang", prefilter_fraction=0.9).collect()}
+    assert pre == pre2 and len(pre) == 6
+    # and every prefiltered pick is drawn from the prefilter survivors
+    from neo4j_graph_algorithms_spark.pipeline.sampling import (
+        sample_documents,
+    )
+    survivors = {r["doc_id"]
+                 for r in sample_documents(docs, 0.9, seed=1).collect()}
+    assert pre <= survivors
