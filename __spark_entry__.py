@@ -104,6 +104,18 @@ _NBRS_CTE = (
     "nbrs AS (SELECT lo AS id, hi AS nbr FROM canon "
     "UNION ALL SELECT hi AS id, lo AS nbr FROM canon)"
 )
+_SCANON_CTE = (
+    "scanon AS (SELECT lo, hi FROM canon WHERE "
+    "(\'0x\' || substr(md5(CAST(lo AS VARCHAR) || \'|\' || "
+    "CAST(hi AS VARCHAR) || \'#tri0\'), 1, 8))::BIGINT % 1048576 "
+    "< 524288)"
+)
+_STRI_CTE = (
+    "stri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM scanon e1 "
+    "JOIN scanon e2 ON e2.lo = e1.hi "
+    "JOIN scanon e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)"
+)
+
 _TRI_CTE = (
     "tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM canon e1 "
     "JOIN canon e2 ON e2.lo = e1.hi "
@@ -1043,6 +1055,21 @@ def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges(spark, sf_dir)
     return triangle_count(_vertices(e), e).node_counts.select("id", "triangles")
+
+
+def _q_triangles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DOULION (KDD'09) edge-sparsified triangle estimate at p=0.5: the
+    # coin flip is a deterministic md5 hash of (lo, hi, seed), so the
+    # oracle replays the IDENTICAL sample and the check is bit-exact
+    from neo4j_graph_algorithms_spark.operators.triangles import (
+        triangle_count_sampled,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = triangle_count_sampled(_vertices(e), e, p=0.5, seed=0)
+    return res.node_counts.select(
+        "id", F.round("triangles_est", 6).alias("triangles_est"),
+        F.round("coefficient", 6).alias("coefficient"))
 
 
 def _q_triangles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2653,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_wcc": _q_streaming_wcc,
         "label_propagation": _q_lpa,
         "triangles_per_node": _q_triangles,
+        "triangles_sampled": _q_triangles_sampled,
         "balanced_triads": _q_balanced_triads,
         "bfs_from_0": _q_bfs,
         "dfs_from_0": _q_dfs,
@@ -2823,6 +2851,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wcc_threshold": _WCC_TH_SQL,
         "label_propagation": _lpa_unrolled_sql(LPA_ITERS),
+        "triangles_sampled": f"""
+            WITH {_EDGES_CTE}, {_NODES_CTE}, {_CANON_CTE}, {_SCANON_CTE},
+            {_STRI_CTE},
+            corners AS (SELECT a AS id FROM stri UNION ALL
+                        SELECT b FROM stri UNION ALL SELECT c FROM stri),
+            pern AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id),
+            sdeg AS (SELECT id, count(*) AS deg FROM
+                     (SELECT lo AS id FROM scanon UNION ALL SELECT hi FROM scanon)
+                     GROUP BY id)
+            SELECT n.id,
+                   round(coalesce(p.triangles, 0) * 8.0, 6) AS triangles_est,
+                   round(CASE WHEN coalesce(d.deg, 0) >= 2
+                         THEN 2.0 * coalesce(p.triangles, 0) / (d.deg * (d.deg - 1))
+                         ELSE 0.0 END, 6) AS coefficient
+            FROM nodes n
+            LEFT JOIN sdeg d ON n.id = d.id
+            LEFT JOIN pern p ON n.id = p.id
+        """,
         "triangles_per_node": f"""
             WITH {_EDGES_CTE}, {_NODES_CTE}, {_CANON_CTE}, {_TRI_PER_NODE_CTE}
             SELECT n.id, coalesce(p.triangles, 0) AS triangles

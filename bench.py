@@ -472,13 +472,27 @@ def run_cluster_scaling() -> None:
     local_dir = os.environ.get("SCALING_LOCAL_DIR", "/dev/shm/spark_local")
     if not os.path.isdir(os.path.dirname(local_dir)):
         local_dir = None
+    # Pin each leg's WHOLE process tree (driver + workers + executors)
+    # to exactly its core budget: n*2 executor cores + a fixed 2-core
+    # driver allowance. Without this the unrestricted driver JVM
+    # borrows idle cores and subsidizes the SMALL leg (a real cluster's
+    # driver is one fixed-size node however many executors there are),
+    # deflating measured efficiency — §4.10 measured that subsidy at
+    # ~22% on the 1-executor leg. Disable with SCALING_PIN_CPUS=0.
+    driver_cores = int(os.environ.get("SCALING_DRIVER_CORES", "2"))
+    pin = (os.environ.get("SCALING_PIN_CPUS", "1") == "1"
+           and shutil.which("taskset") is not None)
     results = {}
     for n in execs:
-        _log(f"spark-submit local-cluster[{n},2,4096] ...")
+        budget = n * 2 + driver_cores
+        pin_cmd = ["taskset", "-c", f"0-{budget - 1}"] if pin else []
+        _log(f"spark-submit local-cluster[{n},2,4096] "
+             f"{'pinned to ' + str(budget) + ' cpus' if pin else ''} ...")
         extra = (["--conf", f"spark.local.dir={local_dir}"]
                  if local_dir else [])
         out = subprocess.run(
-            ["spark-submit", "--master", f"local-cluster[{n},2,4096]",
+            [*pin_cmd,
+             "spark-submit", "--master", f"local-cluster[{n},2,4096]",
              "--conf", "spark.ui.enabled=false",
              "--conf", "spark.executor.memory=3g",
              *extra,
@@ -507,7 +521,12 @@ def run_cluster_scaling() -> None:
             "protocol": f"spark-submit --py-files, local-cluster (real "
                         f"executor JVMs), fixed {SCALING_ITERS} supersteps "
                         f"after 8 warmup, same input & partitioning "
-                        f"({SCALING_SHUF})",
+                        f"({SCALING_SHUF})"
+                        + (f"; each leg taskset-pinned to n*2+"
+                           f"{driver_cores} cpus (fixed driver allowance "
+                           f"— no idle-core subsidy)" if pin else ""),
+            "pinned_cpus": ({n: n * 2 + driver_cores for n in execs}
+                            if pin else None),
             "runs": results,
         }
     }))

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 from neo4j_graph_algorithms_spark.graph import as_undirected
 
 __all__ = ["triangle_stream", "triangle_count", "clustering_coefficient",
-           "balanced_triads", "TriangleResult"]
+           "balanced_triads", "triangle_count_sampled", "TriangleResult"]
 
 
 @dataclass
@@ -320,3 +320,61 @@ def triangle_count_incremental(
     c_new.unpersist()
     all_flagged.unpersist()
     return TriangleResult(node_counts, int(agg["t"]), float(agg["c"] or 0.0))
+
+
+def triangle_count_sampled(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    p: float = 0.1,
+    seed: int = 0,
+    already_undirected: bool = False,
+) -> TriangleResult:
+    """DOULION edge-sparsified triangle counting (Tsourakakis, Kang,
+    Miller, Faloutsos — KDD 2009): keep each canonical undirected edge
+    with probability ``p``, count triangles EXACTLY on the sparsified
+    graph, scale counts by ``1/p³`` (an unbiased estimator of the true
+    count; per-node estimates are scaled the same way).
+
+    This is the 100-TB scale path when exact enumeration's wedge join
+    is too expensive even degree-oriented: the sample shrinks the edge
+    set by ``p`` BEFORE any join, so wedge work drops by ~``p²`` and
+    the estimator's relative error is O(1/√(p³·T)) — negligible for
+    web-scale triangle counts. The coin flip is a deterministic
+    md5-derived hash of ``(lo, hi, seed)`` (dedup.py's base-hash shape),
+    NOT an RNG: reruns and the DuckDB oracle keep the identical edge
+    sample, so the driver check is bit-exact, not statistical.
+
+    Coefficients use the SAMPLED degree (the sparsified graph's own
+    clustering coefficient) — documented: unbiasing the coefficient
+    would need per-node degree correction with no closed form; the
+    per-node ``triangles`` estimate is the supported output.
+    ``triangle_count`` remains the exact path.
+    """
+    if not (0.0 < p <= 1.0):
+        raise ValueError("p must be in (0, 1]")
+    canon = _canonical_edges(edges, already_undirected)
+    res = 1 << 20
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("lo").cast("string"), F.lit("|"),
+                           F.col("hi").cast("string"),
+                           F.lit(f"#tri{seed}"))), 1, 8), 16, 10
+    ).cast("long") % F.lit(res)
+    sampled = canon.filter(h < F.lit(int(p * res)))
+    exact = triangle_count(
+        vertices,
+        sampled.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+        already_undirected=True,
+    )
+    inv = 1.0 / (p ** 3)
+    node_counts = exact.node_counts.select(
+        "id",
+        (F.col("triangles") * F.lit(inv)).alias("triangles_est"),
+        "coefficient",
+    )
+    return TriangleResult(
+        node_counts,
+        int(round(exact.triangle_count * inv)),
+        exact.average_coefficient,
+    )

@@ -15,7 +15,8 @@ FAMILIES = {
                   "pages_host_pagerank"],
     "wcc": ["wcc", "streaming_wcc"],
     "labelprop": ["label_propagation"],
-    "triangles": ["triangles_per_node", "balanced_triads"],
+    "triangles": ["triangles_per_node", "triangles_sampled",
+                  "balanced_triads"],
     "traversal": ["bfs_from_0", "dfs_from_0", "sssp_from_0",
                   "shortest_path", "k_shortest_paths", "random_walks"],
     "centrality": ["eigenvector", "hits", "degree_in", "closeness",
