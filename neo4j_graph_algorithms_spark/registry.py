@@ -80,6 +80,10 @@ _REGISTRY: dict[str, str] = {
     "ext.hyperBall.anf": f"{_P}.operators.hyperball:approx_neighborhood_function",
     "ext.hyperBall.effectiveDiameter": f"{_P}.operators.hyperball:approx_effective_diameter",
     "ext.closeness.hyperball": f"{_P}.operators.hyperball:closeness_hyperball",
+    "ext.hits": f"{_P}.operators.centrality_variants:hits",
+    "ext.triangleCount.sampled": f"{_P}.operators.triangles:triangle_count_sampled",
+    "ext.sample.documents": f"{_P}.pipeline.sampling:sample_documents",
+    "ext.sample.stratified": f"{_P}.pipeline.sampling:stratified_sample_exact",
 }
 
 
@@ -97,4 +101,4 @@ def resolve(proc_name: str):
 
 def version() -> str:
     """Engine version string (``algo.version`` equivalent)."""
-    return "spark-linkgraph 0.2 (round 2)"
+    return "spark-linkgraph 0.3 (round 3)"
