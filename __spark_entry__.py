@@ -1124,6 +1124,25 @@ def _q_wcc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone modularity YIELD row (the metric Louvain optimizes,
+    exposed as its own query): Q of the deterministic partition
+    ``community = id % 4`` over the symmetrized weighted view — an
+    arbitrary fixed partition exercises BOTH the in_c and tot_c terms
+    (components would make every edge intra-community). Oracle replays
+    the identical symmetrization + Q formula in SQL."""
+    from neo4j_graph_algorithms_spark.operators.louvain import (
+        _sym_weighted, modularity,
+    )
+
+    e = _edges(spark, sf_dir)
+    sym = _sym_weighted(e)
+    labels = _vertices(e).select(
+        "id", (F.col("id") % 4).alias("community"))
+    q = modularity(sym, labels)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
 def _q_degree(direction: str, weighted: bool):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = _edges_weighted(spark, sf_dir) if weighted else _edges(spark, sf_dir)
@@ -2681,7 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_lpa,
         "triangles_per_node": _q_triangles,
         "triangles_sampled": _q_triangles_sampled,
-        "balanced_triads": _q_balanced_triads,
+        "modularity": _q_modularity,
         "bfs_from_0": _q_bfs,
         "dfs_from_0": _q_dfs,
         "sssp_from_0": _q_sssp,
@@ -2755,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pearson_similarity": _q_pearson_vectors,
         "one_hot_lang": _q_onehot,
         "stratified_sample": _q_stratified_sample,
+        "balanced_triads": _q_balanced_triads,
         "louvain": _q_louvain,
     }
 
@@ -2851,6 +2871,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wcc_threshold": _WCC_TH_SQL,
         "label_propagation": _lpa_unrolled_sql(LPA_ITERS),
+        "modularity": f"""
+            WITH {_EDGES_CTE}, {_NODES_CTE},
+            sym AS (SELECT src, dst, CAST(sum(w) AS DOUBLE) AS weight FROM (
+                SELECT src, dst, 1.0 AS w FROM edges UNION ALL
+                SELECT dst AS src, src AS dst, 1.0 AS w FROM edges
+                WHERE src <> dst) GROUP BY src, dst),
+            lab AS (SELECT id, id % 4 AS c FROM nodes),
+            ej AS (SELECT s.src, s.dst, s.weight, la.c AS cs, lb.c AS cd
+                   FROM sym s JOIN lab la ON la.id = s.src
+                              JOIN lab lb ON lb.id = s.dst),
+            m2 AS (SELECT sum(CASE WHEN src = dst THEN 2.0 * weight
+                                   ELSE weight END) AS v FROM ej),
+            per AS (SELECT cs,
+                           sum(CASE WHEN cs = cd THEN
+                                 CASE WHEN src = dst THEN 2.0 * weight
+                                      ELSE weight END ELSE 0.0 END) AS in_c,
+                           sum(CASE WHEN src = dst THEN 2.0 * weight
+                                    ELSE weight END) AS tot_c
+                    FROM ej GROUP BY cs)
+            SELECT round(sum(in_c / (SELECT v FROM m2)
+                   - (tot_c / (SELECT v FROM m2))
+                     * (tot_c / (SELECT v FROM m2))), 6) AS modularity
+            FROM per
+        """,
         "triangles_sampled": f"""
             WITH {_EDGES_CTE}, {_NODES_CTE}, {_CANON_CTE}, {_SCANON_CTE},
             {_STRI_CTE},

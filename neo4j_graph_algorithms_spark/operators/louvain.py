@@ -89,9 +89,11 @@ def modularity(edges_sym: DataFrame, labels: DataFrame, *,
             .alias("tot_c"),
         )
     )
+    # explicit product, not **2: Math.pow(x, 2) is not guaranteed
+    # bit-equal to x*x, and the DuckDB oracle multiplies
+    ratio = F.col("tot_c") / two_m
     row = per_c.agg(
-        F.sum(F.col("in_c") / two_m
-              - F.lit(gamma) * (F.col("tot_c") / two_m) ** 2)
+        F.sum(F.col("in_c") / two_m - F.lit(gamma) * (ratio * ratio))
     ).first()
     return float(row[0] or 0.0)
 
