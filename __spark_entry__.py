@@ -344,14 +344,15 @@ def _pages_linklist_parts(n: int, seed: int = 42,
         f"tg0 AS (SELECT i, j, xor({_sql_mulmod64('i', _MIX_C1)}, "
         f"CAST(j + {seed} AS UBIGINT)) AS x FROM tj)")
     parts += _mix64_chain("tg", "i, j")
-    parts.append(f"tu AS (SELECT i, {u} AS u FROM tg4)")
+    parts.append(f"tu AS (SELECT i, j, {u} AS u FROM tg4)")
     parts.append(
-        f"tt AS (SELECT i, least(greatest("
+        f"tt AS (SELECT i, j, least(greatest("
         f"CAST(floor(({n} * u) * u) AS BIGINT), 0), {n - 1}) AS t FROM tu)")
     parts.append(
         "plinks AS MATERIALIZED (SELECT "
         f"{_sql_page_url('i', n_hosts)} AS src_url, "
-        f"{_sql_page_url('t', n_hosts)} AS dst_url FROM tt)")
+        f"{_sql_page_url('t', n_hosts)} AS dst_url, "
+        "CAST(j AS BIGINT) AS link_pos FROM tt)")
     return parts
 
 
@@ -415,6 +416,29 @@ def _pages_edges_sql(n: int) -> str:
             "\nSELECT DISTINCT src_url, dst_url FROM plinks")
 
 
+def _anchor_stats_sql(n: int) -> str:
+    """Oracle for anchor_stats: the generator writes anchor text
+    ``link-{k}`` at link position k (sources/pages.py:_rows_for_indices),
+    so the SQL replay derives every (dst_url, anchor) pair from the
+    arithmetic link list (duplicates preserved) and rolls up with the
+    same struct-min top pick as the Spark aggregate — ties go to the
+    lexicographically smaller anchor on BOTH sides."""
+    return (
+        "WITH " + ",\n".join(_pages_linklist_parts(n)) + ",\n"
+        "al AS (SELECT dst_url, 'link-' || CAST(link_pos AS VARCHAR) "
+        "AS anchor FROM plinks),\n"
+        "agg AS (SELECT dst_url, anchor, count(*) AS c FROM al "
+        "GROUP BY dst_url, anchor),\n"
+        "roll AS (SELECT dst_url, sum(c) AS n_links, "
+        "count(*) AS n_distinct_anchors, "
+        "min(struct_pack(nc := -c, a := anchor)) AS t "
+        "FROM agg GROUP BY dst_url)\n"
+        "SELECT dst_url, CAST(n_links AS BIGINT) AS n_links, "
+        "CAST(n_distinct_anchors AS BIGINT) AS n_distinct_anchors, "
+        "t.a AS top_anchor, CAST(-t.nc AS BIGINT) AS top_count FROM roll"
+    )
+
+
 def _pages_pagerank_sql(n: int, max_iters: int, tol: float,
                         block: int) -> str:
     """Oracle for pages_pagerank_e2e: SQL link list → dense id map
@@ -434,6 +458,43 @@ def _pages_pagerank_sql(n: int, max_iters: int, tol: float,
     ]
     return _pagerank_tolerance_unrolled_sql(max_iters, tol, block,
                                             prefix=prefix)
+
+
+def _batch_ppr_unrolled_sql(iters: int, source_sets: list[list[int]]) -> str:
+    """Unrolled batch personalized PageRank — S rank columns per CTE
+    level, each column the exact _ppr_unrolled_sql recurrence for its
+    teleport set (operators/pagerank.py:pagerank_batch_personalized)."""
+    S = len(source_sets)
+    bases = []
+    for ss in source_sets:
+        ids = ", ".join(str(x) for x in ss)
+        bases.append(f"CASE WHEN id IN ({ids}) THEN 0.15 ELSE 0.0 END")
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src)",
+        "fac AS (SELECT e.src, e.dst, 1.0 / d.outd AS factor "
+        "FROM edges e JOIN deg d ON e.src = d.src)",
+        "r0 AS MATERIALIZED (SELECT id, "
+        + ", ".join(f"CAST({bases[s]} AS DOUBLE) AS r{s}" for s in range(S))
+        + " FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT f.dst AS id, "
+            + ", ".join(f"sum(r.r{s} * f.factor) AS m{s}" for s in range(S))
+            + f" FROM fac f JOIN r{i-1} r ON f.src = r.id GROUP BY f.dst)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.id, "
+            + ", ".join(
+                f"{bases[s].replace('id', 'n.id')} + 0.85 * "
+                f"coalesce(m.m{s}, 0.0) AS r{s}" for s in range(S))
+            + f" FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)"
+        )
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, "
+            + ", ".join(f"round(r{s}, 6) AS r{s}" for s in range(S))
+            + f" FROM r{iters}")
 
 
 def _ppr_unrolled_sql(iters: int, sources: list[int]) -> str:
@@ -929,6 +990,25 @@ def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pagerank(_vertices(e), e, max_iterations=PR_ITERS, tol=0.0,
                    source_ids=range(10))
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+BATCH_PPR_SETS = [[0, 1, 2, 3, 4], [5, 6, 7, 8, 9], [10, 11, 12, 13, 14]]
+
+
+def _q_pagerank_batch_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch personalized PageRank: 3 teleport sets ride one superstep
+    loop (register-column pattern — ONE edge join + ONE aggregation per
+    superstep for all sets). Oracle unrolls the same recurrence with 3
+    rank columns per CTE level."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        pagerank_batch_personalized,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = pagerank_batch_personalized(
+        _vertices(e), e, BATCH_PPR_SETS, max_iterations=PR_ITERS, tol=0.0)
+    return res.ranks.select(
+        "id", *[F.round(f"r{s}", 6).alias(f"r{s}") for s in range(3)])
 
 
 def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2441,6 +2521,27 @@ def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                    n_queries=20, k=5, n_centroids=16, n_probe=4)
 
 
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 fixed rounds, md5-sample init) — final
+    labels. Integer output, but the oracle match is a full float-parity
+    proof: one flipped distance comparison anywhere in 4 assignment
+    passes flips a label (pipeline/kmeans.py:kmeans_fit)."""
+    from neo4j_graph_algorithms_spark.pipeline.kmeans import kmeans_fit
+
+    res = kmeans_fit(_t(spark, sf_dir, "embeddings"), k=8, iterations=3)
+    return res.assignments.select("id", "cluster").withColumnRenamed(
+        "id", "vec_id")
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup: one survivor per k-means cluster (nearest
+    centroid, ties to smaller id) — the embedding-modality counterpart
+    of dedup_clusters (pipeline/kmeans.py:semantic_dedup)."""
+    from neo4j_graph_algorithms_spark.pipeline.kmeans import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), k=8, iterations=3)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.dedup import simhash_signatures
 
@@ -2491,6 +2592,28 @@ def _q_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.text import one_hot_lang
 
     return one_hot_lang(_t(spark, sf_dir, "documents"))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-bigram / dup-bigram
+    fractions + longest token run) — shuffle-free in-row array
+    expressions (pipeline/text.py:repetition_scores)."""
+    from neo4j_graph_algorithms_spark.pipeline.text import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: 3-gram overlap of every corpus
+    doc against a deterministic 20-doc benchmark sample; eval side
+    broadcast (pipeline/decontam.py:ngram_decontaminate)."""
+    from neo4j_graph_algorithms_spark.pipeline.decontam import (
+        ngram_decontaminate,
+    )
+
+    return ngram_decontaminate(
+        _t(spark, sf_dir, "documents"), n=3, eval_k=20, threshold=0.2
+    )
 
 
 def _q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2588,6 +2711,19 @@ def _q_extract_pages_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = generate_pages(spark, 2000)
     return extract_edges(pages)
+
+
+def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming anchor-text rollup per target page — the Common-Crawl
+    signal aggregated alongside the link graph. Checks the FULL anchor
+    path: html generation → regex (href, text) extraction → two-level
+    partial aggregation with a struct-min top pick
+    (sources/extraction.py:anchor_stats); the oracle recomputes every
+    pair from the splitmix64 link arithmetic, independent of html."""
+    from neo4j_graph_algorithms_spark.sources import anchor_stats, generate_pages
+
+    pages = generate_pages(spark, 2000)
+    return anchor_stats(pages)
 
 
 def _q_pages_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2691,10 +2827,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- window 1-50: driver-checked this round -------------------
         "pagerank": _q_pagerank,
         "pagerank_weighted": _q_pagerank_weighted,
+        "pagerank_batch_ppr": _q_pagerank_batch_ppr,
         "k_core": _q_kcore,
         "pages_pagerank_e2e": _q_pages_pagerank,
         "pages_extract_edges": _q_extract_pages_edges,
         "pages_host_pagerank": _q_pages_host_pagerank,
+        "anchor_stats": _q_anchor_stats,
         "wcc": _q_wcc,
         "streaming_wcc": _q_streaming_wcc,
         "label_propagation": _q_lpa,
@@ -2702,14 +2840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled": _q_triangles_sampled,
         "modularity": _q_modularity,
         "bfs_from_0": _q_bfs,
-        "dfs_from_0": _q_dfs,
         "sssp_from_0": _q_sssp,
         "shortest_path": _q_shortest_path,
         "k_shortest_paths": _q_kshortest,
         "random_walks": _q_random_walks,
         "eigenvector": _q_eigenvector,
         "hits": _q_hits,
-        "degree_in": _q_degree("in", False),
         "link_prediction": _q_linkprediction,
         "jaccard_categories": _q_jaccard_categories,
         "closeness": _q_closeness(False),
@@ -2720,28 +2856,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_onelevel": _q_louvain_onelevel,
         "louvain_twolevel": _q_louvain_twolevel,
         "infomap_fixedmerges": _q_infomap_fixedmerges,
-        "euclidean_similarity": _q_euclidean_vectors,
         "cosine_knn": _q_cosine_knn,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_candidates": _q_minhash_candidates,
         "dedup_clusters": _q_dedup_clusters,
-        "token_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_pairs": _q_ngram3_jaccard,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
         "simhash_near_dup": _q_simhash_near_dup,
         "hyperball_balls": _q_hyperball,
-        "token_stats": _q_token_stats,
         "bpe_token_stats": _q_bpe_token_stats,
         "quality_scores": _q_quality,
         "language_id": _q_langid,
-        "doc_fingerprints": _q_fingerprint,
+        "repetition_scores": _q_repetition,
+        "decontaminate": _q_decontaminate,
         "sample_documents": _q_sample_documents,
         "lsh_sign_buckets": _q_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
         "ivf_knn": _q_ivf_knn,
         "events_window": _q_events_window,
-        "events_sessionize": _q_events_sessionize,
         # ---- 51+: rotated out this round (r1/r2-green or rows-only;
         # all still replayed by test_oracle_parity every run) ----------
+        "events_sessionize": _q_events_sessionize,
+        "euclidean_similarity": _q_euclidean_vectors,
+        "token_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "simhash_signatures": _q_simhash,
         "wcc_incremental": _q_wcc_incremental,
@@ -2775,6 +2913,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot_lang": _q_onehot,
         "stratified_sample": _q_stratified_sample,
         "balanced_triads": _q_balanced_triads,
+        "dfs_from_0": _q_dfs,
+        "degree_in": _q_degree("in", False),
+        "doc_fingerprints": _q_fingerprint,
+        "token_stats": _q_token_stats,
         "louvain": _q_louvain,
     }
 
@@ -2791,6 +2933,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_unrolled_sql(PR_ITERS, weighted=False),
         "pagerank_weighted": _pagerank_unrolled_sql(PR_ITERS, weighted=True),
         "pagerank_personalized": _ppr_unrolled_sql(PR_ITERS, list(range(10))),
+        "pagerank_batch_ppr": _batch_ppr_unrolled_sql(PR_ITERS, BATCH_PPR_SETS),
         "triangle_list": f"""
             WITH {_EDGES_CTE}, {_CANON_CTE}, {_TRI_CTE}
             SELECT a AS node_a, b AS node_b, c AS node_c FROM tri
@@ -2801,6 +2944,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_tolerance": _pagerank_tolerance_unrolled_sql(
             100, 1e-6, block=4),
         "pages_extract_edges": _pages_edges_sql(2000),
+        "anchor_stats": _anchor_stats_sql(2000),
         "pages_host_graph": (
             "WITH " + ",\n".join(_host_rollup_parts(
                 _HOST_N_PAGES, _HOST_N_HOSTS))

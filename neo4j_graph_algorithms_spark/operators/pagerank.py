@@ -789,3 +789,95 @@ def pagerank_incremental(
                               **kwargs)
     return pagerank(vertices, edges, initial_ranks=prev_ranks,
                     strategy=strategy, **kwargs)
+
+
+def pagerank_batch_personalized(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source_sets: list[list[int]],
+    *,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 0.0,
+    weighted: bool = False,
+    spark: SparkSession | None = None,
+) -> PageRankResult:
+    """S personalized PageRank vectors in ONE superstep loop — the
+    HyperBall/MS-BFS register-column pattern applied to PPR: the rank
+    state carries S columns ``r0..r{S-1}`` (one per teleport set), so
+    each superstep is still ONE edge join + ONE dst-keyed aggregation
+    (S sums inside the same agg). At 10^12 edges that amortizes the
+    dominant cost — the edge-table scan/shuffle — across all S queries:
+    S separate :func:`pagerank` runs would scan the edge side S times
+    per superstep, this scans it once per superstep total.
+
+    Per-column semantics are EXACTLY the single personalized run's
+    (same ``_init_ranks`` source-base rule: the (1−d) teleport term
+    lives only at that set's sources; dangling nodes push nothing), so
+    each output column independently matches ``pagerank(...,
+    source_ids=source_sets[s])`` and the driver oracle unrolls the same
+    recurrence with S rank columns per CTE level.
+
+    ``ranks`` in the result is wide: ``(id, r0, .., r{S-1})``.
+    Convergence = max over all columns of the per-superstep delta.
+    """
+    if not source_sets:
+        raise ValueError("source_sets must be non-empty")
+    spark = spark or vertices.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    S = len(source_sets)
+    alpha = 1.0 - damping
+
+    ef = _edge_factors(edges, weighted)
+    plan_side = (
+        ef.repartition(shuffle_n, "src").sortWithinPartitions("src").persist()
+    )
+    plan_side.count()
+
+    base_cols = [
+        F.when(F.col("id").isin([int(x) for x in ss]), F.lit(alpha))
+        .otherwise(F.lit(0.0)).alias(f"b{s}")
+        for s, ss in enumerate(source_sets)
+    ]
+    base = vertices.select("id", *base_cols).persist()
+    n_vertices = base.count()
+    ranks = base.select(
+        "id", *[F.col(f"b{s}").alias(f"r{s}") for s in range(S)])
+
+    converged, it, max_delta = False, 0, float("inf")
+    metrics: list[dict[str, Any]] = []
+    with superstep_conf(spark, n_vertices):
+        for it in range(1, max_iterations + 1):
+            msgs = (
+                plan_side.join(ranks.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(*[F.sum(F.col(f"r{s}") * F.col("factor")).alias(f"m{s}")
+                       for s in range(S)])
+            )
+            new_ranks = (
+                base.join(msgs, "id", "left")
+                .join(ranks.select(
+                    "id", *[F.col(f"r{s}").alias(f"_p{s}")
+                            for s in range(S)]), "id")
+                .select(
+                    "id",
+                    *[(F.col(f"b{s}") + F.lit(damping)
+                       * F.coalesce(F.col(f"m{s}"), F.lit(0.0)))
+                      .alias(f"r{s}") for s in range(S)],
+                    *[F.col(f"_p{s}") for s in range(S)],
+                )
+                .localCheckpoint(eager=True)
+            )
+            deltas = [F.abs(F.col(f"r{s}") - F.col(f"_p{s}"))
+                      for s in range(S)]
+            worst = deltas[0] if S == 1 else F.greatest(*deltas)
+            max_delta = new_ranks.agg(F.max(worst)).first()[0] or 0.0
+            metrics.append({"iteration": it, "max_delta": max_delta})
+            ranks = new_ranks.select(
+                "id", *[f"r{s}" for s in range(S)])
+            if tol > 0.0 and max_delta < tol:
+                converged = True
+                break
+    plan_side.unpersist()
+    base.unpersist()
+    return PageRankResult(ranks, it, converged, max_delta, metrics)

@@ -22,6 +22,8 @@ constants, same left-to-right summation order).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
@@ -185,6 +187,7 @@ def cosine_knn_lsh(emb: DataFrame, *, k: int, n_bits: int = 8,
 
 def ivf_knn(emb: DataFrame, *, n_queries: int, k: int,
             n_centroids: int = 16, n_probe: int = 4,
+            refine_iterations: int = 0,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-style approximate kNN (inverted-file coarse quantizer).
 
@@ -205,6 +208,15 @@ def ivf_knn(emb: DataFrame, *, n_queries: int, k: int,
     ``cosine_knn_bruteforce``; recall < 1 by construction (vectors in
     unprobed cells are unseen). With n_centroids=1 it degenerates to
     the exact brute-force result.
+
+    ``refine_iterations > 0`` is the production quantizer: the md5
+    sample seeds :func:`..pipeline.kmeans.kmeans_fit`, whose Lloyd
+    rounds (map-only assignment + one model-sized shuffle per round)
+    tighten the cells before the probe phase. Cell ids then become
+    0..n_centroids-1 (centroid-list positions) instead of corpus ids;
+    the output columns and their semantics are unchanged. The driver
+    oracle keeps refine_iterations=0 (the sample path) — the refined
+    path is covered by pytest equivalence at n_centroids=1.
     """
     base = emb.select(F.col(id_col).alias("id"),
                       _as_double(F.col(vec_col)).alias("v"))
@@ -221,9 +233,23 @@ def ivf_knn(emb: DataFrame, *, n_queries: int, k: int,
         .collect()
     )
     spark = emb.sparkSession
+    if refine_iterations > 0:
+        from neo4j_graph_algorithms_spark.pipeline.kmeans import kmeans_fit
+
+        res = kmeans_fit(
+            emb, k=n_centroids, iterations=refine_iterations,
+            id_col=id_col, vec_col=vec_col,
+            init_centroids=[[float(x) for x in r["v"]] for r in cents_rows],
+        )
+        cents = [
+            (cid, cv, math.sqrt(sum(x * x for x in cv)) or 1.0)
+            for cid, cv in enumerate(res.centroids)
+        ]
+    else:
+        cents = [(int(r["id"]), [float(x) for x in r["v"]], float(r["n"]))
+                 for r in cents_rows]
     cdf = spark.createDataFrame(
-        [([(int(r["id"]), [float(x) for x in r["v"]], float(r["n"]))
-           for r in cents_rows],)],
+        [(cents,)],
         "cents array<struct<cid:bigint,cv:array<double>,cn:double>>",
     )
     wc = base.crossJoin(F.broadcast(cdf))  # one row: adds the array col

@@ -37,6 +37,51 @@ def _sql_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def kmeans_unrolled_cte(k: int, iterations: int) -> str:
+    """CTE chain replaying kmeans.kmeans_fit(k, iterations) verbatim:
+    md5-sample init (c0), per-iteration argmin assignment (a{i}, ties
+    to the smaller centroid id — identical comparator to the Spark
+    fold's, list_distance being the monotone sqrt of its dist2) and
+    9-dp-rounded mean update with empty-cluster carryover (c{i}), then
+    the final assignment af against c{iterations}. Ends with ``af``
+    exposing (id, v, cell, dist)."""
+    parts = [
+        "nb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+        "FROM embeddings)",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY m, id) - 1 "
+        "AS BIGINT) AS cid, v AS cv FROM "
+        "(SELECT id, v, md5(CAST(id AS VARCHAR)) AS m FROM nb "
+        f"ORDER BY m, id LIMIT {k}))",
+    ]
+
+    def assign(name: str, cents: str) -> list[str]:
+        return [
+            f"d_{name} AS (SELECT nb.id, nb.v, c.cid, "
+            f"list_distance(nb.v, c.cv) AS dist "
+            f"FROM nb CROSS JOIN {cents} c)",
+            f"{name} AS (SELECT id, v, cid AS cell, dist FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY id "
+            f"ORDER BY dist ASC, cid ASC) AS rn FROM d_{name}) "
+            f"WHERE rn = 1)",
+        ]
+
+    for i in range(1, iterations + 1):
+        parts += assign(f"a{i}", f"c{i-1}")
+        parts += [
+            # unnest(range(...)) fans each vector out to (cell,pos,val);
+            # avg is grouped exactly like the Spark posexplode+avg
+            f"m{i} AS (SELECT cell, ord, round(avg(v[ord]), 9) AS mu "
+            f"FROM (SELECT cell, v, unnest(range(1, len(v) + 1)) AS ord "
+            f"FROM a{i}) GROUP BY cell, ord)",
+            f"cm{i} AS (SELECT cell AS cid, list(mu ORDER BY ord) AS cv "
+            f"FROM m{i} GROUP BY cell)",
+            f"c{i} AS (SELECT p.cid, coalesce(cm.cv, p.cv) AS cv "
+            f"FROM c{i-1} p LEFT JOIN cm{i} cm ON cm.cid = p.cid)",
+        ]
+    parts += assign("af", f"c{iterations}")
+    return ",\n".join(parts)
+
+
 def pipeline_oracles() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -348,6 +393,99 @@ def pipeline_oracles() -> dict[str, str]:
                                         ORDER BY hv, doc_id) AS rk
               FROM h)
         SELECT doc_id, lang FROM r WHERE rk <= 10
+    """
+
+    # mirrors text.repetition_scores: bigram = word 2-gram (same
+    # shingle rule as ngram_jaccard's 3-gram), run lengths via
+    # gaps-and-islands (pos − row_number over (doc, tok)) — equals the
+    # Spark fold's longest consecutive same-token run
+    sql["repetition_scores"] = """
+        WITH tl AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS t
+                    FROM documents),
+        bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)),
+                                       i -> array_to_string(t[i:i+1], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END) AS b FROM tl),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        agg AS (SELECT doc_id, max(c) AS top, sum(c) AS total,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                FROM bc GROUP BY doc_id),
+        tp AS (SELECT doc_id, unnest(t) AS tok,
+                      unnest(range(1, len(t) + 1)) AS pos FROM tl),
+        runs AS (SELECT doc_id, tok,
+                        pos - row_number() OVER (PARTITION BY doc_id, tok
+                                                 ORDER BY pos) AS g
+                 FROM tp),
+        mr AS (SELECT doc_id, max(cnt) AS max_run FROM
+                   (SELECT doc_id, count(*) AS cnt FROM runs
+                    GROUP BY doc_id, tok, g)
+               GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(round(CAST(a.top AS DOUBLE) / a.total, 6), 0.0)
+                   AS top_bigram_frac,
+               coalesce(round(CAST(a.dup AS DOUBLE) / a.total, 6), 0.0)
+                   AS dup_bigram_frac,
+               CAST(coalesce(m.max_run, 0) AS BIGINT) AS max_token_run
+        FROM documents d
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN mr m USING (doc_id)
+    """
+
+    # mirrors decontam.ngram_decontaminate(n=3, eval_k=20,
+    # threshold=0.2): benchmark = 20 smallest md5(doc_id) docs (the
+    # kmeans/ivf sampling rule), overlap = distinct-3-gram hit ratio
+    sql["decontaminate"] = """
+        WITH tl AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), x -> x <> '') AS t
+                    FROM documents),
+        shs AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t) - 1),
+                                       i -> array_to_string(t[i:i+2], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh FROM tl),
+        ds AS (SELECT DISTINCT doc_id, sh FROM shs),
+        ev AS (SELECT doc_id FROM documents
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 20),
+        evsh AS (SELECT DISTINCT sh FROM ds JOIN ev USING (doc_id)),
+        rest AS (SELECT doc_id FROM documents
+                 WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+        agg AS (SELECT d.doc_id, count(*) AS n_shingles,
+                       sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END)
+                           AS n_hit
+                FROM ds d JOIN rest USING (doc_id)
+                LEFT JOIN evsh e ON e.sh = d.sh
+                GROUP BY d.doc_id),
+        o AS (SELECT r.doc_id,
+                     CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+                     CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+                     CASE WHEN coalesce(a.n_shingles, 0) > 0
+                          THEN round(CAST(a.n_hit AS DOUBLE) / a.n_shingles, 6)
+                          ELSE 0.0 END AS overlap_frac
+              FROM rest r LEFT JOIN agg a USING (doc_id))
+        SELECT doc_id, n_shingles, n_hit, overlap_frac,
+               overlap_frac >= 0.2 AS contaminated
+        FROM o
+    """
+
+    # mirrors kmeans.kmeans_fit(k=8, iterations=3): final labels only
+    # (integer outputs — float parity is exercised through them, since
+    # one flipped distance comparison anywhere flips a label)
+    _KM = kmeans_unrolled_cte(8, 3)
+    sql["kmeans_clusters"] = f"""
+        WITH {_KM}
+        SELECT id AS vec_id, cell AS cluster FROM af
+    """
+
+    # mirrors kmeans.semantic_dedup(k=8, iterations=3): survivor =
+    # member nearest its final centroid, ties to the smaller id
+    sql["semantic_dedup"] = f"""
+        WITH {_KM},
+        rn AS (SELECT cell, id, row_number() OVER (PARTITION BY cell
+                      ORDER BY dist ASC, id ASC) AS rk,
+                      count(*) OVER (PARTITION BY cell) AS size
+               FROM af)
+        SELECT cell AS cluster, id AS survivor_id, size
+        FROM rn WHERE rk = 1
     """
 
     return sql

@@ -11,11 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from neo4j_graph_algorithms_spark.pipeline.dedup import tokens_expr
+from neo4j_graph_algorithms_spark.pipeline.dedup import (
+    shingles_expr, tokens_expr,
+)
 
 __all__ = ["token_stats", "bpe_token_stats", "quality_scores",
-           "language_id", "fingerprints", "one_hot_lang",
-           "LANGS", "STOPWORDS", "LANG_PROFILES", "BPE_PATTERN"]
+           "repetition_scores", "language_id", "fingerprints",
+           "one_hot_lang", "LANGS", "STOPWORDS", "LANG_PROFILES",
+           "BPE_PATTERN"]
 
 # GPT-2-style pre-tokenizer shape: letter runs, digit runs, punctuation
 # runs, each absorbing one leading space. Restricted to a dialect with
@@ -85,6 +88,67 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(ttr, 6).alias("ttr"),
         F.round(0.4 * stop_ratio + 0.3 * ttr + 0.3 * length_score, 6
                 ).alias("quality"),
+    )
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, top_bigram_frac, dup_bigram_frac, max_token_run) — the
+    Gopher/MassiveText-style repetition filters: fraction of bigram
+    instances taken by the most frequent bigram, fraction of bigram
+    instances whose bigram occurs more than once, and the longest
+    consecutive same-token run.
+
+    100-TB shape: every signal is computed INSIDE the row with JVM
+    higher-order array functions (``transform``/``filter``/``aggregate``
+    over the token array) — NO explode, NO shuffle, a single narrow map
+    stage like :func:`bpe_token_stats`. The per-row distinct×instances
+    scan is O(d·m) on document-sized arrays, which beats shipping every
+    bigram through an exchange at corpus scale.
+
+    Docs with fewer than 2 tokens have no bigrams: both fractions are
+    0.0 (and ``max_token_run`` counts tokens, so it is 1 for a 1-token
+    doc and 0 for an empty one).
+    """
+    toks = tokens_expr(F.col(text_col))
+    bg = shingles_expr(F.col(text_col), 2)
+    # per-distinct-bigram instance counts, computed in-row
+    counts = F.transform(
+        F.array_distinct(bg),
+        lambda x: F.size(F.filter(bg, lambda y: y == x)),
+    )
+    total = F.size(bg).cast("double")
+    top = F.array_max(counts).cast("double")
+    dup = F.aggregate(
+        counts,
+        F.lit(0),
+        lambda acc, c: acc + F.when(c > 1, c).otherwise(F.lit(0)),
+    ).cast("double")
+    # longest same-token run: left fold carrying (prev, run, best)
+    run_state = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return docs.select(
+        "doc_id",
+        F.when(total > 0, F.round(top / total, 6))
+        .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        F.when(total > 0, F.round(dup / total, 6))
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        run_state.cast("long").alias("max_token_run"),
     )
 
 

@@ -13,6 +13,8 @@ from neo4j_graph_algorithms_spark.sources.extraction import (
     extract_text,
     extract_links,
     extract_edges,
+    extract_anchors,
+    anchor_stats,
     normalize_url,
 )
 
@@ -22,5 +24,7 @@ __all__ = [
     "extract_text",
     "extract_links",
     "extract_edges",
+    "extract_anchors",
+    "anchor_stats",
     "normalize_url",
 ]

@@ -24,10 +24,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, Column, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["extract_text", "extract_links", "normalize_url", "extract_edges"]
+__all__ = ["extract_text", "extract_links", "normalize_url",
+           "extract_edges", "extract_anchors", "anchor_stats"]
 
 _P_TAG = re.compile(r"<p>(.*?)</p>", re.DOTALL)
 _HREF = re.compile(r'<a\s[^>]*?href="([^"#]*)(?:#[^"]*)?"', re.IGNORECASE)
+_A_TAG = re.compile(
+    r'<a\s[^>]*?href="([^"#]*)(?:#[^"]*)?"[^>]*>(.*?)</a>',
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 @F.pandas_udf(T.StringType())
@@ -56,6 +61,60 @@ def normalize_url(col: Column) -> Column:
     c = F.when(head != "", F.concat(F.lower(head), tail)).otherwise(c)
     non_root_dir = c.rlike(r"://[^/]+/.+/$")
     return F.when(non_root_dir, c.substr(F.lit(1), F.length(c) - 1)).otherwise(c)
+
+
+@F.pandas_udf(T.ArrayType(T.StructType([
+    T.StructField("href", T.StringType()),
+    T.StructField("text", T.StringType()),
+])))
+def extract_anchors(html: pd.Series) -> pd.Series:
+    """All ``<a href>`` (target, anchor-text) pairs in document order —
+    the anchor-text signal Common-Crawl pipelines aggregate per target
+    page. Same Arrow-vectorized shape as :func:`extract_links`."""
+    decoded = html.apply(lambda b: b.decode("utf-8", errors="replace"))
+    return decoded.apply(
+        lambda s: [{"href": h, "text": t} for h, t in _A_TAG.findall(s)]
+    )
+
+
+def anchor_stats(pages: DataFrame) -> DataFrame:
+    """Per target page, the incoming anchor-text rollup:
+    (dst_url, n_links, n_distinct_anchors, top_anchor, top_count) —
+    top_anchor = the most frequent anchor string pointing at the page,
+    ties to the lexicographically smaller string.
+
+    100-TB shape: one vectorized extraction pass, then two partially
+    aggregated shuffles keyed by (dst, anchor) and dst. The top-anchor
+    pick is a struct-min AGGREGATE (min over (−count, anchor)), not a
+    per-dst window sort — hub pages with 10⁸ in-links cost one combiner
+    cell, not a sort of 10⁸ rows."""
+    a = pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(extract_anchors(F.col("html"))).alias("a"),
+    ).select(
+        "src_url",
+        F.col("a.href").alias("dst_url"),
+        F.col("a.text").alias("anchor"),
+    )
+    per = a.groupBy("dst_url", "anchor").agg(F.count(F.lit(1)).alias("c"))
+    top = F.min(
+        F.struct((-F.col("c")).alias("nc"), F.col("anchor").alias("a"))
+    )
+    return (
+        per.groupBy("dst_url")
+        .agg(
+            F.sum("c").alias("n_links"),
+            F.count(F.lit(1)).alias("n_distinct_anchors"),
+            top.alias("_top"),
+        )
+        .select(
+            "dst_url",
+            "n_links",
+            "n_distinct_anchors",
+            F.col("_top.a").alias("top_anchor"),
+            (-F.col("_top.nc")).cast("long").alias("top_count"),
+        )
+    )
 
 
 def extract_edges(pages: DataFrame, dedup: bool = True) -> DataFrame:

@@ -13,6 +13,7 @@ FAMILIES = {
     "kcore": ["k_core"],
     "pages_e2e": ["pages_pagerank_e2e", "pages_extract_edges",
                   "pages_host_pagerank"],
+    "anchors": ["anchor_stats"],
     "wcc": ["wcc", "streaming_wcc"],
     "labelprop": ["label_propagation"],
     "triangles": ["triangles_per_node", "triangles_sampled",
@@ -32,8 +33,11 @@ FAMILIES = {
               "token_jaccard_pairs", "ngram_jaccard_pairs",
               "simhash_near_dup"],
     "ann": ["lsh_sign_buckets", "embedding_near_dup", "ivf_knn"],
+    "kmeans": ["kmeans_clusters", "semantic_dedup"],
     "text": ["token_stats", "bpe_token_stats", "quality_scores",
-             "language_id", "doc_fingerprints", "one_hot_lang"],
+             "language_id", "doc_fingerprints", "one_hot_lang",
+             "repetition_scores"],
+    "decontam": ["decontaminate"],
     "sampling": ["sample_documents", "stratified_sample"],
     "events": ["events_window", "events_sessionize"],
 }

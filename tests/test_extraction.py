@@ -227,3 +227,36 @@ def test_with_registrable_domain_psl_table(spark):
     # join in the plan is a BroadcastHashJoin
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_anchor_stats_python_oracle(spark):
+    """anchor_stats vs a plain-python rollup over the generator's
+    expected link list (anchor text = 'link-{pos}')."""
+    from collections import Counter, defaultdict
+
+    from neo4j_graph_algorithms_spark.sources import (
+        anchor_stats, generate_pages,
+    )
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.sources.pages import (
+        _out_degree, _targets_for, page_url,
+    )
+
+    n = 300
+    pages = generate_pages(spark, n)
+    got = {r["dst_url"]: r for r in anchor_stats(pages).collect()}
+
+    per = defaultdict(Counter)
+    idx = np.arange(n, dtype=np.int64)
+    degs = _out_degree(idx, 42, 64)
+    for i, deg in zip(idx.tolist(), degs.tolist()):
+        for k, t in enumerate(_targets_for(i, deg, n, 42).tolist()):
+            per[page_url(int(t))][f"link-{k}"] += 1
+    assert set(got) == set(per)
+    for dst, counts in per.items():
+        r = got[dst]
+        assert r["n_links"] == sum(counts.values()), dst
+        assert r["n_distinct_anchors"] == len(counts), dst
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r["top_anchor"], r["top_count"]) == best, dst

@@ -333,3 +333,45 @@ def test_pr_incremental_new_nodes_start_at_base(spark):
     assert set(gi) == set(gf)
     for i in gf:
         assert gi[i] == pytest.approx(gf[i], abs=1e-7)
+
+
+def test_batch_personalized_matches_single_runs(spark):
+    # each register column of the batch loop must equal the
+    # single-source personalized run bit-for-bit (same formula, same
+    # association order, same join shape)
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        pagerank, pagerank_batch_personalized,
+    )
+
+    n = 30
+    edges = [(i, (i * 7 + 3) % n) for i in range(n)] + \
+            [(i, (i * 11 + 5) % n) for i in range(n)]
+    e = spark.createDataFrame(edges, "src long, dst long").dropDuplicates()
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    sets = [[0], [1, 2], [3, 4, 5]]
+    batch = pagerank_batch_personalized(v, e, sets, max_iterations=8, tol=0.0)
+    wide = {r["id"]: (r["r0"], r["r1"], r["r2"])
+            for r in batch.ranks.collect()}
+    for s, ss in enumerate(sets):
+        single = pagerank(v, e, max_iterations=8, tol=0.0, source_ids=ss)
+        got = {r["id"]: r["rank"] for r in single.ranks.collect()}
+        for i in range(n):
+            assert wide[i][s] == got[i], f"set {s} node {i}"
+    assert batch.iterations == 8
+
+
+def test_batch_personalized_tolerance_and_validation(spark):
+    import pytest as _pt
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        pagerank_batch_personalized,
+    )
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    # delta decays by 0.85/iter from 0.15 on a cycle: 1e-3 needs ~32
+    # supersteps, comfortably under the cap (1e-10 would need ~129)
+    res = pagerank_batch_personalized(v, e, [[0]], max_iterations=50,
+                                      tol=1e-3)
+    assert res.converged and res.iterations < 50
+    with _pt.raises(ValueError):
+        pagerank_batch_personalized(v, e, [])
