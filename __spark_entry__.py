@@ -2616,6 +2616,70 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with synthesized PII (the corpus
+    has none — a deterministic email/phone/IP per doc_id de-vacuates
+    the check; pipeline/filtering.py:pii_scrub). Three sequential
+    codegen'd regexp passes, map-only."""
+    from neo4j_graph_algorithms_spark.pipeline.filtering import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 end"),
+        ).alias("text"),
+    )
+    out = pii_scrub(synth)
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+    )
+
+
+def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gate (word-count band, mean-word-length cap,
+    blocklist) — every row kept with its keep flag so the oracle hash
+    proves each rule (pipeline/filtering.py:c4_quality_filter)."""
+    from neo4j_graph_algorithms_spark.pipeline.filtering import (
+        c4_quality_filter,
+    )
+
+    return c4_quality_filter(
+        _t(spark, sf_dir, "documents"),
+        min_words=40, max_mean_word_len=4.5, blocklist=("dup", "slow"),
+    )
+
+
+def _q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: 4 sources to exact 40/30/20/10
+    proportions at the largest supportable total, survivors by
+    deterministic hash order (pipeline/sampling.py:mix_corpus)."""
+    from neo4j_graph_algorithms_spark.pipeline.sampling import mix_corpus
+
+    return mix_corpus(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: per-doc chunk span in the
+    concatenated 256-token-chunk stream via the two-phase sharded
+    prefix sum (pipeline/packing.py:pack_sequences); the oracle is the
+    single global window cumsum it must equal exactly."""
+    from neo4j_graph_algorithms_spark.pipeline.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
+
+
 def _q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.ann import cosine_knn_bruteforce
 
@@ -2840,11 +2904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled": _q_triangles_sampled,
         "modularity": _q_modularity,
         "bfs_from_0": _q_bfs,
-        "sssp_from_0": _q_sssp,
         "shortest_path": _q_shortest_path,
         "k_shortest_paths": _q_kshortest,
         "random_walks": _q_random_walks,
-        "eigenvector": _q_eigenvector,
         "hits": _q_hits,
         "link_prediction": _q_linkprediction,
         "jaccard_categories": _q_jaccard_categories,
@@ -2853,7 +2915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "spanning_tree": _q_spanning_tree,
         "k_spanning_tree": _q_k_spanning_tree,
-        "louvain_onelevel": _q_louvain_onelevel,
         "louvain_twolevel": _q_louvain_twolevel,
         "infomap_fixedmerges": _q_infomap_fixedmerges,
         "cosine_knn": _q_cosine_knn,
@@ -2866,14 +2927,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "hyperball_balls": _q_hyperball,
         "bpe_token_stats": _q_bpe_token_stats,
-        "quality_scores": _q_quality,
         "language_id": _q_langid,
         "repetition_scores": _q_repetition,
+        "pii_scrub": _q_pii_scrub,
+        "c4_filter": _q_c4_filter,
         "decontaminate": _q_decontaminate,
         "sample_documents": _q_sample_documents,
+        "mix_corpus": _q_mix_corpus,
         "lsh_sign_buckets": _q_lsh_buckets,
         "embedding_near_dup": _q_embedding_near_dup,
         "ivf_knn": _q_ivf_knn,
+        "pack_sequences": _q_pack_sequences,
         "events_window": _q_events_window,
         # ---- 51+: rotated out this round (r1/r2-green or rows-only;
         # all still replayed by test_oracle_parity every run) ----------
@@ -2917,6 +2981,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_in": _q_degree("in", False),
         "doc_fingerprints": _q_fingerprint,
         "token_stats": _q_token_stats,
+        "sssp_from_0": _q_sssp,
+        "eigenvector": _q_eigenvector,
+        "louvain_onelevel": _q_louvain_onelevel,
+        "quality_scores": _q_quality,
         "louvain": _q_louvain,
     }
 

@@ -488,4 +488,103 @@ def pipeline_oracles() -> dict[str, str]:
         FROM rn WHERE rk = 1
     """
 
+    # mirrors filtering.pii_scrub over the driver query's synthesized
+    # PII (text || deterministic email/phone/IP per doc_id — the base
+    # corpus has none, synthesis de-vacuates the check). Patterns are
+    # the Java-regex ∩ RE2 dialect, replayed verbatim; DuckDB needs the
+    # explicit 'g' flag (Spark's regexp_replace is global by default).
+    _piit = ("text || ' contact doc' || CAST(doc_id AS VARCHAR) || "
+             "'@mail.example.com or +1-555-' || CAST(doc_id AS VARCHAR) || "
+             "' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end'")
+    _em = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _ip = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    _ph = r"\+[0-9][0-9-]{6,}[0-9]"
+    sql["pii_scrub"] = f"""
+        WITH t0 AS (SELECT doc_id, {_piit} AS t FROM documents),
+        t1 AS (SELECT doc_id, t,
+                      regexp_replace(t, '{_em}', '<EMAIL>', 'g') AS s1
+               FROM t0),
+        t2 AS (SELECT doc_id, t, s1,
+                      regexp_replace(s1, '{_ip}', '<IP>', 'g') AS s2
+               FROM t1)
+        SELECT doc_id,
+               regexp_replace(s2, '{_ph}', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(t, '{_em}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(s1, '{_ip}')) AS BIGINT)
+                   AS n_ips,
+               CAST(len(regexp_extract_all(s2, '{_ph}')) AS BIGINT)
+                   AS n_phones
+        FROM t2
+    """
+
+    # mirrors filtering.c4_quality_filter(min_words=40,
+    # max_mean_word_len=4.5, blocklist=('dup', 'slow')) — all rows kept
+    # with their keep flag, so the hash check proves every rule
+    sql["c4_filter"] = """
+        WITH tl AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS t
+                    FROM documents),
+        m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+                     CASE WHEN len(t) > 0 THEN round(
+                         CAST(list_sum(list_transform(t, x -> length(x)))
+                              AS DOUBLE) / len(t), 9)
+                          ELSE 0.0 END AS mean_word_len,
+                     CAST(len(list_filter(t,
+                         x -> x IN ('dup', 'slow'))) AS BIGINT)
+                         AS blocklist_hits
+              FROM tl)
+        SELECT doc_id, n_words, mean_word_len, blocklist_hits,
+               (n_words >= 40 AND n_words <= 100000
+                AND mean_word_len <= 4.5
+                AND blocklist_hits = 0) AS keep
+        FROM m
+    """
+
+    # mirrors sampling.mix_corpus({'src0': .4, 'src1': .3, 'src2': .2,
+    # 'src3': .1}, by='source', seed=0): scale = min_s n_s/p_s in IEEE
+    # DOUBLE (both engines), k_s = floor(p_s*scale), survivors = hash
+    # order per stratum
+    sql["mix_corpus"] = f"""
+        WITH pos(source, p) AS (VALUES
+            ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+            ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+        cnt AS (SELECT d.source, CAST(count(*) AS DOUBLE) AS n
+                FROM documents d JOIN pos USING (source)
+                GROUP BY d.source),
+        sc AS (SELECT min(n / p) AS scale FROM cnt JOIN pos USING (source)),
+        ks AS (SELECT source,
+                      CAST(floor(p * (SELECT scale FROM sc)) AS BIGINT) AS k
+               FROM pos),
+        h AS (SELECT d.*, {_smp} AS hv FROM documents d
+              JOIN ks USING (source)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                            ORDER BY hv, doc_id) AS rk FROM h)
+        SELECT doc_id, text, lang, source, n_chars
+        FROM r JOIN ks USING (source) WHERE rk <= k
+    """
+
+    # mirrors packing.pack_sequences(budget=256): the two-phase
+    # sharded prefix sum equals one global window cumsum exactly
+    sql["pack_sequences"] = """
+        WITH c AS (SELECT doc_id,
+                          CAST(len(list_filter(string_split(text, ' '),
+                                               x -> x <> '')) AS BIGINT)
+                              AS n_tokens
+                   FROM documents),
+        p AS (SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cum
+              FROM c)
+        SELECT doc_id, n_tokens,
+               CAST(cum // 256 AS BIGINT) AS start_chunk,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (cum + n_tokens - 1) // 256
+                    ELSE cum // 256 END AS BIGINT) AS end_chunk,
+               CAST(cum % 256 AS BIGINT) AS offset_in_chunk
+        FROM p
+    """
+
     return sql

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from neo4j_graph_algorithms_spark.pipeline.dedup import _h8
 
-__all__ = ["sample_documents", "stratified_sample_exact"]
+__all__ = ["sample_documents", "stratified_sample_exact", "mix_corpus"]
 
 # hash threshold resolution: fraction is quantized to 1/2^20 — the
 # deterministic analogue of a Bernoulli draw with 20 bits of precision
@@ -102,4 +102,58 @@ def stratified_sample_exact(
         base.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
+    )
+
+
+def mix_corpus(
+    docs: DataFrame,
+    proportions: dict[str, float],
+    *,
+    by: str = "source",
+    seed: int = 0,
+    total: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus mixing: downsample strata so the output
+    hits target ``proportions`` exactly (the training-mixture step —
+    e.g. ``{'web': 0.6, 'code': 0.3, 'books': 0.1}``).
+
+    The output size is the largest total the corpus can support: with
+    ``n_s`` docs available in stratum ``s`` and target share ``p_s``,
+    ``scale = min_s n_s / p_s`` (optionally capped by ``total``) and
+    each stratum contributes exactly ``k_s = floor(p_s · scale)`` docs
+    — the binding stratum is taken (nearly) whole, the rest are
+    downsampled. Within a stratum, survivors are the ``k_s`` docs with
+    the smallest deterministic sample hash (ties by doc_id), the same
+    rule as :func:`stratified_sample_exact`, so the result is unique
+    and engine-independent.
+
+    Cost: one model-sized count aggregation (|strata| rows to the
+    driver), then ONE shuffle on the stratum key for the per-stratum
+    top-k window. Strata not named in ``proportions`` are dropped
+    (share 0).
+    """
+    if not proportions or any(p < 0 for p in proportions.values()):
+        raise ValueError("proportions must be non-negative, non-empty")
+    pos = {s: p for s, p in proportions.items() if p > 0}
+    counts = {
+        r[by]: int(r["n"])
+        for r in docs.filter(F.col(by).isin(list(pos)))
+        .groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return docs.filter(F.lit(False))
+    scale = min(counts.get(s, 0) / p for s, p in pos.items())
+    if total is not None:
+        scale = min(scale, float(total))
+    ks = [(s, int(p * scale)) for s, p in pos.items()]
+    k_df = F.broadcast(
+        docs.sparkSession.createDataFrame(ks, f"{by} string, _k long"))
+
+    h = _sample_hash(seed)
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.join(k_df, by)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_k"))
+        .drop("_rk", "_k")
     )

@@ -38,6 +38,9 @@ FAMILIES = {
              "language_id", "doc_fingerprints", "one_hot_lang",
              "repetition_scores"],
     "decontam": ["decontaminate"],
+    "filtering": ["pii_scrub", "c4_filter"],
+    "mixing": ["mix_corpus"],
+    "packing": ["pack_sequences"],
     "sampling": ["sample_documents", "stratified_sample"],
     "events": ["events_window", "events_sessionize"],
 }
