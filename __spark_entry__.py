@@ -460,15 +460,22 @@ def _pages_pagerank_sql(n: int, max_iters: int, tol: float,
                                             prefix=prefix)
 
 
-def _batch_ppr_unrolled_sql(iters: int, source_sets: list[list[int]]) -> str:
+def _batch_ppr_unrolled_sql(iters: int, source_sets: list[list[int] | None],
+                            final_select: str | None = None) -> str:
     """Unrolled batch personalized PageRank — S rank columns per CTE
     level, each column the exact _ppr_unrolled_sql recurrence for its
-    teleport set (operators/pagerank.py:pagerank_batch_personalized)."""
+    teleport set (operators/pagerank.py:pagerank_batch_personalized).
+    A ``None`` set = global teleport (the spam_mass register).
+    ``final_select`` overrides the trailing SELECT (CTEs end at
+    ``r{iters}``)."""
     S = len(source_sets)
     bases = []
     for ss in source_sets:
-        ids = ", ".join(str(x) for x in ss)
-        bases.append(f"CASE WHEN id IN ({ids}) THEN 0.15 ELSE 0.0 END")
+        if ss is None:
+            bases.append("0.15")
+        else:
+            ids = ", ".join(str(x) for x in ss)
+            bases.append(f"CASE WHEN id IN ({ids}) THEN 0.15 ELSE 0.0 END")
     parts = [
         _EDGES_CTE, _NODES_CTE,
         "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src)",
@@ -491,10 +498,25 @@ def _batch_ppr_unrolled_sql(iters: int, source_sets: list[list[int]]) -> str:
                 f"coalesce(m.m{s}, 0.0) AS r{s}" for s in range(S))
             + f" FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)"
         )
-    return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT id, "
-            + ", ".join(f"round(r{s}, 6) AS r{s}" for s in range(S))
-            + f" FROM r{iters}")
+    tail = final_select or (
+        "SELECT id, "
+        + ", ".join(f"round(r{s}, 6) AS r{s}" for s in range(S))
+        + f" FROM r{iters}"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+def _spam_mass_sql(iters: int, trusted: list[int]) -> str:
+    """Oracle for spam_mass: 2-register batch PPR (global + trusted)
+    then the rescale arithmetic (operators/pagerank.py:spam_mass)."""
+    final = (
+        f"SELECT id, round(r0, 6) AS pagerank, "
+        f"round(r1 * (SELECT sum(r0) / sum(r1) FROM r{iters}), 6) AS trust, "
+        f"round((r0 - r1 * (SELECT sum(r0) / sum(r1) FROM r{iters})) / r0, 6)"
+        f" AS spam_mass_rel FROM r{iters}"
+    )
+    return _batch_ppr_unrolled_sql(iters, [None, trusted],
+                                   final_select=final)
 
 
 def _ppr_unrolled_sql(iters: int, sources: list[int]) -> str:
@@ -1009,6 +1031,22 @@ def _q_pagerank_batch_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vertices(e), e, BATCH_PPR_SETS, max_iterations=PR_ITERS, tol=0.0)
     return res.ranks.select(
         "id", *[F.round(f"r{s}", 6).alias(f"r{s}") for s in range(3)])
+
+
+def _q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank relative spam mass (Gyöngyi et al.): global PageRank
+    and trusted-seed PPR ride one 2-register superstep loop, then the
+    rescale (operators/pagerank.py:spam_mass). Oracle unrolls both
+    registers and the arithmetic."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import spam_mass
+
+    e = _edges(spark, sf_dir)
+    out = spam_mass(_vertices(e), e, list(range(20)),
+                    max_iterations=PR_ITERS, tol=0.0)
+    return out.select(
+        "id", F.round("pagerank", 6).alias("pagerank"),
+        F.round("trust", 6).alias("trust"),
+        F.round("spam_mass_rel", 6).alias("spam_mass_rel"))
 
 
 def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2890,7 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- window 1-50: driver-checked this round -------------------
         "pagerank": _q_pagerank,
-        "pagerank_weighted": _q_pagerank_weighted,
+        "spam_mass": _q_spam_mass,
         "pagerank_batch_ppr": _q_pagerank_batch_ppr,
         "k_core": _q_kcore,
         "pages_pagerank_e2e": _q_pages_pagerank,
@@ -2981,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_in": _q_degree("in", False),
         "doc_fingerprints": _q_fingerprint,
         "token_stats": _q_token_stats,
+        "pagerank_weighted": _q_pagerank_weighted,
         "sssp_from_0": _q_sssp,
         "eigenvector": _q_eigenvector,
         "louvain_onelevel": _q_louvain_onelevel,
@@ -3002,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_unrolled_sql(PR_ITERS, weighted=True),
         "pagerank_personalized": _ppr_unrolled_sql(PR_ITERS, list(range(10))),
         "pagerank_batch_ppr": _batch_ppr_unrolled_sql(PR_ITERS, BATCH_PPR_SETS),
+        "spam_mass": _spam_mass_sql(PR_ITERS, list(range(20))),
         "triangle_list": f"""
             WITH {_EDGES_CTE}, {_CANON_CTE}, {_TRI_CTE}
             SELECT a AS node_a, b AS node_b, c AS node_c FROM tri

@@ -52,7 +52,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from neo4j_graph_algorithms_spark.plans.checkpoint import CheckpointManager
 from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
 
-__all__ = ["pagerank", "pagerank_delta", "pagerank_incremental", "PageRankResult"]
+__all__ = ["pagerank", "pagerank_delta", "pagerank_incremental",
+           "pagerank_batch_personalized", "spam_mass", "PageRankResult"]
 
 
 @dataclass
@@ -820,6 +821,11 @@ def pagerank_batch_personalized(
 
     ``ranks`` in the result is wide: ``(id, r0, .., r{S-1})``.
     Convergence = max over all columns of the per-superstep delta.
+
+    A ``None`` entry in ``source_sets`` means "teleport everywhere" —
+    that register computes the GLOBAL PageRank, letting callers ride a
+    global vector and personalized vectors through the same loop
+    (:func:`spam_mass` uses exactly this).
     """
     if not source_sets:
         raise ValueError("source_sets must be non-empty")
@@ -835,7 +841,8 @@ def pagerank_batch_personalized(
     plan_side.count()
 
     base_cols = [
-        F.when(F.col("id").isin([int(x) for x in ss]), F.lit(alpha))
+        F.lit(alpha).alias(f"b{s}") if ss is None
+        else F.when(F.col("id").isin([int(x) for x in ss]), F.lit(alpha))
         .otherwise(F.lit(0.0)).alias(f"b{s}")
         for s, ss in enumerate(source_sets)
     ]
@@ -881,3 +888,59 @@ def pagerank_batch_personalized(
     plan_side.unpersist()
     base.unpersist()
     return PageRankResult(ranks, it, converged, max_delta, metrics)
+
+
+def spam_mass(
+    vertices: DataFrame,
+    edges: DataFrame,
+    trusted_ids: list[int],
+    *,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 0.0,
+    weighted: bool = False,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """TrustRank / relative spam mass (Gyöngyi, Garcia-Molina &
+    Pedersen, "Combating Web Spam with TrustRank" VLDB'04, and "Link
+    Spam Detection Based on Mass Estimation" VLDB'06) — the canonical
+    link-spam signal over a Common-Crawl-scale host graph.
+
+    Per node: ``(id, pagerank, trust, spam_mass_rel)`` where
+
+    - ``pagerank`` = global PageRank,
+    - ``trust`` = personalized PageRank seeded at ``trusted_ids``
+      (this engine's source-base rule: the (1−d) teleport term at each
+      seed), rescaled so Σ trust = Σ pagerank — the two vectors then
+      live on the same mass scale,
+    - ``spam_mass_rel`` = (pagerank − trust) / pagerank: ≈0 for pages
+      whose rank is reachable from the trusted core, →1 for pages
+      whose rank comes from elsewhere (spam farms). Negative values
+      (trust-surplus hubs near seeds) are meaningful and kept.
+
+    100-TB shape: BOTH vectors ride one superstep loop as two register
+    columns of :func:`pagerank_batch_personalized` (a ``None`` set =
+    global teleport), so the edge table is scanned once per superstep
+    total; the rescale is one 2-value aggregate. Nodes with
+    pagerank = 0 cannot occur (base > 0 everywhere in the global
+    register).
+
+    Fixed ``max_iterations`` at ``tol=0.0`` keeps the whole thing
+    SQL-replayable — the driver oracle unrolls both registers and the
+    rescale arithmetic verbatim.
+    """
+    res = pagerank_batch_personalized(
+        vertices, edges, [None, trusted_ids],
+        damping=damping, max_iterations=max_iterations, tol=tol,
+        weighted=weighted, spark=spark,
+    )
+    sums = res.ranks.agg(
+        F.sum("r0").alias("s0"), F.sum("r1").alias("s1")).first()
+    scale = float(sums["s0"]) / float(sums["s1"]) if sums["s1"] else 0.0
+    trust = F.col("r1") * F.lit(scale)
+    return res.ranks.select(
+        "id",
+        F.col("r0").alias("pagerank"),
+        trust.alias("trust"),
+        ((F.col("r0") - trust) / F.col("r0")).alias("spam_mass_rel"),
+    )

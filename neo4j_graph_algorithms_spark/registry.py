@@ -84,6 +84,18 @@ _REGISTRY: dict[str, str] = {
     "ext.triangleCount.sampled": f"{_P}.operators.triangles:triangle_count_sampled",
     "ext.sample.documents": f"{_P}.pipeline.sampling:sample_documents",
     "ext.sample.stratified": f"{_P}.pipeline.sampling:stratified_sample_exact",
+    "ext.pageRank.batchPersonalized":
+        f"{_P}.operators.pagerank:pagerank_batch_personalized",
+    "ext.trustRank.spamMass": f"{_P}.operators.pagerank:spam_mass",
+    "ext.anchorText.stats": f"{_P}.sources.extraction:anchor_stats",
+    "ext.kmeans": f"{_P}.pipeline.kmeans:kmeans_fit",
+    "ext.dedup.semantic": f"{_P}.pipeline.kmeans:semantic_dedup",
+    "ext.text.repetition": f"{_P}.pipeline.text:repetition_scores",
+    "ext.decontaminate": f"{_P}.pipeline.decontam:ngram_decontaminate",
+    "ext.filter.pii": f"{_P}.pipeline.filtering:pii_scrub",
+    "ext.filter.c4": f"{_P}.pipeline.filtering:c4_quality_filter",
+    "ext.sample.mixCorpus": f"{_P}.pipeline.sampling:mix_corpus",
+    "ext.pack.sequences": f"{_P}.pipeline.packing:pack_sequences",
 }
 
 

@@ -11,6 +11,7 @@ import __spark_entry__ as em
 FAMILIES = {
     "pagerank": ["pagerank", "pagerank_weighted"],
     "kcore": ["k_core"],
+    "trustrank": ["spam_mass"],
     "pages_e2e": ["pages_pagerank_e2e", "pages_extract_edges",
                   "pages_host_pagerank"],
     "anchors": ["anchor_stats"],

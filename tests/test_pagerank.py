@@ -375,3 +375,37 @@ def test_batch_personalized_tolerance_and_validation(spark):
     assert res.converged and res.iterations < 50
     with _pt.raises(ValueError):
         pagerank_batch_personalized(v, e, [])
+
+
+def test_spam_mass_semantics(spark):
+    """The None register equals global pagerank bit-for-bit; trust
+    rescale makes the sums equal; seeds have low relative spam mass."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        pagerank, pagerank_batch_personalized, spam_mass,
+    )
+
+    # trusted core {0,1} linking each other + out; 5..7 a spam-ish
+    # clique pointed at by nothing trusted
+    edges = [(0, 1), (1, 0), (0, 2), (2, 3), (3, 4),
+             (5, 6), (6, 7), (7, 5), (5, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.range(8).toDF("id")
+
+    sm = {r["id"]: r for r in spam_mass(
+        v, e, [0, 1], max_iterations=12).collect()}
+    pr = {r["id"]: r["rank"] for r in pagerank(
+        v, e, max_iterations=12, tol=0.0).ranks.collect()}
+    for i in range(8):
+        assert sm[i]["pagerank"] == pytest.approx(pr[i], abs=1e-12), i
+    s_pr = sum(r["pagerank"] for r in sm.values())
+    s_tr = sum(r["trust"] for r in sm.values())
+    assert s_tr == pytest.approx(s_pr, rel=1e-9)
+    # trusted-core pages score far lower spam mass than the clique
+    assert max(sm[i]["spam_mass_rel"] for i in (0, 1, 2)) < \
+        min(sm[i]["spam_mass_rel"] for i in (5, 6, 7))
+
+    # a None register equals pagerank() exactly at fixed iterations
+    b = pagerank_batch_personalized(v, e, [None], max_iterations=12)
+    got = {r["id"]: r["r0"] for r in b.ranks.collect()}
+    for i in range(8):
+        assert got[i] == pr[i], i
