@@ -2718,6 +2718,33 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
 
 
+def _q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build, top-40 by (count DESC, token ASC) with dense
+    ids — histogram-thresholded before the ranking window
+    (pipeline/index.py:build_vocab)."""
+    from neo4j_graph_algorithms_spark.pipeline.index import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), max_size=40)
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document; 9-dp-rounded scores rank on
+    both engines so a ≤1-ulp ln() difference can't flip a rank
+    (pipeline/index.py:tfidf_top_terms)."""
+    from neo4j_graph_algorithms_spark.pipeline.index import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index: sorted posting arrays (≤50 doc ids per
+    token, capped by a rank window BEFORE collecting) + true df
+    (pipeline/index.py:inverted_index)."""
+    from neo4j_graph_algorithms_spark.pipeline.index import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
+
+
 def _q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.ann import cosine_knn_bruteforce
 
@@ -2947,7 +2974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "hits": _q_hits,
         "link_prediction": _q_linkprediction,
-        "jaccard_categories": _q_jaccard_categories,
         "closeness": _q_closeness(False),
         "betweenness": _q_betweenness,
         "scc": _q_scc,
@@ -2956,7 +2982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_twolevel": _q_louvain_twolevel,
         "infomap_fixedmerges": _q_infomap_fixedmerges,
         "cosine_knn": _q_cosine_knn,
-        "exact_dedup": _q_exact_dedup,
         "minhash_lsh_candidates": _q_minhash_candidates,
         "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard_pairs": _q_ngram3_jaccard,
@@ -2965,8 +2990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "hyperball_balls": _q_hyperball,
         "bpe_token_stats": _q_bpe_token_stats,
-        "language_id": _q_langid,
         "repetition_scores": _q_repetition,
+        "vocab_top": _q_vocab,
+        "tfidf_top_terms": _q_tfidf,
+        "inverted_index": _q_inverted_index,
         "pii_scrub": _q_pii_scrub,
         "c4_filter": _q_c4_filter,
         "decontaminate": _q_decontaminate,
@@ -3020,6 +3047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprint,
         "token_stats": _q_token_stats,
         "pagerank_weighted": _q_pagerank_weighted,
+        "language_id": _q_langid,
+        "exact_dedup": _q_exact_dedup,
+        "jaccard_categories": _q_jaccard_categories,
         "sssp_from_0": _q_sssp,
         "eigenvector": _q_eigenvector,
         "louvain_onelevel": _q_louvain_onelevel,

@@ -565,6 +565,60 @@ def pipeline_oracles() -> dict[str, str]:
         FROM r JOIN ks USING (source) WHERE rk <= k
     """
 
+    # mirrors index.build_vocab(max_size=40): histogram thresholding
+    # then token_id < 40 equals a plain top-40 by (count DESC, token)
+    sql["vocab_top"] = """
+        WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS token
+                   FROM documents),
+        c AS (SELECT token, count(*) AS count FROM t GROUP BY token),
+        r AS (SELECT token, count,
+                     CAST(row_number() OVER (ORDER BY count DESC,
+                                             token ASC) - 1 AS BIGINT)
+                         AS token_id
+              FROM c)
+        SELECT token, count, token_id FROM r WHERE token_id < 40
+    """
+
+    # mirrors index.tfidf_top_terms(k=3): 9-dp-rounded score ranks,
+    # 6-dp exposed
+    sql["tfidf_top_terms"] = """
+        WITH t AS (SELECT doc_id,
+                          unnest(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM t GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     round(tf.tf * ln(
+                         CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                         / df.df), 9) AS s
+              FROM tf JOIN df USING (term)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, term ASC) AS rk FROM s)
+        SELECT doc_id, term, tf, df, round(s, 6) AS score
+        FROM r WHERE rk <= 3
+    """
+
+    # mirrors index.inverted_index(max_postings=50): true df, capped
+    # sorted posting arrays
+    sql["inverted_index"] = """
+        WITH td AS (SELECT DISTINCT doc_id, token FROM
+                    (SELECT doc_id,
+                            unnest(list_filter(string_split(text, ' '),
+                                               x -> x <> '')) AS token
+                     FROM documents)),
+        dfq AS (SELECT token, count(*) AS df FROM td GROUP BY token),
+        r AS (SELECT token, doc_id,
+                     row_number() OVER (PARTITION BY token
+                                        ORDER BY doc_id) AS rk
+              FROM td),
+        p AS (SELECT token, list(doc_id ORDER BY doc_id) AS postings
+              FROM r WHERE rk <= 50 GROUP BY token)
+        SELECT dfq.token, dfq.df, p.postings FROM dfq JOIN p USING (token)
+    """
+
     # mirrors packing.pack_sequences(budget=256): the two-phase
     # sharded prefix sum equals one global window cumsum exactly
     sql["pack_sequences"] = """

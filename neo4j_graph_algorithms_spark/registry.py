@@ -96,6 +96,9 @@ _REGISTRY: dict[str, str] = {
     "ext.filter.c4": f"{_P}.pipeline.filtering:c4_quality_filter",
     "ext.sample.mixCorpus": f"{_P}.pipeline.sampling:mix_corpus",
     "ext.pack.sequences": f"{_P}.pipeline.packing:pack_sequences",
+    "ext.index.vocab": f"{_P}.pipeline.index:build_vocab",
+    "ext.index.tfidf": f"{_P}.pipeline.index:tfidf_top_terms",
+    "ext.index.inverted": f"{_P}.pipeline.index:inverted_index",
 }
 
 

@@ -40,6 +40,7 @@ FAMILIES = {
              "repetition_scores"],
     "decontam": ["decontaminate"],
     "filtering": ["pii_scrub", "c4_filter"],
+    "indexing": ["vocab_top", "tfidf_top_terms", "inverted_index"],
     "mixing": ["mix_corpus"],
     "packing": ["pack_sequences"],
     "sampling": ["sample_documents", "stratified_sample"],
