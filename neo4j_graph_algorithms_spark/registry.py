@@ -99,6 +99,7 @@ _REGISTRY: dict[str, str] = {
     "ext.index.vocab": f"{_P}.pipeline.index:build_vocab",
     "ext.index.tfidf": f"{_P}.pipeline.index:tfidf_top_terms",
     "ext.index.inverted": f"{_P}.pipeline.index:inverted_index",
+    "ext.stream.dedup": f"{_P}.streaming.dedup:run_dedup_maintenance",
 }
 
 

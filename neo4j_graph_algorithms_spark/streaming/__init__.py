@@ -24,6 +24,9 @@ from neo4j_graph_algorithms_spark.streaming.graph_maintenance import (
     run_pagerank_maintenance,
     run_triangle_maintenance,
 )
+from neo4j_graph_algorithms_spark.streaming.dedup import (
+    run_dedup_maintenance,
+)
 
 __all__ = [
     "windowed_event_counts",
@@ -31,4 +34,5 @@ __all__ = [
     "run_component_maintenance",
     "run_pagerank_maintenance",
     "run_triangle_maintenance",
+    "run_dedup_maintenance",
 ]

@@ -1,0 +1,106 @@
+"""Continuously-maintained exact deduplication over a document stream.
+
+A crawl drops document batches continuously; recomputing corpus-level
+dedup per drop re-reads everything. This module keeps a durable
+fingerprint registry (``fingerprint → survivor doc_id``) and folds each
+micro-batch in with ONE fingerprint-keyed anti-join — the historical
+corpus is never re-read, only the registry (one row per DISTINCT
+document) is touched. Same ``foreachBatch`` + CheckpointManager commit
+protocol as :mod:`.graph_maintenance`: parquet state + metrics line per
+batch, crash-replayed batch ids skipped, so the fold is exactly-once in
+effect and restartable from ``state_dir``.
+
+Semantics: FIRST-SEEN WINS (the streaming convention, what Spark's own
+``dropDuplicates`` does) — within a batch the smallest doc_id survives;
+across batches an already-registered fingerprint never changes owner.
+When batches arrive in doc_id order (the normal crawl append), this
+equals batch-mode ``exact_duplicates``'s global min_doc_id exactly —
+pytest pins both the equality and the out-of-order first-seen case.
+
+Scale shape per micro-batch: a batch-sized hash aggregation (fingerprint
+→ min doc_id), one anti-join against the registry keyed on fingerprint,
+and a registry append. At 10^12 documents the registry is the big side;
+production lays it out bucketed by fingerprint (sources/bucketed.py) so
+the per-batch anti-join is exchange-free on the state side.
+
+The reference has no streaming or dedup surface (graphs load once into
+the JVM heap); this extends the engine's pipeline mandate the same way
+streaming graph maintenance extends its graph mandate.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.checkpoint import CheckpointManager
+from .graph_maintenance import _drive
+
+__all__ = ["DOC_SCHEMA", "run_dedup_maintenance"]
+
+DOC_SCHEMA = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def run_dedup_maintenance(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Fold streamed document batches into the durable fingerprint
+    registry; returns the final ``(fingerprint, survivor_doc_id)``.
+
+    Restartable: the stream position (``checkpointLocation``) and the
+    registry both resume from ``state_dir``; a crash-replayed batch id
+    is skipped before touching state.
+    """
+    mgr = CheckpointManager(spark, checkpoint_dir=os.path.join(
+        state_dir, "dedup_state"), interval=1, algorithm="dedup_stream")
+    resumed = mgr.resume()
+    holder: dict[str, Any] = {
+        "state": resumed[1] if resumed else None,
+        "committed": resumed[0] if resumed else -1,
+    }
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= holder["committed"]:
+            return  # crash-replayed batch: state already reflects it
+        cand = (
+            batch.select(F.md5("text").alias("fingerprint"), "doc_id")
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("survivor_doc_id"))
+        )
+        n_batch = batch.count()
+        state = holder["state"]
+        if state is not None:
+            fresh = cand.join(
+                state.select("fingerprint"), "fingerprint", "left_anti")
+            new_state = state.unionByName(fresh)
+        else:
+            fresh = cand
+            new_state = cand
+
+        def action(st: DataFrame) -> dict[str, Any]:
+            return {
+                "registry_size": st.count(),
+                "batch_docs": n_batch,
+                "batch_new": fresh.count(),
+                "batch_id": int(batch_id),
+            }
+
+        st, _ = mgr.maybe_checkpoint(new_state, int(batch_id), action=action)
+        holder["state"] = st
+        holder["committed"] = int(batch_id)
+
+    _drive(spark, docs_dir, state_dir, fold,
+           max_files_per_trigger=max_files_per_trigger,
+           schema=DOC_SCHEMA)
+    final = holder["state"]
+    if final is None:  # empty stream
+        return spark.createDataFrame(
+            [], "fingerprint string, survivor_doc_id long")
+    return final.select("fingerprint", "survivor_doc_id")

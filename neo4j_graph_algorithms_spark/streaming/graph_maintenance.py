@@ -74,12 +74,13 @@ def _drive(
     fold: Callable[[DataFrame, int], None],
     *,
     max_files_per_trigger: int = 1,
+    schema: str = EDGE_DELTA_SCHEMA,
 ) -> None:
     """readStream the delta dir and run ``fold`` per micro-batch to
     completion (bounded input; on a cluster the identical plan tails a
     live directory / Kafka topic with .start() left running)."""
     stream = (
-        spark.readStream.schema(EDGE_DELTA_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(deltas_dir)
     )

@@ -149,3 +149,74 @@ def test_empty_stream_returns_empty_state(spark, tmp_path):
     got = run_component_maintenance(spark, deltas, str(tmp_path / "state"))
     assert got.count() == 0
     assert got.columns == ["id", "component"]
+
+
+# ---- streaming exact-dedup maintenance --------------------------------
+
+def _write_doc_batches(docs_dir, batches):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(docs_dir, exist_ok=True)
+    for i, b in enumerate(batches):
+        tbl = pa.table({
+            "doc_id": [int(d) for d, _ in b],
+            "text": [t for _, t in b],
+            "lang": ["en"] * len(b),
+            "source": ["s"] * len(b),
+            "n_chars": [len(t) for _, t in b],
+        })
+        pq.write_table(tbl, os.path.join(docs_dir, f"drop{i:03d}.parquet"))
+
+
+def test_dedup_maintenance_matches_batch(spark, tmp_path):
+    """doc_id-ordered drops: the streaming registry equals batch
+    exact_duplicates' global min_doc_id survivors."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import exact_duplicates
+    from neo4j_graph_algorithms_spark.streaming.dedup import (
+        run_dedup_maintenance,
+    )
+
+    batches = [
+        [(0, "alpha"), (1, "beta"), (2, "alpha")],
+        [(3, "gamma"), (4, "beta"), (5, "delta")],
+        [(6, "alpha"), (7, "epsilon")],
+    ]
+    docs = str(tmp_path / "docs")
+    _write_doc_batches(docs, batches)
+    got = {(r["fingerprint"], r["survivor_doc_id"]) for r in
+           run_dedup_maintenance(spark, docs, str(tmp_path / "state"))
+           .collect()}
+    all_rows = [(d, t, "en", "s", len(t)) for b in batches for d, t in b]
+    df = spark.createDataFrame(
+        all_rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+    want = {(r["fingerprint"], r["min_doc_id"]) for r in
+            exact_duplicates(df).collect()}
+    assert got == want and len(got) == 5
+
+
+def test_dedup_maintenance_first_seen_and_restart(spark, tmp_path):
+    """Out-of-order drop: the registry keeps the FIRST-SEEN owner, and
+    a restarted run resumes from state without refolding."""
+    from neo4j_graph_algorithms_spark.streaming.dedup import (
+        run_dedup_maintenance,
+    )
+
+    docs = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    # doc 10 registers "zeta" first; doc 3 (smaller id) arrives later
+    _write_doc_batches(docs, [[(10, "zeta")], [(3, "zeta"), (4, "eta")]])
+    got = {(r["fingerprint"], r["survivor_doc_id"]) for r in
+           run_dedup_maintenance(spark, docs, state).collect()}
+    owners = dict(got)
+    import hashlib
+    zeta = hashlib.md5(b"zeta").hexdigest()
+    assert owners[zeta] == 10  # first seen, NOT min doc id
+    # restart with one more drop: old state survives, new doc folds in
+    _write_doc_batches(docs, [[(10, "zeta")], [(3, "zeta"), (4, "eta")],
+                              [(20, "theta")]])
+    got2 = dict(
+        (r["fingerprint"], r["survivor_doc_id"]) for r in
+        run_dedup_maintenance(spark, docs, state).collect())
+    assert got2[zeta] == 10 and len(got2) == 3
