@@ -2745,6 +2745,16 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
 
 
+def _q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed d×d embedding covariance via per-partition Gram
+    accumulation (model-sized shuffle; pipeline/pca.py). Oracle
+    recomputes the moments independently by explode + self-join."""
+    from neo4j_graph_algorithms_spark.pipeline.pca import covariance_matrix
+
+    out = covariance_matrix(_t(spark, sf_dir, "embeddings"))
+    return out.select("i", "j", F.round("cov", 6).alias("cov"))
+
+
 def _q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.ann import cosine_knn_bruteforce
 
@@ -2999,7 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "sample_documents": _q_sample_documents,
         "mix_corpus": _q_mix_corpus,
-        "lsh_sign_buckets": _q_lsh_buckets,
+        "pca_covariance": _q_pca_covariance,
         "embedding_near_dup": _q_embedding_near_dup,
         "ivf_knn": _q_ivf_knn,
         "pack_sequences": _q_pack_sequences,
@@ -3047,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprint,
         "token_stats": _q_token_stats,
         "pagerank_weighted": _q_pagerank_weighted,
+        "lsh_sign_buckets": _q_lsh_buckets,
         "language_id": _q_langid,
         "exact_dedup": _q_exact_dedup,
         "jaccard_categories": _q_jaccard_categories,

@@ -619,6 +619,25 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT dfq.token, dfq.df, p.postings FROM dfq JOIN p USING (token)
     """
 
+    # mirrors pca.covariance_matrix: independent recomputation of the
+    # second moments by explode + per-vector self-join (the Spark side
+    # accumulates per-partition Gram blocks — different physical path,
+    # same exact sums up to float addition order, matched at 6 dp)
+    sql["pca_covariance"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        x AS (SELECT vec_id, unnest(v) AS val,
+                     unnest(range(0, len(v))) AS pos FROM e),
+        p AS (SELECT a.pos AS i, b.pos AS j, sum(a.val * b.val) AS sxy
+              FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+        m AS (SELECT pos AS k, sum(val) AS sx FROM x GROUP BY 1),
+        c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)
+        SELECT p.i, p.j,
+               round((p.sxy - mi.sx * mj.sx / c.n) / (c.n - 1), 6) AS cov
+        FROM p CROSS JOIN c
+        JOIN m mi ON p.i = mi.k JOIN m mj ON p.j = mj.k
+    """
+
     # mirrors packing.pack_sequences(budget=256): the two-phase
     # sharded prefix sum equals one global window cumsum exactly
     sql["pack_sequences"] = """

@@ -41,6 +41,7 @@ FAMILIES = {
     "decontam": ["decontaminate"],
     "filtering": ["pii_scrub", "c4_filter"],
     "indexing": ["vocab_top", "tfidf_top_terms", "inverted_index"],
+    "pca": ["pca_covariance"],
     "mixing": ["mix_corpus"],
     "packing": ["pack_sequences"],
     "sampling": ["sample_documents", "stratified_sample"],
