@@ -222,3 +222,42 @@ def test_hyperball_gather_streams_cached_pairs(spark):
         assert "Exchange" not in ln, plan
         assert not re.search(r"\bSort\b", ln), plan
     pairs.unpersist()
+
+
+def test_filtering_ops_are_single_map_stage(spark):
+    """pii_scrub / c4_quality_filter / repetition_scores: pure column
+    pipelines — the physical plan must contain NO Exchange (shuffle),
+    no Window, no Python eval; one whole-stage-codegen map over the
+    scan."""
+    from neo4j_graph_algorithms_spark.pipeline.filtering import (
+        c4_quality_filter, pii_scrub,
+    )
+    from neo4j_graph_algorithms_spark.pipeline.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} a b", "en", "s", 10) for i in range(50)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    for out in (pii_scrub(docs),
+                c4_quality_filter(docs, blocklist=("a",)),
+                repetition_scores(docs)):
+        plan = _explain(out)
+        assert "Exchange" not in plan, plan
+        assert "Window" not in plan, plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+            assert bad not in plan, plan
+
+
+def test_mix_corpus_broadcasts_k_table(spark):
+    """mix_corpus: the per-stratum k table joins map-side (broadcast);
+    the only Exchange is the stratum-key shuffle feeding the window."""
+    from neo4j_graph_algorithms_spark.pipeline.sampling import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", f"src{i % 3}", 2) for i in range(60)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = mix_corpus(docs, {"src0": 0.5, "src1": 0.5}, by="source")
+    plan = _explain(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
