@@ -852,6 +852,22 @@ def pagerank_batch_personalized(
         "id", *[F.col(f"b{s}").alias(f"r{s}") for s in range(S)])
 
     converged, it, max_delta = False, 0, float("inf")
+    # localCheckpoint truncates LINEAGE but Spark carries the origin
+    # plan's Catalyst size estimate into the new LogicalRDD, and a
+    # self-referential join loop SQUARES that estimate every iteration —
+    # by ~iteration 30 join selection is multiplying million-digit
+    # BigInts and planning grinds to a halt. The durable-parquet
+    # round-trip every `interval` iterations resets the estimate to the
+    # file's real size (exactly how the main loop's CheckpointManager
+    # stays flat at 88+ supersteps), and buys crash-resume for free.
+    import tempfile
+
+    ckpt = CheckpointManager(
+        spark,
+        checkpoint_dir=tempfile.mkdtemp(prefix="batchppr_ckpt_"),
+        interval=8,
+        algorithm="pagerank_batch",
+    )
     metrics: list[dict[str, Any]] = []
     with superstep_conf(spark, n_vertices):
         for it in range(1, max_iterations + 1):
@@ -861,7 +877,7 @@ def pagerank_batch_personalized(
                 .agg(*[F.sum(F.col(f"r{s}") * F.col("factor")).alias(f"m{s}")
                        for s in range(S)])
             )
-            new_ranks = (
+            wide = (
                 base.join(msgs, "id", "left")
                 .join(ranks.select(
                     "id", *[F.col(f"r{s}").alias(f"_p{s}")
@@ -873,12 +889,17 @@ def pagerank_batch_personalized(
                       .alias(f"r{s}") for s in range(S)],
                     *[F.col(f"_p{s}") for s in range(S)],
                 )
-                .localCheckpoint(eager=True)
             )
             deltas = [F.abs(F.col(f"r{s}") - F.col(f"_p{s}"))
                       for s in range(S)]
             worst = deltas[0] if S == 1 else F.greatest(*deltas)
-            max_delta = new_ranks.agg(F.max(worst)).first()[0] or 0.0
+
+            def action(df: DataFrame) -> dict[str, Any]:
+                return {"max_delta":
+                        float(df.agg(F.max(worst)).first()[0] or 0.0)}
+
+            new_ranks, info = ckpt.maybe_checkpoint(wide, it, action=action)
+            max_delta = info["max_delta"]
             metrics.append({"iteration": it, "max_delta": max_delta})
             ranks = new_ranks.select(
                 "id", *[f"r{s}" for s in range(S)])
