@@ -2745,6 +2745,19 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
 
 
+def _q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence PMI (window 3, min_count 2) — pair
+    instances generated IN-ROW with nested array transforms, never a
+    positional explode+self-join (pipeline/index.py:cooccurrence_pmi);
+    the oracle uses the self-join, proving the in-row expansion."""
+    from neo4j_graph_algorithms_spark.pipeline.index import cooccurrence_pmi
+
+    out = cooccurrence_pmi(_t(spark, sf_dir, "documents"),
+                           window=3, min_count=2)
+    return out.select("term_a", "term_b", "n_pair",
+                      F.round("pmi", 6).alias("pmi"))
+
+
 def _q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed d×d embedding covariance via per-partition Gram
     accumulation (model-sized shuffle; pipeline/pca.py). Oracle
@@ -2978,7 +2991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_node": _q_triangles,
         "triangles_sampled": _q_triangles_sampled,
         "modularity": _q_modularity,
-        "bfs_from_0": _q_bfs,
         "shortest_path": _q_shortest_path,
         "k_shortest_paths": _q_kshortest,
         "random_walks": _q_random_walks,
@@ -3004,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": _q_vocab,
         "tfidf_top_terms": _q_tfidf,
         "inverted_index": _q_inverted_index,
+        "cooccurrence_pmi": _q_cooccurrence_pmi,
         "pii_scrub": _q_pii_scrub,
         "c4_filter": _q_c4_filter,
         "decontaminate": _q_decontaminate,
@@ -3057,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprint,
         "token_stats": _q_token_stats,
         "pagerank_weighted": _q_pagerank_weighted,
+        "bfs_from_0": _q_bfs,
         "lsh_sign_buckets": _q_lsh_buckets,
         "language_id": _q_langid,
         "exact_dedup": _q_exact_dedup,

@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from neo4j_graph_algorithms_spark.pipeline.dedup import tokens_expr
 
-__all__ = ["build_vocab", "tfidf_top_terms", "inverted_index"]
+__all__ = ["build_vocab", "tfidf_top_terms", "inverted_index",
+           "cooccurrence_pmi"]
 
 
 def _token_counts(docs: DataFrame, text_col: str) -> DataFrame:
@@ -154,3 +155,75 @@ def inverted_index(
     postings = capped.groupBy("token").agg(
         F.sort_array(F.collect_list("doc_id")).alias("postings"))
     return dfreq.join(postings, "token").select("token", "df", "postings")
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    *,
+    window: int = 3,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(term_a, term_b, n_pair, pmi): pointwise mutual information of
+    unordered token pairs co-occurring within ``window`` positions —
+    the skip-gram statistics word-embedding training consumes.
+
+    Definitions (kept deliberately explicit so the oracle can replay
+    them): a pair instance is every (i, j) with ``0 < j−i ≤ window``,
+    keyed by the lexicographically ordered token pair; with N_p total
+    pair instances and N_t total tokens,
+    ``pmi = ln( (n_pair/N_p) / ((c_a/N_t)·(c_b/N_t)) )``.
+    Pairs with ``n_pair < min_count`` are dropped; same-token pairs
+    (a == b) are kept — their PMI measures burstiness.
+
+    100-TB shape: pair instances are generated IN-ROW with nested
+    higher-order array expressions (transform over positions ×
+    transform over the next ``window`` offsets, flattened) — no
+    positional explode + self-join, which at corpus scale would shuffle
+    |tokens|·window rows through a doc-keyed join. After the in-row
+    expansion the only shuffles are the two count aggregations (pair-
+    keyed and token-keyed, both with map-side combine) and a
+    vocabulary-sized join of unigram counts back onto pairs.
+    """
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    pair = lambda i, j: F.struct(  # noqa: E731 — ordered pair struct
+        F.least(F.element_at(toks, i), F.element_at(toks, j)).alias("a"),
+        F.greatest(F.element_at(toks, i), F.element_at(toks, j)).alias("b"),
+    )
+    pairs_expr = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.least(i + window, n)),
+            lambda j: pair(i, j),
+        ),
+    ))).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    pi = docs.select(F.explode(pairs_expr).alias("p")) \
+        .select("p.a", "p.b")
+    pair_counts = pi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = docs.select(F.explode(toks).alias("t")) \
+        .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = pair_counts.agg(F.sum("n_pair")).first()[0] or 0
+    n_tokens = uni.agg(F.sum("c")).first()[0] or 0
+    if totals == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "term_a string, term_b string, n_pair long, pmi double")
+    scored = (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .join(uni.withColumnRenamed("t", "a").withColumnRenamed("c", "_ca"),
+              "a")
+        .join(uni.withColumnRenamed("t", "b").withColumnRenamed("c", "_cb"),
+              "b")
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "n_pair",
+            F.log(
+                (F.col("n_pair") / F.lit(float(totals)))
+                / ((F.col("_ca") / F.lit(float(n_tokens)))
+                   * (F.col("_cb") / F.lit(float(n_tokens))))
+            ).alias("pmi"),
+        )
+    )
+    return scored

@@ -619,6 +619,30 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT dfq.token, dfq.df, p.postings FROM dfq JOIN p USING (token)
     """
 
+    # mirrors index.cooccurrence_pmi(window=3, min_count=2): the oracle
+    # generates pair instances by positional self-join (the Spark side
+    # does it in-row — different physical path, same multiset)
+    sql["cooccurrence_pmi"] = """
+        WITH tl AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS t FROM documents),
+        tp AS (SELECT doc_id, unnest(t) AS tok,
+                      unnest(range(1, len(t) + 1)) AS pos FROM tl),
+        pi AS (SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b
+               FROM tp x JOIN tp y ON x.doc_id = y.doc_id
+               AND y.pos > x.pos AND y.pos <= x.pos + 3),
+        pc AS (SELECT a, b, count(*) AS n_pair FROM pi GROUP BY a, b),
+        uni AS (SELECT tok, count(*) AS c FROM tp GROUP BY tok),
+        tot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS np FROM pc),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tp)
+        SELECT pc.a AS term_a, pc.b AS term_b, pc.n_pair,
+               round(ln((pc.n_pair / tot.np)
+                        / ((ca.c / nt.n) * (cb.c / nt.n))), 6) AS pmi
+        FROM pc CROSS JOIN tot CROSS JOIN nt
+        JOIN uni ca ON pc.a = ca.tok JOIN uni cb ON pc.b = cb.tok
+        WHERE pc.n_pair >= 2
+    """
+
     # mirrors pca.covariance_matrix: independent recomputation of the
     # second moments by explode + per-vector self-join (the Spark side
     # accumulates per-partition Gram blocks — different physical path,

@@ -103,6 +103,7 @@ _REGISTRY: dict[str, str] = {
     "ext.pca.covariance": f"{_P}.pipeline.pca:covariance_matrix",
     "ext.pca.fit": f"{_P}.pipeline.pca:pca_fit",
     "ext.pca.project": f"{_P}.pipeline.pca:pca_project",
+    "ext.index.cooccurrencePmi": f"{_P}.pipeline.index:cooccurrence_pmi",
 }
 
 

@@ -40,7 +40,8 @@ FAMILIES = {
              "repetition_scores"],
     "decontam": ["decontaminate"],
     "filtering": ["pii_scrub", "c4_filter"],
-    "indexing": ["vocab_top", "tfidf_top_terms", "inverted_index"],
+    "indexing": ["vocab_top", "tfidf_top_terms", "inverted_index",
+                 "cooccurrence_pmi"],
     "pca": ["pca_covariance"],
     "mixing": ["mix_corpus"],
     "packing": ["pack_sequences"],

@@ -4,6 +4,8 @@ parity, histogram-threshold equivalence, posting caps."""
 import math
 from collections import Counter
 
+import pytest
+
 from neo4j_graph_algorithms_spark.pipeline.index import (
     build_vocab, inverted_index, tfidf_top_terms,
 )
@@ -77,3 +79,33 @@ def test_inverted_index_cap_and_df(spark):
     assert out["c"]["df"] == 3 and out["c"]["postings"] == [0, 1]
     assert out["e"]["df"] == 1 and out["e"]["postings"] == [2]
     assert out["a"]["df"] == 2 and out["a"]["postings"] == [0, 2]
+
+
+def test_cooccurrence_pmi_python_replay(spark):
+    import math
+    from collections import Counter
+
+    from neo4j_graph_algorithms_spark.pipeline.index import cooccurrence_pmi
+
+    texts = ["a b a b c", "b c c", "a a a", "x"]
+    got = {(r["term_a"], r["term_b"]): (r["n_pair"], r["pmi"]) for r in
+           cooccurrence_pmi(_docs(spark, texts), window=2,
+                            min_count=1).collect()}
+    pairs = Counter()
+    uni = Counter()
+    for t in texts:
+        toks = [x for x in t.split(" ") if x]
+        uni.update(toks)
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + 2, len(toks) - 1) + 1):
+                pairs[tuple(sorted((toks[i], toks[j])))] += 1
+    np_, nt = sum(pairs.values()), sum(uni.values())
+    assert set(got) == set(pairs)
+    for (a, b), c in pairs.items():
+        exp = math.log((c / np_) / ((uni[a] / nt) * (uni[b] / nt)))
+        assert got[(a, b)][0] == c and got[(a, b)][1] == pytest.approx(exp)
+    # min_count filter drops singletons
+    got2 = {(r["term_a"], r["term_b"]) for r in
+            cooccurrence_pmi(_docs(spark, texts), window=2,
+                             min_count=2).collect()}
+    assert got2 == {k for k, c in pairs.items() if c >= 2}
