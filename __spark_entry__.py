@@ -2758,6 +2758,30 @@ def _q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("pmi", 6).alias("pmi"))
 
 
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucketed out/in-degree histogram — the power-law shape
+    check (operators/graphstats.py:degree_histogram)."""
+    from neo4j_graph_algorithms_spark.operators.graphstats import (
+        degree_histogram,
+    )
+
+    return degree_histogram(_edges(spark, sf_dir))
+
+
+def _q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph reciprocity + degree assortativity, aggregation-only
+    (operators/graphstats.py:graph_summary)."""
+    from neo4j_graph_algorithms_spark.operators.graphstats import (
+        graph_summary,
+    )
+
+    out = graph_summary(_edges(spark, sf_dir))
+    return out.select(
+        "n_nodes", "n_edges",
+        F.round("reciprocity", 6).alias("reciprocity"),
+        F.round("assortativity", 6).alias("assortativity"))
+
+
 def _q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed d×d embedding covariance via per-partition Gram
     accumulation (model-sized shuffle; pipeline/pca.py). Oracle
@@ -2992,11 +3016,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled": _q_triangles_sampled,
         "modularity": _q_modularity,
         "shortest_path": _q_shortest_path,
-        "k_shortest_paths": _q_kshortest,
         "random_walks": _q_random_walks,
         "hits": _q_hits,
         "link_prediction": _q_linkprediction,
-        "closeness": _q_closeness(False),
         "betweenness": _q_betweenness,
         "scc": _q_scc,
         "spanning_tree": _q_spanning_tree,
@@ -3017,6 +3039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf,
         "inverted_index": _q_inverted_index,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
+        "degree_histogram": _q_degree_histogram,
+        "graph_summary": _q_graph_summary,
         "pii_scrub": _q_pii_scrub,
         "c4_filter": _q_c4_filter,
         "decontaminate": _q_decontaminate,
@@ -3071,6 +3095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "pagerank_weighted": _q_pagerank_weighted,
         "bfs_from_0": _q_bfs,
+        "k_shortest_paths": _q_kshortest,
+        "closeness": _q_closeness(False),
         "lsh_sign_buckets": _q_lsh_buckets,
         "language_id": _q_langid,
         "exact_dedup": _q_exact_dedup,
@@ -3097,6 +3123,51 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized": _ppr_unrolled_sql(PR_ITERS, list(range(10))),
         "pagerank_batch_ppr": _batch_ppr_unrolled_sql(PR_ITERS, BATCH_PPR_SETS),
         "spam_mass": _spam_mass_sql(PR_ITERS, list(range(20))),
+        # bucket = length(bin(deg))-1: exact binary digit count on both
+        # engines (float log2 can land a hair under an integer)
+        "degree_histogram": f"""
+            WITH {_EDGES_CTE},
+            od AS (SELECT src AS id, count(*) AS deg FROM edges
+                   GROUP BY src),
+            idg AS (SELECT dst AS id, count(*) AS deg FROM edges
+                    GROUP BY dst),
+            b AS (SELECT 'out' AS direction,
+                         CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket
+                  FROM od
+                  UNION ALL
+                  SELECT 'in', CAST(length(bin(deg)) - 1 AS BIGINT)
+                  FROM idg)
+            SELECT direction, bucket, count(*) AS n_nodes
+            FROM b GROUP BY direction, bucket
+        """,
+        "graph_summary": f"""
+            WITH {_EDGES_CTE},
+            e AS (SELECT src, dst FROM edges WHERE src <> dst),
+            n AS (SELECT count(*) AS n_edges FROM e),
+            v AS (SELECT count(DISTINCT id) AS n_nodes FROM
+                  (SELECT src AS id FROM e
+                   UNION ALL SELECT dst FROM e)),
+            r AS (SELECT count(*) AS n_recip FROM e a
+                  WHERE EXISTS (SELECT 1 FROM e b
+                                WHERE b.src = a.dst AND b.dst = a.src)),
+            od AS (SELECT src, count(*) AS x FROM e GROUP BY src),
+            idg AS (SELECT dst, count(*) AS y FROM e GROUP BY dst),
+            s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(x) AS DOUBLE) AS sx,
+                         CAST(sum(y) AS DOUBLE) AS sy,
+                         CAST(sum(x * y) AS DOUBLE) AS sxy,
+                         CAST(sum(x * x) AS DOUBLE) AS sxx,
+                         CAST(sum(y * y) AS DOUBLE) AS syy
+                  FROM e JOIN od USING (src) JOIN idg USING (dst))
+            SELECT v.n_nodes, n.n_edges,
+                   round(CAST(r.n_recip AS DOUBLE) / n.n_edges, 6)
+                       AS reciprocity,
+                   round((s.n * s.sxy - s.sx * s.sy)
+                         / sqrt((s.n * s.sxx - s.sx * s.sx)
+                                * (s.n * s.syy - s.sy * s.sy)), 6)
+                       AS assortativity
+            FROM v CROSS JOIN n CROSS JOIN r CROSS JOIN s
+        """,
         "triangle_list": f"""
             WITH {_EDGES_CTE}, {_CANON_CTE}, {_TRI_CTE}
             SELECT a AS node_a, b AS node_b, c AS node_c FROM tri

@@ -104,6 +104,8 @@ _REGISTRY: dict[str, str] = {
     "ext.pca.fit": f"{_P}.pipeline.pca:pca_fit",
     "ext.pca.project": f"{_P}.pipeline.pca:pca_project",
     "ext.index.cooccurrencePmi": f"{_P}.pipeline.index:cooccurrence_pmi",
+    "ext.graph.degreeHistogram": f"{_P}.operators.graphstats:degree_histogram",
+    "ext.graph.summary": f"{_P}.operators.graphstats:graph_summary",
 }
 
 

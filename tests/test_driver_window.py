@@ -43,6 +43,7 @@ FAMILIES = {
     "indexing": ["vocab_top", "tfidf_top_terms", "inverted_index",
                  "cooccurrence_pmi"],
     "pca": ["pca_covariance"],
+    "graphstats": ["degree_histogram", "graph_summary"],
     "mixing": ["mix_corpus"],
     "packing": ["pack_sequences"],
     "sampling": ["sample_documents", "stratified_sample"],
