@@ -1930,6 +1930,36 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(v, e, walks_per_node=1, walk_length=3)
 
 
+def _q_node2vec_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph → walks → skip-gram pair counts, end-to-end oracle-checked:
+    the walks replay bit-for-bit (Murmur3 pick), the pair expansion is
+    in-row (operators/traversal.py:walk_skipgram_pairs) while the oracle
+    pairs by positional self-join — the embedding-training-data
+    composition (DeepWalk corpus prep)."""
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        random_walks, walk_skipgram_pairs,
+    )
+
+    e = _edges(spark, sf_dir)
+    v = _vertices(e).filter(F.col("id") < 50)
+    walks = random_walks(v, e, walks_per_node=1, walk_length=3)
+    return walk_skipgram_pairs(walks, window=2)
+
+
+def _node2vec_pairs_oracle_sql(window: int = 2) -> str:
+    """Walks oracle (bit-exact Murmur3 replay) nested as a CTE, pairs
+    by positional self-join."""
+    return f"""
+        WITH w AS MATERIALIZED ({_random_walks_oracle_sql()}),
+        pi AS (SELECT least(x.node, y.node) AS a,
+                      greatest(x.node, y.node) AS b
+               FROM w x JOIN w y ON x.walk_id = y.walk_id
+               AND y.step > x.step AND y.step <= x.step + {window})
+        SELECT a AS node_a, b AS node_b, count(*) AS n_pair
+        FROM pi GROUP BY a, b
+    """
+
+
 def _q_linkprediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All six algo.linkprediction.* scores per canonical edge
     (u < v, u < 100). sameCommunity uses a synthetic community property
@@ -3017,10 +3047,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": _q_modularity,
         "shortest_path": _q_shortest_path,
         "random_walks": _q_random_walks,
+        "node2vec_pairs": _q_node2vec_pairs,
         "hits": _q_hits,
         "link_prediction": _q_linkprediction,
         "betweenness": _q_betweenness,
-        "scc": _q_scc,
         "spanning_tree": _q_spanning_tree,
         "k_spanning_tree": _q_k_spanning_tree,
         "louvain_twolevel": _q_louvain_twolevel,
@@ -3095,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "pagerank_weighted": _q_pagerank_weighted,
         "bfs_from_0": _q_bfs,
+        "scc": _q_scc,
         "k_shortest_paths": _q_kshortest,
         "closeness": _q_closeness(False),
         "lsh_sign_buckets": _q_lsh_buckets,
@@ -3211,6 +3242,7 @@ def oracle_sql() -> dict[str, str]:
         "infomap_fixedmerges": _infomap_fixedmerges_sql(8),
         "louvain_twolevel": _louvain_twolevel_sql(4, 4),
         "random_walks": _random_walks_oracle_sql(),
+        "node2vec_pairs": _node2vec_pairs_oracle_sql(2),
         "hyperball_balls": _hyperball_oracle_sql(radius=3, b=4),
         "hyperball_anf": _hyperball_anf_oracle_sql(radius=3, b=4),
         "k_shortest_paths": _ksp_oracle_sql(),

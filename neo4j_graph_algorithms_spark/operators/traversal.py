@@ -33,7 +33,7 @@ from neo4j_graph_algorithms_spark.plans.loop_conf import superstep_conf
 
 __all__ = ["bfs_distances", "dfs_order", "sssp", "all_shortest_paths",
            "shortest_path", "shortest_path_astar", "random_walks",
-           "node2vec_walks"]
+           "node2vec_walks", "walk_skipgram_pairs"]
 
 
 def _loop_edges(edges: DataFrame, cols: list[str]) -> DataFrame:
@@ -671,3 +671,52 @@ def node2vec_walks(
         cur = picked
     e.unpersist()
     return out
+
+
+def walk_skipgram_pairs(walks: DataFrame, *, window: int = 2) -> DataFrame:
+    """(node_a, node_b, n_pair): skip-gram co-occurrence counts over
+    walk sequences — the node-embedding analogue of
+    :func:`..pipeline.index.cooccurrence_pmi` (DeepWalk/node2vec prep:
+    each walk is a "sentence", each node a "token"; these pair counts
+    ARE the corpus a skip-gram embedding trains on).
+
+    Input is any ``(walk_id, step, node)`` table (the output shape of
+    :func:`random_walks` / :func:`node2vec_walks`); a pair instance is
+    every (i, j) on the same walk with ``0 < j−i ≤ window``, keyed by
+    the numerically ordered node pair (self-pairs kept — revisits are
+    real co-occurrence signal).
+
+    100-TB shape: ONE walk-keyed aggregation reassembles each sequence
+    (walks are short — walk_length+1 elements — so the collected array
+    is bounded by construction, unlike document tokens), then the pair
+    expansion runs IN-ROW with the same nested-transform pattern as
+    cooccurrence_pmi, and one pair-keyed count aggregation with
+    map-side combine finishes. No positional self-join ever touches an
+    exchange.
+    """
+    seq = walks.groupBy("walk_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("step", "node"))),
+            lambda s: s["node"],
+        ).alias("seq")
+    )
+    toks = F.col("seq")
+    n = F.size(toks)
+    pairs_expr = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.least(i + window, n)),
+            lambda j: F.struct(
+                F.least(F.element_at(toks, i),
+                        F.element_at(toks, j)).alias("a"),
+                F.greatest(F.element_at(toks, i),
+                           F.element_at(toks, j)).alias("b"),
+            ),
+        ),
+    ))).otherwise(F.array().cast("array<struct<a:bigint,b:bigint>>"))
+    return (
+        seq.select(F.explode(pairs_expr).alias("p"))
+        .select(F.col("p.a").alias("node_a"), F.col("p.b").alias("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )

@@ -106,6 +106,7 @@ _REGISTRY: dict[str, str] = {
     "ext.index.cooccurrencePmi": f"{_P}.pipeline.index:cooccurrence_pmi",
     "ext.graph.degreeHistogram": f"{_P}.operators.graphstats:degree_histogram",
     "ext.graph.summary": f"{_P}.operators.graphstats:graph_summary",
+    "ext.walks.skipgramPairs": f"{_P}.operators.traversal:walk_skipgram_pairs",
 }
 
 

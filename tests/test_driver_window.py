@@ -44,6 +44,7 @@ FAMILIES = {
                  "cooccurrence_pmi"],
     "pca": ["pca_covariance"],
     "graphstats": ["degree_histogram", "graph_summary"],
+    "embedding_prep": ["node2vec_pairs"],
     "mixing": ["mix_corpus"],
     "packing": ["pack_sequences"],
     "sampling": ["sample_documents", "stratified_sample"],

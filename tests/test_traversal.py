@@ -333,3 +333,27 @@ def test_node2vec_never_returns_when_p_huge(spark):
         nodes = [seq[s] for s in sorted(seq)]
         for i in range(2, len(nodes)):
             assert nodes[i] != nodes[i - 2] or len(set(nodes)) == 1
+
+
+def test_walk_skipgram_pairs_python_replay(spark):
+    """Pair counts over hand-built walk sequences: window semantics,
+    ordered-pair keying, self-pair (revisit) handling."""
+    from collections import Counter
+
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        walk_skipgram_pairs,
+    )
+
+    seqs = {10: [1, 2, 3, 2], 11: [5, 5, 6], 12: [7]}
+    rows = [(w, s, n) for w, seq in seqs.items()
+            for s, n in enumerate(seq)]
+    walks = spark.createDataFrame(rows, "walk_id long, step int, node long")
+    got = {(r["node_a"], r["node_b"]): r["n_pair"]
+           for r in walk_skipgram_pairs(walks, window=2).collect()}
+    exp = Counter()
+    for seq in seqs.values():
+        for i in range(len(seq)):
+            for j in range(i + 1, min(i + 2, len(seq) - 1) + 1):
+                exp[tuple(sorted((seq[i], seq[j])))] += 1
+    assert got == dict(exp)
+    assert got[(5, 5)] == 1  # revisit within window → self-pair
