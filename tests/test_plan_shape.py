@@ -261,3 +261,37 @@ def test_mix_corpus_broadcasts_k_table(spark):
     plan = _explain(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_pair_expansion_is_in_row_not_self_join(spark):
+    """cooccurrence_pmi / walk_skipgram_pairs: the pair expansion must
+    stay in-row — the plan up to the pair-count aggregation contains
+    Generate (explode) but NO join operator (the oracle's positional
+    self-join is exactly what these operators avoid at scale)."""
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        walk_skipgram_pairs,
+    )
+    from neo4j_graph_algorithms_spark.pipeline.index import cooccurrence_pmi
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a b", "en", "s", 9) for i in range(10)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    plan = _explain(cooccurrence_pmi(docs, window=2, min_count=1))
+    # unigram join onto pair counts is expected; count join OPERATOR
+    # NODES — "(n) <Kind>Join" in the formatted node list (the detail
+    # section repeats each join ~3x) — the ONLY joins allowed are the
+    # two vocabulary joins (ca, cb)
+    n_joins = len(re.findall(
+        r"\(\d+\)\s+\w*(?:Join|CartesianProduct)", plan))
+    assert n_joins <= 2, plan
+    assert "Generate" in plan, plan
+
+    walks = spark.createDataFrame(
+        [(w, s, (w * 3 + s) % 7) for w in range(20) for s in range(4)],
+        "walk_id long, step int, node long")
+    plan2 = _explain(walk_skipgram_pairs(walks, window=2))
+    n_joins2 = len(re.findall(
+        r"\(\d+\)\s+\w*(?:Join|CartesianProduct)", plan2))
+    assert n_joins2 == 0, plan2
+    assert "Generate" in plan2, plan2
