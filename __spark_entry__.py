@@ -2671,6 +2671,15 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(_t(spark, sf_dir, "documents"))
 
 
+def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style char-trigram LM cross-entropy quality score (add-1
+    smoothing, self-trained) — model-sized broadcast joins only
+    (pipeline/text.py:ngram_lm_score)."""
+    from neo4j_graph_algorithms_spark.pipeline.text import ngram_lm_score
+
+    return ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark n-gram decontamination: 3-gram overlap of every corpus
     doc against a deterministic 20-doc benchmark sample; eval side
@@ -3065,11 +3074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_balls": _q_hyperball,
         "bpe_token_stats": _q_bpe_token_stats,
         "repetition_scores": _q_repetition,
+        "ngram_lm_score": _q_ngram_lm,
         "vocab_top": _q_vocab,
         "tfidf_top_terms": _q_tfidf,
         "inverted_index": _q_inverted_index,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
-        "degree_histogram": _q_degree_histogram,
         "graph_summary": _q_graph_summary,
         "pii_scrub": _q_pii_scrub,
         "c4_filter": _q_c4_filter,
@@ -3084,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 51+: rotated out this round (r1/r2-green or rows-only;
         # all still replayed by test_oracle_parity every run) ----------
         "events_sessionize": _q_events_sessionize,
+        "degree_histogram": _q_degree_histogram,
         "euclidean_similarity": _q_euclidean_vectors,
         "token_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,

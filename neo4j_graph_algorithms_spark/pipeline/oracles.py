@@ -395,6 +395,31 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT doc_id, lang FROM r WHERE rk <= 10
     """
 
+    # mirrors text.ngram_lm_score (n=3, alpha=1, self-trained): char
+    # trigram counts → context counts → add-1-smoothed conditional ln P,
+    # V = distinct observed continuation chars (model-sized subquery).
+    # Self-training makes every scored gram seen, so inner joins match
+    # the Spark left-join+coalesce form value-for-value.
+    sql["ngram_lm_score"] = """
+        WITH grams AS (
+            SELECT doc_id, substr(text, i, 3) AS g
+            FROM documents,
+                 UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+        ),
+        tric AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+        ctxc AS (SELECT substr(g, 1, 2) AS ctx, sum(c) AS cc
+                 FROM tric GROUP BY 1),
+        vv AS (SELECT count(DISTINCT substr(g, 3, 1)) AS v FROM tric)
+        SELECT doc_id, count(*) AS n_ngrams,
+               round(-sum(ln((c + 1.0) /
+                             (cc + 1.0 * (SELECT v FROM vv))))
+                     / count(*), 6) AS cross_entropy
+        FROM grams
+        JOIN ctxc ON substr(g, 1, 2) = ctx
+        JOIN tric USING (g)
+        GROUP BY doc_id
+    """
+
     # mirrors text.repetition_scores: bigram = word 2-gram (same
     # shingle rule as ngram_jaccard's 3-gram), run lengths via
     # gaps-and-islands (pos − row_number over (doc, tok)) — equals the

@@ -16,9 +16,9 @@ from neo4j_graph_algorithms_spark.pipeline.dedup import (
 )
 
 __all__ = ["token_stats", "bpe_token_stats", "quality_scores",
-           "repetition_scores", "language_id", "fingerprints",
-           "one_hot_lang", "LANGS", "STOPWORDS", "LANG_PROFILES",
-           "BPE_PATTERN"]
+           "repetition_scores", "ngram_lm_score", "language_id",
+           "fingerprints", "one_hot_lang", "LANGS", "STOPWORDS",
+           "LANG_PROFILES", "BPE_PATTERN"]
 
 # GPT-2-style pre-tokenizer shape: letter runs, digit runs, punctuation
 # runs, each absorbing one leading space. Restricted to a dialect with
@@ -149,6 +149,87 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(total > 0, F.round(dup / total, 6))
         .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
         run_state.cast("long").alias("max_token_run"),
+    )
+
+
+def _char_ngrams(text, n: int):
+    """Character n-gram array of a string column, all-JVM (every
+    contiguous n-char window; strings shorter than n yield none)."""
+    m = F.length(text) - (n - 1)
+    seq = F.transform(
+        F.sequence(F.lit(1), m), lambda i: text.substr(i, F.lit(n)))
+    # sequence(1, m) DESCENDS for m < 1 — guard explicitly
+    return F.when(m >= 1, seq).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_ngrams, cross_entropy): character n-gram language-model
+    quality score — the CCNet/Gopher-style "LM perplexity" filter, with
+    an add-α-smoothed conditional model standing in for KenLM (no
+    external model files in-sandbox, and the simple model is exactly
+    SQL-replayable):
+
+        P(cₙ | c₁..cₙ₋₁) = (count(c₁..cₙ) + α) / (count(c₁..cₙ₋₁·*) + α·V)
+
+    where V = number of distinct observed continuation characters and
+    the context count is the sum of its continuations' counts.
+    ``cross_entropy`` is −mean ln P per n-gram — LOW = natural text
+    under the training distribution, HIGH = gibberish/boilerplate.
+    Docs shorter than ``n`` chars have no n-grams and are absent from
+    the output (same semantics as :func:`repetition_scores`' empty
+    case, but there is no meaningful score to assign here).
+
+    ``train`` scores ``docs`` under a model fitted on a DIFFERENT
+    corpus (the CCNet pattern: fit on a trusted reference corpus, score
+    the crawl); default fits on ``docs`` itself (self-perplexity).
+
+    100-TB shape: one corpus pass builds the model — a hash aggregation
+    with map-side combine whose OUTPUT is model-sized (≤ |alphabet|ⁿ
+    rows), never corpus-sized; V is a one-number driver scalar derived
+    from the model table. Scoring is explode → TWO BROADCAST hash joins
+    (context counts, n-gram counts — both model-sized) → per-doc
+    aggregation with map-side combine. No corpus-sized shuffle except
+    the doc-keyed score aggregation itself.
+
+    Cross-engine determinism: the per-doc mean of ln-probabilities is
+    rounded to 6 dp AFTER the division; summation-order differences
+    between engines sit at ~1e-11 relative, far below the rounding.
+    """
+    src = train if train is not None else docs
+    tric = (
+        src.select(F.explode(_char_ngrams(F.col(text_col), n)).alias("g"))
+        .groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctxc = (
+        tric.groupBy(F.substring("g", 1, n - 1).alias("ctx"))
+        .agg(F.sum("c").alias("cc"))
+    )
+    # model-sized driver scalar: distinct observed continuation chars
+    v = tric.agg(
+        F.countDistinct(F.substring("g", n, 1)).alias("v")
+    ).collect()[0]["v"]
+    scored = (
+        docs.select(
+            "doc_id",
+            F.explode(_char_ngrams(F.col(text_col), n)).alias("g"))
+        .withColumn("ctx", F.substring("g", 1, n - 1))
+        .join(F.broadcast(ctxc), "ctx", "left")
+        .join(F.broadcast(tric), "g", "left")
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(float(alpha * v)))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.round(-F.sum(lp) / F.count(F.lit(1)), 6).alias("cross_entropy"),
     )
 
 

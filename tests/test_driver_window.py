@@ -37,7 +37,7 @@ FAMILIES = {
     "kmeans": ["kmeans_clusters", "semantic_dedup"],
     "text": ["token_stats", "bpe_token_stats", "quality_scores",
              "language_id", "doc_fingerprints", "one_hot_lang",
-             "repetition_scores"],
+             "repetition_scores", "ngram_lm_score"],
     "decontam": ["decontaminate"],
     "filtering": ["pii_scrub", "c4_filter"],
     "indexing": ["vocab_top", "tfidf_top_terms", "inverted_index",

@@ -696,3 +696,26 @@ def test_stratified_sample_prefilter_consistent(spark):
     survivors = {r["doc_id"]
                  for r in sample_documents(docs, 0.9, seed=1).collect()}
     assert pre <= survivors
+
+
+def test_ngram_lm_score_heldout_smoothing(spark):
+    """Held-out train: every gram of the scored doc is UNSEEN, so each
+    gets P = α/(α·V) = 1/V and cross_entropy = ln(V) exactly; a doc of
+    pure training text must score strictly lower. Docs shorter than n
+    chars are absent."""
+    import math
+
+    from neo4j_graph_algorithms_spark.pipeline.text import ngram_lm_score
+
+    train = spark.createDataFrame(
+        [(0, "abcabcabc")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "xyzxy"), (2, "abcabc"), (3, "ab")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ngram_lm_score(docs, train=train).collect()}
+    # train grams: abc, bca, cab -> continuations {a,b,c} -> V=3
+    assert 3 not in out  # too short: no trigrams
+    assert out[1]["n_ngrams"] == 3
+    assert out[1]["cross_entropy"] == round(math.log(3.0), 6)
+    assert out[2]["cross_entropy"] < out[1]["cross_entropy"]
