@@ -705,6 +705,68 @@ def _hits_unrolled_sql(iters: int) -> str:
     )
 
 
+def _salsa_unrolled_sql(iters: int) -> str:
+    """Unrolled SALSA (Lempel & Moran): per iteration a degree-normalized
+    hub half-step (hub = A·(auth/in_deg), L1-normalize) then authority
+    half-step (auth = Aᵀ·(hub/out_deg), L1-normalize) — mirrors
+    operators/centrality_variants.py:salsa. MATERIALIZED for the same
+    chain-inlining reason as _hits_unrolled_sql."""
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "sod AS MATERIALIZED (SELECT src AS id, count(*) AS outd "
+        "FROM edges GROUP BY src)",
+        "sid AS MATERIALIZED (SELECT dst AS id, count(*) AS ind "
+        "FROM edges GROUP BY dst)",
+        "s0 AS MATERIALIZED (SELECT id, "
+        "1.0 / (SELECT count(*) FROM nodes) AS hub, "
+        "1.0 / (SELECT count(*) FROM nodes) AS auth FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"hm{i} AS MATERIALIZED (SELECT e.src AS id, "
+            f"sum(s.auth / d.ind) AS hraw "
+            f"FROM edges e JOIN s{i-1} s ON s.id = e.dst "
+            f"JOIN sid d ON d.id = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"hraw{i} AS MATERIALIZED (SELECT s.id, "
+            f"coalesce(h.hraw, 0.0) AS hraw, s.auth "
+            f"FROM s{i-1} s LEFT JOIN hm{i} h ON s.id = h.id)"
+        )
+        parts.append(
+            f"hl1_{i} AS MATERIALIZED (SELECT CASE WHEN sum(abs(hraw)) > 0 "
+            f"THEN sum(abs(hraw)) ELSE 1.0 END AS v FROM hraw{i})"
+        )
+        parts.append(
+            f"mid{i} AS MATERIALIZED (SELECT id, "
+            f"hraw / (SELECT v FROM hl1_{i}) AS hub, auth FROM hraw{i})"
+        )
+        parts.append(
+            f"am{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"sum(m.hub / d.outd) AS araw "
+            f"FROM edges e JOIN mid{i} m ON m.id = e.src "
+            f"JOIN sod d ON d.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"araw{i} AS MATERIALIZED (SELECT m.id, m.hub, "
+            f"coalesce(a.araw, 0.0) AS araw "
+            f"FROM mid{i} m LEFT JOIN am{i} a ON m.id = a.id)"
+        )
+        parts.append(
+            f"al1_{i} AS MATERIALIZED (SELECT CASE WHEN sum(abs(araw)) > 0 "
+            f"THEN sum(abs(araw)) ELSE 1.0 END AS v FROM araw{i})"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT id, hub, "
+            f"araw / (SELECT v FROM al1_{i}) AS auth FROM araw{i})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, round(hub, 6) AS hub, round(auth, 6) AS authority "
+        f"FROM s{iters}"
+    )
+
+
 def _sssp_unrolled_sql(iters: int) -> str:
     """Unrolled Bellman-Ford from node 0 over the multiplicity-weighted
     graph — mirrors operators/traversal.py:sssp (reference
@@ -1698,6 +1760,21 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _edges(spark, sf_dir)
     res = hits(_vertices(e), e, max_iterations=PR_ITERS)
+    return res.scores.select(
+        "id", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"))
+
+
+def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SALSA hubs & authorities (engine extension): degree-normalized
+    # bipartite-walk sibling of HITS; deterministic at fixed iterations
+    # — oracle = unrolled normalized half-step CTEs (_salsa_unrolled_sql)
+    from neo4j_graph_algorithms_spark.operators.centrality_variants import (
+        salsa,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = salsa(_vertices(e), e, max_iterations=PR_ITERS)
     return res.scores.select(
         "id", F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"))
@@ -3045,7 +3122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_batch_ppr": _q_pagerank_batch_ppr,
         "k_core": _q_kcore,
         "pages_pagerank_e2e": _q_pages_pagerank,
-        "pages_extract_edges": _q_extract_pages_edges,
         "pages_host_pagerank": _q_pages_host_pagerank,
         "anchor_stats": _q_anchor_stats,
         "wcc": _q_wcc,
@@ -3058,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "node2vec_pairs": _q_node2vec_pairs,
         "hits": _q_hits,
+        "salsa": _q_salsa,
         "link_prediction": _q_linkprediction,
         "betweenness": _q_betweenness,
         "spanning_tree": _q_spanning_tree,
@@ -3094,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still replayed by test_oracle_parity every run) ----------
         "events_sessionize": _q_events_sessionize,
         "degree_histogram": _q_degree_histogram,
+        "pages_extract_edges": _q_extract_pages_edges,
         "euclidean_similarity": _q_euclidean_vectors,
         "token_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
@@ -3245,6 +3323,7 @@ def oracle_sql() -> dict[str, str]:
         "articlerank": _articlerank_unrolled_sql(PR_ITERS),
         "eigenvector": _eigenvector_unrolled_sql(PR_ITERS),
         "hits": _hits_unrolled_sql(PR_ITERS),
+        "salsa": _salsa_unrolled_sql(PR_ITERS),
         "eigenvector_l1norm": _eigenvector_unrolled_sql(PR_ITERS, "l1norm"),
         "sssp_from_0": _sssp_unrolled_sql(20),
         "shortest_path": _shortest_path_oracle_sql(20),

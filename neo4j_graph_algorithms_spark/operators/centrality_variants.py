@@ -24,7 +24,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["articlerank", "eigenvector_centrality", "hits"]
+__all__ = ["articlerank", "eigenvector_centrality", "hits", "salsa"]
 
 
 @dataclass
@@ -252,6 +252,127 @@ def hits(
         prev_persisted.unpersist()
         prev_persisted = new_state
         state = new_state.select("id", "hub", "auth")
+        if tol > 0.0 and max_delta < tol:
+            converged = True
+            break
+    ef_src.unpersist()
+    ef_dst.unpersist()
+    return CentralityResult(
+        state.select("id", "hub", F.col("auth").alias("authority")),
+        it, converged, metrics)
+
+
+def salsa(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iterations: int = 20,
+    tol: float = 0.0,
+    spark: SparkSession | None = None,
+) -> CentralityResult:
+    """SALSA hubs & authorities (Lempel & Moran 2001) — engine
+    extension: the stochastic sibling of HITS used by production
+    who-to-follow systems. Same alternating gather shape as
+    :func:`hits`, but each half-step is degree-normalized (a random
+    walk on the bipartite hub/authority graph, not a raw eigenvector):
+
+        hub_raw(i)  = Σ_{i→j} auth(j) / in_deg(j)
+        auth_raw(k) = Σ_{i→k} hub(i)  / out_deg(i)
+
+    with L1 normalization after each half-step (scores are walk
+    distributions, so they sum to 1 — HITS uses L2 on raw sums).
+
+    100-TB shape identical to :func:`hits`: the edge table is cached
+    once per gather direction (partitioned by ``src`` and by ``dst``);
+    the per-node degree division happens on the VERTEX-sized state
+    side before the join, so no |E|-sized intermediate carries an
+    extra column and only vertex state moves per half-step.
+    Deterministic at fixed iterations → unrolled SQL oracle
+    (``_salsa_unrolled_sql``).
+
+    Returns ``(id, hub, authority)`` in ``CentralityResult``.
+    """
+    spark = spark or vertices.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    e = edges.select("src", "dst")
+    ef_src = e.repartition(shuffle_n, "src").persist()
+    ef_dst = e.repartition(shuffle_n, "dst").persist()
+    ef_src.count()
+    ef_dst.count()
+    # vertex-sized degree tables, joined onto state once per half-step
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("_outd"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("_ind"))
+
+    n = vertices.count()
+    state = (
+        vertices.select("id", F.lit(1.0 / n).alias("hub"),
+                        F.lit(1.0 / n).alias("auth"))
+        .join(outd.withColumnRenamed("src", "id"), "id", "left")
+        .join(ind.withColumnRenamed("dst", "id"), "id", "left")
+        .select("id", "hub", "auth",
+                F.coalesce("_outd", F.lit(0)).alias("_outd"),
+                F.coalesce("_ind", F.lit(0)).alias("_ind"))
+        .persist()
+    )
+    state.count()
+
+    converged, it = False, 0
+    metrics: list[dict[str, Any]] = []
+    prev_persisted = state
+    for it in range(1, max_iterations + 1):
+        # hub half-step: hub_raw(i) = Σ_{i→j} auth(j)/in_deg(j)
+        a_norm = state.filter(F.col("_ind") > 0).select(
+            F.col("id").alias("dst"),
+            (F.col("auth") / F.col("_ind")).alias("_an"))
+        h_msgs = (
+            ef_dst.join(a_norm, "dst")
+            .groupBy("src").agg(F.sum("_an").alias("_hraw"))
+        )
+        mid = (
+            state.join(h_msgs, state["id"] == h_msgs["src"], "left")
+            .select(state["id"],
+                    F.coalesce(F.col("_hraw"), F.lit(0.0)).alias("_hraw"),
+                    "auth", "_outd", "_ind",
+                    state["hub"].alias("_hprev"),
+                    state["auth"].alias("_aprev"))
+            .localCheckpoint(eager=False)
+        )
+        h_l1 = mid.agg(F.sum(F.abs(F.col("_hraw")))).first()[0] or 1.0
+        h_l1 = h_l1 if h_l1 > 0 else 1.0
+        mid = mid.select(
+            "id", (F.col("_hraw") / F.lit(h_l1)).alias("hub"),
+            "auth", "_outd", "_ind", "_hprev", "_aprev")
+        # authority half-step: auth_raw(k) = Σ_{i→k} hub(i)/out_deg(i)
+        h_norm = mid.filter(F.col("_outd") > 0).select(
+            F.col("id").alias("src"),
+            (F.col("hub") / F.col("_outd")).alias("_hn"))
+        a_msgs = (
+            ef_src.join(h_norm, "src")
+            .groupBy("dst").agg(F.sum("_hn").alias("_araw"))
+        )
+        nxt = (
+            mid.join(a_msgs, mid["id"] == a_msgs["dst"], "left")
+            .select(mid["id"], "hub",
+                    F.coalesce(F.col("_araw"), F.lit(0.0)).alias("_araw"),
+                    "_outd", "_ind", "_hprev", "_aprev")
+            .localCheckpoint(eager=False)
+        )
+        a_l1 = nxt.agg(F.sum(F.abs(F.col("_araw")))).first()[0] or 1.0
+        a_l1 = a_l1 if a_l1 > 0 else 1.0
+        new_state = nxt.select(
+            "id", "hub", (F.col("_araw") / F.lit(a_l1)).alias("auth"),
+            "_outd", "_ind", "_hprev", "_aprev",
+        ).persist()
+        max_delta = new_state.agg(
+            F.max(F.greatest(F.abs(F.col("hub") - F.col("_hprev")),
+                             F.abs(F.col("auth") - F.col("_aprev"))))
+        ).first()[0] or 0.0
+        metrics.append({"iteration": it, "max_delta": max_delta,
+                        "hub_l1": h_l1, "auth_l1": a_l1})
+        prev_persisted.unpersist()
+        prev_persisted = new_state
+        state = new_state.select("id", "hub", "auth", "_outd", "_ind")
         if tol > 0.0 and max_delta < tol:
             converged = True
             break

@@ -240,3 +240,29 @@ def test_hits_tolerance_converges(spark):
                max_iterations=50, tol=1e-9)
     assert res.converged
     assert res.iterations < 50
+
+
+def test_salsa_stationary_is_degree_proportional(spark):
+    """Lempel & Moran: on a connected aperiodic graph SALSA's authority
+    chain is a random walk whose stationary distribution is
+    in_deg/|E| (and the hub chain's is out_deg/|E|) — run the power
+    iteration long enough and the scores must land there."""
+    from neo4j_graph_algorithms_spark.operators.centrality_variants import (
+        salsa,
+    )
+
+    # strongly connected, aperiodic (self-reinforcing 0->1->2->0 plus
+    # chords), with skewed degrees
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 1), (3, 0), (0, 3),
+             (1, 0)]
+    res = salsa(_v(spark, 4), make_edges(spark, edges),
+                max_iterations=60, tol=1e-12)
+    got = {r["id"]: (r["hub"], r["authority"])
+           for r in res.scores.collect()}
+    m = len(edges)
+    outd = {0: 3, 1: 2, 2: 2, 3: 1}
+    ind = {0: 3, 1: 2, 2: 2, 3: 1}
+    for i in range(4):
+        assert got[i][0] == pytest.approx(outd[i] / m, abs=1e-6), f"hub {i}"
+        assert got[i][1] == pytest.approx(ind[i] / m, abs=1e-6), f"auth {i}"
+    assert res.converged

@@ -21,8 +21,8 @@ FAMILIES = {
                   "balanced_triads"],
     "traversal": ["bfs_from_0", "dfs_from_0", "sssp_from_0",
                   "shortest_path", "k_shortest_paths", "random_walks"],
-    "centrality": ["eigenvector", "hits", "degree_in", "closeness",
-                   "betweenness"],
+    "centrality": ["eigenvector", "hits", "salsa", "degree_in",
+                   "closeness", "betweenness"],
     "community": ["scc", "louvain_onelevel", "louvain_twolevel",
                   "infomap_fixedmerges"],
     "spanning": ["spanning_tree", "k_spanning_tree"],
