@@ -1997,6 +1997,45 @@ def _hyperball_anf_oracle_sql(radius: int = 3, b: int = 4) -> str:
     )
 
 
+def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF §5 interpolated 90% effective diameter from the same
+    bit-exact sketch as hyperball_balls. Ball estimates are quantized to
+    integer micro-units BEFORE approx_effective_diameter's sums (exactly
+    _q_hyperball_anf's trick) — the interpolation is a ratio, so the
+    common 1e6 factor cancels and both engines divide identical
+    integers."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import (
+        approx_effective_diameter, hyperball,
+    )
+
+    e = _edges(spark, sf_dir)
+    v = _vertices(e)
+    balls = hyperball(v, e, radius=3, b=4).balls.select(
+        "id", F.col("r").cast("int").alias("r"),
+        F.round(F.col("ball_est") * 1e6).cast("long").alias("ball_est"))
+    return approx_effective_diameter(balls, alpha=0.9).select(
+        F.round("effective_diameter", 6).alias("effective_diameter"))
+
+
+def _effective_diameter_oracle_sql(radius: int = 3, b: int = 4,
+                                   alpha: float = 0.9) -> str:
+    return f"""
+        WITH anf AS (
+            SELECT r, SUM(CAST(ROUND(ball_est * 1e6) AS BIGINT)) AS anf
+            FROM ({_hyperball_oracle_sql(radius, b)}) GROUP BY r
+        ),
+        w AS (SELECT r, anf, lag(anf) OVER (ORDER BY r) AS prev,
+                     max(anf) OVER () AS total
+              FROM anf)
+        SELECT round(CASE WHEN prev IS NULL OR anf <= prev
+                          THEN CAST(r AS DOUBLE)
+                          ELSE r - 1 + ({alpha!r} * total - prev)
+                               / (anf - prev) END, 6)
+               AS effective_diameter
+        FROM w WHERE anf >= {alpha!r} * total ORDER BY r LIMIT 1
+    """
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic hash-sampled walks; oracle replays the identical
     # Murmur3 pick bit-for-bit (_random_walks_oracle_sql)
@@ -3179,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_incremental": _q_wcc_incremental,
         "pagerank_incremental": _q_pagerank_incremental,
         "hyperball_anf": _q_hyperball_anf,
+        "effective_diameter": _q_effective_diameter,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_csr": _q_pagerank_csr,
         "pagerank_delta": _q_pagerank_delta,
@@ -3334,6 +3374,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_pairs": _node2vec_pairs_oracle_sql(2),
         "hyperball_balls": _hyperball_oracle_sql(radius=3, b=4),
         "hyperball_anf": _hyperball_anf_oracle_sql(radius=3, b=4),
+        "effective_diameter": _effective_diameter_oracle_sql(radius=3, b=4),
         "k_shortest_paths": _ksp_oracle_sql(),
         "all_shortest_paths": _allsp_unrolled_sql(20),
         "astar_path": _astar_oracle_sql(),
