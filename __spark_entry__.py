@@ -2863,6 +2863,18 @@ def _q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5/XLM-R temperature mixing by lang at alpha=0.5: stratum share
+    ∝ √n, survivors by deterministic hash order
+    (pipeline/sampling.py:temperature_mix)."""
+    from neo4j_graph_algorithms_spark.pipeline.sampling import (
+        temperature_mix,
+    )
+
+    return temperature_mix(_t(spark, sf_dir, "documents"),
+                           by="lang", alpha=0.5)
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: per-doc chunk span in the
     concatenated 256-token-chunk stream via the two-phase sharded
@@ -3210,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still replayed by test_oracle_parity every run) ----------
         "events_sessionize": _q_events_sessionize,
         "degree_histogram": _q_degree_histogram,
+        "temperature_mix": _q_temperature_mix,
         "pages_extract_edges": _q_extract_pages_edges,
         "euclidean_similarity": _q_euclidean_vectors,
         "token_jaccard_pairs": _q_ngram_jaccard,

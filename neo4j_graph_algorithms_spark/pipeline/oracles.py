@@ -590,6 +590,26 @@ def pipeline_oracles() -> dict[str, str]:
         FROM r JOIN ks USING (source) WHERE rk <= k
     """
 
+    # mirrors sampling.temperature_mix(by='lang', alpha=0.5) →
+    # mix_corpus with UNNORMALIZED weights w = pow(n, 0.5): the same
+    # pow/div/min/mul/floor chain the Python driver computes (no
+    # normalizing sum → no summation-order hazard), then the standard
+    # per-stratum hash-order top-k
+    sql["temperature_mix"] = f"""
+        WITH cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                     FROM documents GROUP BY lang),
+        w AS (SELECT lang, pow(n, 0.5) AS wt, n FROM cnt),
+        sc AS (SELECT min(n / wt) AS scale FROM w),
+        ks AS (SELECT lang, CAST(floor(wt * (SELECT scale FROM sc))
+                                 AS BIGINT) AS k FROM w),
+        h AS (SELECT d.*, {_smp} AS hv FROM documents d
+              JOIN ks USING (lang)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                            ORDER BY hv, doc_id) AS rk FROM h)
+        SELECT doc_id, text, lang, source, n_chars
+        FROM r JOIN ks USING (lang) WHERE rk <= k
+    """
+
     # mirrors index.build_vocab(max_size=40): histogram thresholding
     # then token_id < 40 equals a plain top-40 by (count DESC, token)
     sql["vocab_top"] = """

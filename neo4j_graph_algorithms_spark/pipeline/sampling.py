@@ -27,7 +27,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from neo4j_graph_algorithms_spark.pipeline.dedup import _h8
 
-__all__ = ["sample_documents", "stratified_sample_exact", "mix_corpus"]
+__all__ = ["sample_documents", "stratified_sample_exact", "mix_corpus",
+           "temperature_mix"]
 
 # hash threshold resolution: fraction is quantized to 1/2^20 — the
 # deterministic analogue of a Bernoulli draw with 20 bits of precision
@@ -157,3 +158,44 @@ def mix_corpus(
         .filter(F.col("_rk") <= F.col("_k"))
         .drop("_rk", "_k")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    *,
+    by: str = "lang",
+    alpha: float = 0.5,
+    seed: int = 0,
+    total: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/XLM-R multilingual
+    rebalancing step): stratum shares ∝ n_sᵅ with ``alpha`` ∈ (0, 1] —
+    alpha = 1 keeps natural proportions, smaller alpha flattens the
+    distribution toward the low-resource strata (downsample-only: the
+    binding stratum is the one whose natural count can't support its
+    boosted share; everything else is cut to match).
+
+    Delegates to :func:`mix_corpus` with weights computed from a
+    model-sized count aggregation. Weights are passed UNNORMALIZED
+    (``w_s = n_sᵅ``) when ``total`` is None — mix_corpus's scale ratio
+    cancels any common factor, and skipping the normalizing sum keeps
+    the arithmetic a chain of correctly-rounded ops (pow, div, min,
+    mul, floor) that a SQL oracle replays bit-for-bit with no
+    summation-order hazard. With ``total``, weights are normalized so
+    ``total`` caps the overall output count.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    counts = {
+        r[by]: int(r["n"])
+        for r in docs.groupBy(by).agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[by] is not None
+    }
+    if not counts:
+        return docs.filter(F.lit(False))
+    props = {s: float(n) ** alpha for s, n in counts.items()}
+    if total is not None:
+        z = sum(props.values())
+        props = {s: w / z for s, w in props.items()}
+    return mix_corpus(docs, props, by=by, seed=seed, total=total)

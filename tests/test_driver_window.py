@@ -45,7 +45,7 @@ FAMILIES = {
     "pca": ["pca_covariance"],
     "graphstats": ["degree_histogram", "graph_summary"],
     "embedding_prep": ["node2vec_pairs"],
-    "mixing": ["mix_corpus"],
+    "mixing": ["mix_corpus", "temperature_mix"],
     "packing": ["pack_sequences"],
     "sampling": ["sample_documents", "stratified_sample"],
     "events": ["events_window", "events_sessionize"],

@@ -719,3 +719,28 @@ def test_ngram_lm_score_heldout_smoothing(spark):
     assert out[1]["n_ngrams"] == 3
     assert out[1]["cross_entropy"] == round(math.log(3.0), 6)
     assert out[2]["cross_entropy"] < out[1]["cross_entropy"]
+
+
+def test_temperature_mix_flattens(spark):
+    from neo4j_graph_algorithms_spark.pipeline.sampling import (
+        temperature_mix,
+    )
+
+    rows = ([(i, f"t{i}", "en") for i in range(64)]
+            + [(100 + i, f"t{i}", "sw") for i in range(4)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # alpha=1 keeps natural proportions exactly -> everything survives
+    assert temperature_mix(docs, by="lang", alpha=1.0).count() == 68
+    # alpha=0.5: w = (8, 2); binding stratum sw (4/2=2 < 64/8=8)
+    # -> k_en = floor(8*2) = 16, k_sw = floor(2*2) = 4
+    out = temperature_mix(docs, by="lang", alpha=0.5)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"en": 16, "sw": 4}
+    # deterministic survivor set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         temperature_mix(docs, by="lang", alpha=0.5).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_mix(docs, alpha=0.0)
