@@ -107,6 +107,9 @@ _REGISTRY: dict[str, str] = {
     "ext.graph.degreeHistogram": f"{_P}.operators.graphstats:degree_histogram",
     "ext.graph.summary": f"{_P}.operators.graphstats:graph_summary",
     "ext.walks.skipgramPairs": f"{_P}.operators.traversal:walk_skipgram_pairs",
+    "ext.salsa": f"{_P}.operators.centrality_variants:salsa",
+    "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
+    "ext.sample.temperatureMix": f"{_P}.pipeline.sampling:temperature_mix",
 }
 
 
