@@ -2787,6 +2787,17 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(_t(spark, sf_dir, "documents"))
 
 
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated-substring signal (Lee et al. 2022, chunked
+    k=20): duplicated fraction of non-overlapping 20-char chunks
+    (pipeline/dedup.py:duplicate_span_scores)."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        duplicate_span_scores,
+    )
+
+    return duplicate_span_scores(_t(spark, sf_dir, "documents"), k=20)
+
+
 def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style char-trigram LM cross-entropy quality score (add-1
     smoothing, self-trained) — model-sized broadcast joins only
@@ -3223,6 +3234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
+        "duplicate_span_scores": _q_duplicate_spans,
         "pages_extract_edges": _q_extract_pages_edges,
         "euclidean_similarity": _q_euclidean_vectors,
         "token_jaccard_pairs": _q_ngram_jaccard,

@@ -44,6 +44,7 @@ __all__ = [
     "simhash_near_dup",
     "token_jaccard_pairs",
     "dedup_clusters",
+    "duplicate_span_scores",
 ]
 
 N_MINHASH = 128
@@ -384,4 +385,59 @@ def token_jaccard_pairs(docs: DataFrame, *, threshold: float = 0.8,
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= float(threshold))
+    )
+
+
+def duplicate_span_scores(
+    docs: DataFrame,
+    *,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_chunks, dup_chunks, dup_frac): cross-document
+    repeated-substring signal — the chunked form of Lee et al. 2022's
+    exact-substring dedup ("Deduplicating Training Data Makes Language
+    Models Better"). Each doc is split into NON-overlapping ``k``-char
+    chunks (full chunks only); a chunk counts as duplicated when its
+    exact text also occurs in at least one OTHER document; ``dup_frac``
+    is the duplicated share of the doc's chunks.
+
+    Chunk alignment makes this an approximation of the suffix-array
+    method (an unaligned copy can straddle boundaries and shift by up
+    to k−1 chars) — the suffix-array scan is inherently sequential,
+    while this is two hash shuffles; halve ``k`` to tighten recall.
+
+    100-TB shape: the chunk table is corpus_chars/k rows (NOT per-char);
+    one chunk-keyed aggregation with map-side combine (output =
+    distinct-chunk-sized) + one chunk-keyed join back + one doc-keyed
+    aggregation. Intra-doc repeats do NOT mark a chunk duplicated
+    (countDistinct doc_id > 1), keeping this orthogonal to the in-row
+    :func:`~neo4j_graph_algorithms_spark.pipeline.text.repetition_scores`.
+    Docs shorter than ``k`` chars have no chunks and are absent.
+    """
+    text = F.col(text_col)
+    m = F.floor(F.length(text) / k).cast("int")
+    seq = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.substring(text, i * k + 1, k),
+    )
+    # sequence(0, m-1) DESCENDS for m < 1 — guard explicitly
+    chunks_arr = F.when(m >= 1, seq).otherwise(
+        F.array().cast("array<string>"))
+    chunks = docs.select("doc_id", F.explode(chunks_arr).alias("chunk"))
+    share = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("_nd"))
+    return (
+        chunks.join(share, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+            .cast("long").alias("dup_chunks"),
+        )
+        .select(
+            "doc_id", "n_chunks", "dup_chunks",
+            F.round(F.col("dup_chunks").cast("double")
+                    / F.col("n_chunks"), 6).alias("dup_frac"),
+        )
     )

@@ -395,6 +395,26 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT doc_id, lang FROM r WHERE rk <= 10
     """
 
+    # mirrors dedup.duplicate_span_scores(k=20): non-overlapping 20-char
+    # chunks (full chunks only), duplicated = same chunk text in >1 doc
+    sql["duplicate_span_scores"] = """
+        WITH ch AS (
+            SELECT doc_id, substr(text, CAST(i * 20 + 1 AS INT), 20) AS c
+            FROM documents,
+                 UNNEST(generate_series(
+                     0, CAST(floor(length(text) / 20) AS BIGINT) - 1))
+                 AS t(i)
+        ),
+        sh AS (SELECT c, count(DISTINCT doc_id) AS nd FROM ch GROUP BY c)
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_chunks,
+               round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS dup_frac
+        FROM ch JOIN sh USING (c)
+        GROUP BY doc_id
+    """
+
     # mirrors text.ngram_lm_score (n=3, alpha=1, self-trained): char
     # trigram counts → context counts → add-1-smoothed conditional ln P,
     # V = distinct observed continuation chars (model-sized subquery).

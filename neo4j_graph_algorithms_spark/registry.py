@@ -110,6 +110,7 @@ _REGISTRY: dict[str, str] = {
     "ext.salsa": f"{_P}.operators.centrality_variants:salsa",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
     "ext.sample.temperatureMix": f"{_P}.pipeline.sampling:temperature_mix",
+    "ext.dedup.duplicateSpans": f"{_P}.pipeline.dedup:duplicate_span_scores",
 }
 
 

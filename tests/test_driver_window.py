@@ -32,7 +32,7 @@ FAMILIES = {
     "hyperball": ["hyperball_balls"],
     "dedup": ["exact_dedup", "minhash_lsh_candidates", "dedup_clusters",
               "token_jaccard_pairs", "ngram_jaccard_pairs",
-              "simhash_near_dup"],
+              "simhash_near_dup", "duplicate_span_scores"],
     "ann": ["lsh_sign_buckets", "embedding_near_dup", "ivf_knn"],
     "kmeans": ["kmeans_clusters", "semantic_dedup"],
     "text": ["token_stats", "bpe_token_stats", "quality_scores",

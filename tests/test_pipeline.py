@@ -744,3 +744,28 @@ def test_temperature_mix_flattens(spark):
     assert a == b
     with pytest.raises(ValueError):
         temperature_mix(docs, alpha=0.0)
+
+
+def test_duplicate_span_scores_cross_doc_only(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        duplicate_span_scores,
+    )
+
+    shared = "A" * 8  # one full k=8 chunk, shared verbatim
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "unique-1" + "B" * 8),   # chunks: shared, uniq, B*8
+            (2, shared + "unique-2" + "zz"),      # shared, uniq (tail dropped)
+            (3, "C" * 8 + "C" * 8),               # intra-doc repeat ONLY
+            (4, "short"),                          # < k chars -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           duplicate_span_scores(docs, k=8).collect()}
+    assert 4 not in out
+    assert out[1]["n_chunks"] == 3 and out[1]["dup_chunks"] == 1
+    assert out[1]["dup_frac"] == 0.333333
+    assert out[2]["n_chunks"] == 2 and out[2]["dup_chunks"] == 1
+    # intra-doc repetition alone must NOT count (countDistinct doc > 1)
+    assert out[3]["dup_chunks"] == 0 and out[3]["dup_frac"] == 0.0
