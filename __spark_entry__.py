@@ -2820,6 +2820,48 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation chain — the composition real pipelines run,
+    each stage an already-oracle-checked operator: synthesize PII →
+    pii_scrub → C4 gate over the SCRUBBED text (min_words=40,
+    mean_word_len ≤ 4.5, blocklist dup/slow) → exact dedup keeping the
+    min-doc_id survivor per scrubbed fingerprint. Output =
+    (doc_id, lang, source) of the surviving corpus; the oracle chains
+    the same CTE fragments verbatim."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import exact_duplicates
+    from neo4j_graph_algorithms_spark.pipeline.filtering import (
+        c4_quality_filter, pii_scrub,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id", "lang", "source",
+        F.concat(
+            F.col("text"), F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.col("doc_id").cast("string"),
+            F.lit(" at 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 end"),
+        ).alias("text"),
+    )
+    scrubbed = synth.select("doc_id", "lang", "source").join(
+        pii_scrub(synth).select(
+            "doc_id", F.col("clean_text").alias("text")),
+        "doc_id")
+    flags = c4_quality_filter(
+        scrubbed, min_words=40, max_mean_word_len=4.5,
+        blocklist=("dup", "slow"))
+    kept = scrubbed.join(
+        flags.filter(F.col("keep")).select("doc_id"), "doc_id")
+    survivors = exact_duplicates(kept).select(
+        F.col("min_doc_id").alias("doc_id"))
+    # survivor list is corpus-scale — plain doc-keyed semi join, never
+    # a broadcast
+    return kept.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source")
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with synthesized PII (the corpus
     has none — a deterministic email/phone/IP per doc_id de-vacuates
@@ -3235,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
         "duplicate_span_scores": _q_duplicate_spans,
+        "curation_e2e": _q_curation_e2e,
         "pages_extract_edges": _q_extract_pages_edges,
         "euclidean_similarity": _q_euclidean_vectors,
         "token_jaccard_pairs": _q_ngram_jaccard,

@@ -563,6 +563,43 @@ def pipeline_oracles() -> dict[str, str]:
         FROM t2
     """
 
+    # mirrors _q_curation_e2e: the pii_scrub chain (same synthesized
+    # PII), the c4_filter gate (same params) over the SCRUBBED text,
+    # then exact dedup keeping the min-doc_id survivor per fingerprint
+    sql["curation_e2e"] = f"""
+        WITH t0 AS (SELECT doc_id, {_piit} AS t FROM documents),
+        t1 AS (SELECT doc_id,
+                      regexp_replace(t, '{_em}', '<EMAIL>', 'g') AS s1
+               FROM t0),
+        t2 AS (SELECT doc_id,
+                      regexp_replace(s1, '{_ip}', '<IP>', 'g') AS s2
+               FROM t1),
+        sc AS (SELECT d.doc_id,
+                      regexp_replace(t2.s2, '{_ph}', '<PHONE>', 'g')
+                          AS text,
+                      d.lang, d.source
+               FROM documents d JOIN t2 USING (doc_id)),
+        tl AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS tk
+               FROM sc),
+        m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+                     CASE WHEN len(tk) > 0 THEN round(
+                         CAST(list_sum(list_transform(tk,
+                                                      x -> length(x)))
+                              AS DOUBLE) / len(tk), 9)
+                          ELSE 0.0 END AS mwl,
+                     CAST(len(list_filter(tk,
+                         x -> x IN ('dup', 'slow'))) AS BIGINT) AS bh
+              FROM tl),
+        kept AS (SELECT sc.* FROM sc JOIN m USING (doc_id)
+                 WHERE n_words >= 40 AND n_words <= 100000
+                   AND mwl <= 4.5 AND bh = 0),
+        fp AS (SELECT md5(text) AS f, min(doc_id) AS doc_id
+               FROM kept GROUP BY 1)
+        SELECT k.doc_id, k.lang, k.source
+        FROM kept k JOIN fp ON k.doc_id = fp.doc_id
+    """
+
     # mirrors filtering.c4_quality_filter(min_words=40,
     # max_mean_word_len=4.5, blocklist=('dup', 'slow')) — all rows kept
     # with their keep flag, so the hash check proves every rule

@@ -39,7 +39,7 @@ FAMILIES = {
              "language_id", "doc_fingerprints", "one_hot_lang",
              "repetition_scores", "ngram_lm_score"],
     "decontam": ["decontaminate"],
-    "filtering": ["pii_scrub", "c4_filter"],
+    "filtering": ["pii_scrub", "c4_filter", "curation_e2e"],
     "indexing": ["vocab_top", "tfidf_top_terms", "inverted_index",
                  "cooccurrence_pmi"],
     "pca": ["pca_covariance"],
