@@ -295,3 +295,19 @@ def test_pair_expansion_is_in_row_not_self_join(spark):
         r"\(\d+\)\s+\w*(?:Join|CartesianProduct)", plan2))
     assert n_joins2 == 0, plan2
     assert "Generate" in plan2, plan2
+
+
+def test_lm_scoring_model_joins_broadcast(spark):
+    """ngram_lm_score: both model-sized joins (context counts, n-gram
+    counts) must be broadcast-hash — a sort-merge join here would
+    shuffle the corpus-sized gram table against a model-sized side."""
+    from neo4j_graph_algorithms_spark.pipeline.text import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in
+         range(8)],
+        "doc_id long, text string")
+    plan = _explain(ngram_lm_score(docs))
+    n_bc = len(re.findall(r"\(\d+\)\s+BroadcastHashJoin", plan))
+    assert n_bc == 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
