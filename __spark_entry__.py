@@ -3109,6 +3109,39 @@ def _q_extract_pages_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_edges(pages)
 
 
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pair mining on the pages link graph: pages cited
+    together by ≥2 common sources (operators/cocitation.py). One
+    equality self-join on the shared source, hot sources pruned first;
+    oracle replays the arithmetic link list."""
+    from neo4j_graph_algorithms_spark.operators.cocitation import (
+        cocitation_pairs,
+    )
+    from neo4j_graph_algorithms_spark.sources import (
+        extract_edges, generate_pages,
+    )
+
+    e = extract_edges(generate_pages(spark, 2000)).select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+    return cocitation_pairs(e, min_count=2)
+
+
+def _cocitation_sql(n: int, min_count: int = 2) -> str:
+    """Oracle for cocitation: distinct link list → source-pivot
+    self-join → pair counts (operators/cocitation.py:cocitation_pairs;
+    the driver graph's max out-degree is far under the 1000 cutoff, so
+    the prune keeps everything — pinned non-vacuously in pytest)."""
+    return (
+        "WITH " + ",\n".join(_pages_linklist_parts(n)) + ",\n"
+        "e AS (SELECT DISTINCT src_url, dst_url FROM plinks)\n"
+        "SELECT a.dst_url AS item_a, b.dst_url AS item_b, "
+        "count(*) AS n_common "
+        "FROM e a JOIN e b ON a.src_url = b.src_url "
+        "AND a.dst_url < b.dst_url "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_count}"
+    )
+
+
 def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incoming anchor-text rollup per target page — the Common-Crawl
     signal aggregated alongside the link graph. Checks the FULL anchor
@@ -3276,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
+        "cocitation_pairs": _q_cocitation,
         "duplicate_span_scores": _q_duplicate_spans,
         "curation_e2e": _q_curation_e2e,
         "pages_extract_edges": _q_extract_pages_edges,
@@ -3405,6 +3439,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_tolerance": _pagerank_tolerance_unrolled_sql(
             100, 1e-6, block=4),
         "pages_extract_edges": _pages_edges_sql(2000),
+        "cocitation_pairs": _cocitation_sql(2000),
         "anchor_stats": _anchor_stats_sql(2000),
         "pages_host_graph": (
             "WITH " + ",\n".join(_host_rollup_parts(

@@ -111,6 +111,8 @@ _REGISTRY: dict[str, str] = {
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
     "ext.sample.temperatureMix": f"{_P}.pipeline.sampling:temperature_mix",
     "ext.dedup.duplicateSpans": f"{_P}.pipeline.dedup:duplicate_span_scores",
+    "ext.cocitation": f"{_P}.operators.cocitation:cocitation_pairs",
+    "ext.coupling": f"{_P}.operators.cocitation:coupling_pairs",
 }
 
 

@@ -50,3 +50,31 @@ def test_graph_summary_known_values(spark):
     exp = (n * sxy - sx * sy) / math.sqrt(
         (n * sxx - sx * sx) * (n * syy - sy * sy))
     assert row["assortativity"] == pytest.approx(exp)
+
+
+def test_cocitation_and_coupling_pairs(spark):
+    from neo4j_graph_algorithms_spark.operators.cocitation import (
+        cocitation_pairs, coupling_pairs,
+    )
+
+    # sources 0,1 both cite (10, 11); 2 cites 10 only; hub 9 cites all
+    edges = ([(0, 10), (0, 11), (1, 10), (1, 11), (2, 10)]
+             + [(9, d) for d in range(10, 14)])
+    e = spark.createDataFrame(edges, "src long, dst long")
+    cc = {(r["item_a"], r["item_b"]): r["n_common"]
+          for r in cocitation_pairs(e).collect()}
+    # hub 9 contributes to every pair among 10..13
+    assert cc[(10, 11)] == 3  # sources 0, 1, 9
+    assert cc[(12, 13)] == 1  # source 9 only
+    # pivot_cutoff prunes hub 9 (out-degree 4 > 3): its pairs vanish
+    cc2 = {(r["item_a"], r["item_b"]): r["n_common"]
+           for r in cocitation_pairs(e, pivot_cutoff=3).collect()}
+    assert cc2[(10, 11)] == 2 and (12, 13) not in cc2
+    # coupling: 0 and 1 share out-links {10, 11}
+    cp = {(r["item_a"], r["item_b"]): r["n_common"]
+          for r in coupling_pairs(e).collect()}
+    assert cp[(0, 1)] == 2
+    # min_count filter
+    assert all(n >= 2 for n in
+               (r["n_common"] for r in
+                coupling_pairs(e, min_count=2).collect()))
