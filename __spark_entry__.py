@@ -2862,6 +2862,36 @@ def _q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source")
 
 
+def _q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The algo.isFinite/isInfinite/NaN/Infinity + oneHotEncoding scalar
+    surface (functions/scalars.py; utils/IsFiniteFunc.java:27-45,
+    ml/OneHotEncoding.java:33) exercised over documents: a synthesized
+    double hits ±Infinity/NaN/finite branches per doc_id residue; the
+    one-hot vector is emitted as a compact 0/1 string (array columns
+    don't hash portably in the driver compare)."""
+    from neo4j_graph_algorithms_spark.functions.scalars import (
+        infinity, is_finite, is_infinite, nan, one_hot,
+    )
+    from neo4j_graph_algorithms_spark.pipeline.text import LANGS
+
+    d = _t(spark, sf_dir, "documents")
+    x = (
+        F.when(F.col("doc_id") % 5 == 0, infinity())
+        .when(F.col("doc_id") % 5 == 1, -infinity())
+        .when(F.col("doc_id") % 5 == 2, nan())
+        .otherwise(F.col("n_chars").cast("double") / 7.0)
+    )
+    oh = one_hot(F.array(*[F.lit(lg) for lg in LANGS]),
+                 F.array(F.col("lang")))
+    return d.select(
+        "doc_id",
+        is_finite(x).alias("finite"),
+        is_infinite(x).alias("infinite"),
+        F.concat_ws("", F.transform(oh, lambda v: v.cast("string")))
+        .alias("one_hot"),
+    )
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over documents with synthesized PII (the corpus
     has none — a deterministic email/phone/IP per doc_id de-vacuates
@@ -3274,7 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": _q_salsa,
         "link_prediction": _q_linkprediction,
         "betweenness": _q_betweenness,
-        "spanning_tree": _q_spanning_tree,
+        "scalar_functions": _q_scalar_functions,
         "k_spanning_tree": _q_k_spanning_tree,
         "louvain_twolevel": _q_louvain_twolevel,
         "infomap_fixedmerges": _q_infomap_fixedmerges,
@@ -3310,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
         "cocitation_pairs": _q_cocitation,
+        "spanning_tree": _q_spanning_tree,
         "duplicate_span_scores": _q_duplicate_spans,
         "curation_e2e": _q_curation_e2e,
         "pages_extract_edges": _q_extract_pages_edges,
@@ -3440,6 +3471,28 @@ def oracle_sql() -> dict[str, str]:
             100, 1e-6, block=4),
         "pages_extract_edges": _pages_edges_sql(2000),
         "cocitation_pairs": _cocitation_sql(2000),
+        # NaN ordering note: BOTH engines treat NaN as equal-to-itself
+        # and greater-than-everything, so abs(NaN) <> inf is true in
+        # both — is_finite guards with isnan first, replayed verbatim
+        "scalar_functions": """
+            WITH t AS (SELECT doc_id, lang,
+                              CASE CAST(doc_id % 5 AS INT)
+                                   WHEN 0 THEN CAST('infinity' AS DOUBLE)
+                                   WHEN 1 THEN CAST('-infinity' AS DOUBLE)
+                                   WHEN 2 THEN CAST('nan' AS DOUBLE)
+                                   ELSE CAST(n_chars AS DOUBLE) / 7.0
+                              END AS x
+                       FROM documents)
+            SELECT doc_id,
+                   (NOT isnan(x)) AND abs(x) <> CAST('infinity' AS DOUBLE)
+                       AS finite,
+                   abs(x) = CAST('infinity' AS DOUBLE) AS infinite,
+                   array_to_string(list_transform(
+                       ['de', 'en', 'es', 'fr', 'zh'],
+                       l -> CASE WHEN l = lang THEN '1' ELSE '0' END), '')
+                       AS one_hot
+            FROM t
+        """,
         "anchor_stats": _anchor_stats_sql(2000),
         "pages_host_graph": (
             "WITH " + ",\n".join(_host_rollup_parts(

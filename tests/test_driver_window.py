@@ -26,6 +26,7 @@ FAMILIES = {
     "community": ["scc", "louvain_onelevel", "louvain_twolevel",
                   "infomap_fixedmerges"],
     "spanning": ["spanning_tree", "k_spanning_tree"],
+    "scalars": ["scalar_functions"],
     "linkpred": ["link_prediction"],
     "similarity": ["jaccard_categories", "euclidean_similarity",
                    "pearson_similarity", "cosine_knn"],
