@@ -3172,6 +3172,48 @@ def _cocitation_sql(n: int, min_count: int = 2) -> str:
     )
 
 
+def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-truss peel state after 3 fixed rounds (operators/ktruss.py):
+    surviving canonical edges where every edge closes ≥3 triangles.
+    Fixed rounds keep the peel deterministic-depth, so the oracle
+    unrolls it round by round (the k_core oracle pattern)."""
+    from neo4j_graph_algorithms_spark.operators.ktruss import k_truss
+
+    return k_truss(_edges(spark, sf_dir), 5, max_rounds=3).edges
+
+
+def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel: per round a triangle enumeration on the
+    surviving canonical edge set, a 3-role support count, and the
+    support < k−2 edge drop — mirrors operators/ktruss.py:k_truss.
+    MATERIALIZED: each e{{i}} is referenced three times by the wedge
+    join and tri{{i}} three times by the role union."""
+    parts = [
+        _EDGES_CTE,
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"tri{i} AS MATERIALIZED (SELECT x.a AS p, x.b AS q, y.b AS r "
+            f"FROM e{i-1} x JOIN e{i-1} y ON x.a = y.a AND x.b < y.b "
+            f"JOIN e{i-1} z ON z.a = x.b AND z.b = y.b)"
+        )
+        parts.append(
+            f"sup{i} AS MATERIALIZED (SELECT a, b, count(*) AS s FROM ("
+            f"SELECT p AS a, q AS b FROM tri{i} UNION ALL "
+            f"SELECT p, r FROM tri{i} UNION ALL "
+            f"SELECT q, r FROM tri{i}) GROUP BY a, b)"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{i-1} e "
+            f"LEFT JOIN sup{i} s ON e.a = s.a AND e.b = s.b "
+            f"WHERE coalesce(s.s, 0) >= {k - 2})"
+        )
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT a, b FROM e{rounds}")
+
+
 def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incoming anchor-text rollup per target page — the Common-Crawl
     signal aggregated alongside the link graph. Checks the FULL anchor
@@ -3288,8 +3330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": _q_spam_mass,
         "pagerank_batch_ppr": _q_pagerank_batch_ppr,
         "k_core": _q_kcore,
+        "k_truss": _q_k_truss,
         "pages_pagerank_e2e": _q_pages_pagerank,
-        "pages_host_pagerank": _q_pages_host_pagerank,
         "anchor_stats": _q_anchor_stats,
         "wcc": _q_wcc,
         "streaming_wcc": _q_streaming_wcc,
@@ -3341,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "cocitation_pairs": _q_cocitation,
         "spanning_tree": _q_spanning_tree,
+        "pages_host_pagerank": _q_pages_host_pagerank,
         "duplicate_span_scores": _q_duplicate_spans,
         "curation_e2e": _q_curation_e2e,
         "pages_extract_edges": _q_extract_pages_edges,
@@ -3471,6 +3514,7 @@ def oracle_sql() -> dict[str, str]:
             100, 1e-6, block=4),
         "pages_extract_edges": _pages_edges_sql(2000),
         "cocitation_pairs": _cocitation_sql(2000),
+        "k_truss": _ktruss_unrolled_sql(5, 3),
         # NaN ordering note: BOTH engines treat NaN as equal-to-itself
         # and greater-than-everything, so abs(NaN) <> inf is true in
         # both — is_finite guards with isnan first, replayed verbatim

@@ -113,6 +113,7 @@ _REGISTRY: dict[str, str] = {
     "ext.dedup.duplicateSpans": f"{_P}.pipeline.dedup:duplicate_span_scores",
     "ext.cocitation": f"{_P}.operators.cocitation:cocitation_pairs",
     "ext.coupling": f"{_P}.operators.cocitation:coupling_pairs",
+    "ext.kTruss": f"{_P}.operators.ktruss:k_truss",
 }
 
 

@@ -88,3 +88,32 @@ def test_bad_k_raises(spark):
     v, e = _fixture(spark)
     with pytest.raises(ValueError):
         k_core(v, e, 0)
+
+
+def test_k_truss_k4_keeps_only_clique(spark):
+    """K4 edges each close 2 triangles; a pendant triangle's edges close
+    1 — the 4-truss is exactly the K4, the 3-truss keeps both."""
+    from neo4j_graph_algorithms_spark.operators.ktruss import k_truss
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pendant = [(3, 10), (3, 11), (10, 11)]
+    chain = [(11, 12), (12, 13)]  # triangle-free tail
+    e = spark.createDataFrame(k4 + pendant + chain, "src long, dst long")
+
+    t4 = k_truss(e, 4)
+    assert t4.converged
+    assert {(r["a"], r["b"]) for r in t4.edges.collect()} == set(k4)
+
+    t3 = k_truss(e, 3)
+    assert ({(r["a"], r["b"]) for r in t3.edges.collect()}
+            == set(k4) | set(pendant))
+
+    # fixed rounds: one round only removes the chain + pendant edges
+    # whose support was already short; peel state is a superset
+    t4r1 = k_truss(e, 4, max_rounds=1)
+    got = {(r["a"], r["b"]) for r in t4r1.edges.collect()}
+    assert set(k4) <= got
+    assert not t4r1.converged or got == set(k4)
+
+    with pytest.raises(ValueError):
+        k_truss(e, 2)
