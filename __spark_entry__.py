@@ -3339,19 +3339,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_node": _q_triangles,
         "triangles_sampled": _q_triangles_sampled,
         "modularity": _q_modularity,
-        "shortest_path": _q_shortest_path,
+        "curation_e2e": _q_curation_e2e,
         "random_walks": _q_random_walks,
         "node2vec_pairs": _q_node2vec_pairs,
         "hits": _q_hits,
         "salsa": _q_salsa,
         "link_prediction": _q_linkprediction,
-        "betweenness": _q_betweenness,
+        "duplicate_span_scores": _q_duplicate_spans,
         "scalar_functions": _q_scalar_functions,
         "k_spanning_tree": _q_k_spanning_tree,
         "louvain_twolevel": _q_louvain_twolevel,
         "infomap_fixedmerges": _q_infomap_fixedmerges,
         "cosine_knn": _q_cosine_knn,
-        "minhash_lsh_candidates": _q_minhash_candidates,
+        "cocitation_pairs": _q_cocitation,
         "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard_pairs": _q_ngram3_jaccard,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3381,11 +3381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
-        "cocitation_pairs": _q_cocitation,
         "spanning_tree": _q_spanning_tree,
+        "shortest_path": _q_shortest_path,
+        "betweenness": _q_betweenness,
+        "minhash_lsh_candidates": _q_minhash_candidates,
         "pages_host_pagerank": _q_pages_host_pagerank,
-        "duplicate_span_scores": _q_duplicate_spans,
-        "curation_e2e": _q_curation_e2e,
         "pages_extract_edges": _q_extract_pages_edges,
         "euclidean_similarity": _q_euclidean_vectors,
         "token_jaccard_pairs": _q_ngram_jaccard,

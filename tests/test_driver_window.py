@@ -45,6 +45,8 @@ FAMILIES = {
                  "cooccurrence_pmi"],
     "pca": ["pca_covariance"],
     "graphstats": ["degree_histogram", "graph_summary"],
+    "cocitation": ["cocitation_pairs"],
+    "ktruss": ["k_truss"],
     "embedding_prep": ["node2vec_pairs"],
     "mixing": ["mix_corpus", "temperature_mix"],
     "packing": ["pack_sequences"],
