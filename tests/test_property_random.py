@@ -100,3 +100,34 @@ def test_registry_resolves_every_procedure():
     for name in names:
         target = resolve(name)
         assert callable(target) or isinstance(target, type), name
+
+
+@given(edges=edge_sets)
+@_SETTINGS
+def test_k_truss_matches_python_peel(spark, edges):
+    from neo4j_graph_algorithms_spark.operators.ktruss import k_truss
+
+    rows = [(s, d, 1.0) for s, d in edges]
+    res = k_truss(make_edges(spark, rows), 4)
+    got = {(r["a"], r["b"]) for r in res.edges.collect()}
+
+    # python reference: canonical edges, peel support < 2 to fixpoint
+    cur = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    while True:
+        sup = {e: 0 for e in cur}
+        es = sorted(cur)
+        for i, (a, b) in enumerate(es):
+            for (c, d) in es[i + 1:]:
+                if c != a:
+                    continue  # wedge needs shared first endpoint a
+                # candidate triangle (a, b, d) with b < d
+                lo, hi = min(b, d), max(b, d)
+                if (lo, hi) in cur:
+                    for e in ((a, b), (a, d), (lo, hi)):
+                        sup[e] += 1
+        nxt = {e for e in cur if sup[e] >= 2}
+        if nxt == cur:
+            break
+        cur = nxt
+    assert got == cur
+    assert res.converged
