@@ -1217,6 +1217,37 @@ def _q_streaming_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=1)
 
 
+def _q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained MinHash-LSH near-dup candidates: the
+    documents table arrives as FOUR crawl-drop micro-batches
+    (streaming/dedup.py:run_near_dup_maintenance — durable posting
+    store + pair state per batch). The maintained pair set must equal
+    batch minhash_lsh_candidates over the whole corpus at the same
+    (4 hashes, 2 bands) config — the oracle is that query's SQL
+    verbatim (candidacy is drop-order-independent)."""
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.streaming.dedup import (
+        run_near_dup_maintenance,
+    )
+
+    root = tempfile.mkdtemp(prefix="nga_stream_neardup_")
+    drops = os.path.join(root, "drops")
+    os.makedirs(drops)
+    d = _t(spark, sf_dir, "documents")
+    for i in range(4):
+        stage = os.path.join(root, f"stage{i}")
+        (d.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part),
+                  os.path.join(drops, f"drop{i}.parquet"))
+    return run_near_dup_maintenance(
+        spark, drops, os.path.join(root, "state"),
+        n_hashes=4, bands=2, max_files_per_trigger=1)
+
+
 def _q_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges_weighted(spark, sf_dir)
     return connected_components(_vertices(e), e, threshold=2.0).components
@@ -3385,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_path": _q_shortest_path,
         "betweenness": _q_betweenness,
         "minhash_lsh_candidates": _q_minhash_candidates,
+        "streaming_near_dup": _q_streaming_near_dup,
         "pages_host_pagerank": _q_pages_host_pagerank,
         "pages_extract_edges": _q_extract_pages_edges,
         "euclidean_similarity": _q_euclidean_vectors,

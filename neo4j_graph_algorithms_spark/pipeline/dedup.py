@@ -39,6 +39,7 @@ __all__ = [
     "shingles_expr",
     "exact_duplicates",
     "minhash_signatures",
+    "band_postings",
     "minhash_lsh_candidates",
     "simhash_signatures",
     "simhash_near_dup",
@@ -140,6 +141,37 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def band_postings(docs: DataFrame, *, text_col: str = "text",
+                  n_hashes: int = N_MINHASH,
+                  bands: int = MINHASH_BANDS) -> DataFrame:
+    """(doc_id, band, bkey) LSH posting rows: band b's key is rows
+    h{b·r}..h{b·r+r−1} of the MinHash signature, r = n_hashes // bands.
+
+    ONE pass over the signatures: explode an array of (band, key)
+    structs — a per-band union would re-run the n_hashes-aggregation
+    once per band (Catalyst does not dedup the common subplan).
+    Per-doc function of the text alone, so postings computed batch by
+    batch equal postings computed over the whole corpus — the property
+    streaming near-dup maintenance relies on."""
+    if n_hashes % bands != 0:
+        raise ValueError("n_hashes must be divisible by bands")
+    r = n_hashes // bands
+    sigs = minhash_signatures(docs, text_col, n_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"h{b * r + i}").cast("string")
+                               for i in range(r)]).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("p"))
+        .select("doc_id", F.col("p.band").alias("band"),
+                F.col("p.bkey").alias("bkey"))
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            n_hashes: int = N_MINHASH,
                            bands: int = MINHASH_BANDS) -> DataFrame:
@@ -150,29 +182,10 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     rows, candidates come from ONE equality self-join on
     (band_id, band_key) — per-band joins would cost ``bands`` shuffles,
     this costs one regardless of the band count."""
-    if n_hashes % bands != 0:
-        raise ValueError("n_hashes must be divisible by bands")
-    r = n_hashes // bands
-    sigs = minhash_signatures(docs, text_col, n_hashes)
-    # ONE pass over the signatures: explode an array of (band, key)
-    # structs — a per-band union would re-run the n_hashes-aggregation
-    # once per band (Catalyst does not dedup the common subplan)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"h{b * r + i}").cast("string")
-                               for i in range(r)]).alias("bkey"),
-        )
-        for b in range(bands)
-    ]
-    posting = (
-        sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("p"))
-        .select("doc_id", F.col("p.band").alias("band"),
-                F.col("p.bkey").alias("bkey"))
-        # both sides of the self-join read this — checkpoint so the
-        # signature aggregation runs once, not once per side
-        .localCheckpoint(eager=False)
-    )
+    # both sides of the self-join read the postings — checkpoint so the
+    # signature aggregation runs once, not once per side
+    posting = band_postings(docs, text_col=text_col, n_hashes=n_hashes,
+                            bands=bands).localCheckpoint(eager=False)
     a = posting.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b_ = posting.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     return (

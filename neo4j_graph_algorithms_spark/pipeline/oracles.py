@@ -109,6 +109,8 @@ def pipeline_oracles() -> dict[str, str]:
                JOIN sigs b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)
         SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
     """
+    # streaming maintenance must converge to the batch answer
+    sql["streaming_near_dup"] = sql["minhash_lsh_candidates"]
 
     # mirrors dedup.simhash_signatures(n_bits=16): one salted 60-bit
     # hash per 16-bit block — block 0 salt '#s0'

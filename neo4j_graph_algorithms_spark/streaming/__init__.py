@@ -26,6 +26,7 @@ from neo4j_graph_algorithms_spark.streaming.graph_maintenance import (
 )
 from neo4j_graph_algorithms_spark.streaming.dedup import (
     run_dedup_maintenance,
+    run_near_dup_maintenance,
 )
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "run_pagerank_maintenance",
     "run_triangle_maintenance",
     "run_dedup_maintenance",
+    "run_near_dup_maintenance",
 ]

@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..plans.checkpoint import CheckpointManager
 from .graph_maintenance import _drive
 
-__all__ = ["DOC_SCHEMA", "run_dedup_maintenance"]
+__all__ = ["DOC_SCHEMA", "run_dedup_maintenance",
+           "run_near_dup_maintenance"]
 
 DOC_SCHEMA = ("doc_id long, text string, lang string, source string, "
               "n_chars long")
@@ -104,3 +105,100 @@ def run_dedup_maintenance(
         return spark.createDataFrame(
             [], "fingerprint string, survivor_doc_id long")
     return final.select("fingerprint", "survivor_doc_id")
+
+
+def run_near_dup_maintenance(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    *,
+    n_hashes: int = 4,
+    bands: int = 2,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuously-maintained MinHash-LSH near-dup candidates over a
+    document stream; returns the final ``(doc_a, doc_b)`` pair set.
+
+    Per micro-batch: compute the batch's band postings (a per-doc
+    function of the text — batch postings equal whole-corpus postings),
+    pair them against the durable POSTING STORE on (band, bkey) for
+    cross-batch candidates, self-join within the batch for intra-batch
+    candidates, append the batch's postings to the store, and fold the
+    pairs into the checkpointed state. Because LSH candidacy is "shares
+    ≥1 (band, bkey)", intra-batch ∪ cross-batch pairs accumulated over
+    any drop order equals batch-mode
+    :func:`~neo4j_graph_algorithms_spark.pipeline.dedup.minhash_lsh_candidates`
+    on the full corpus — the driver oracle replays exactly that.
+
+    Scale shape per batch: one batch-sized signature aggregation, one
+    (band, bkey)-keyed join against the store (production lays the
+    store out bucketed on the band key — sources/bucketed.py — so the
+    state side is exchange-free), one pair union + dedup against the
+    pair state. Crash-replay safe the same way as
+    :func:`run_dedup_maintenance` (committed-batch-id guard; the store
+    write excludes the replayed batch's own partition from the old
+    side)."""
+    from ..pipeline.dedup import band_postings
+
+    posting_store = os.path.join(state_dir, "postings")
+    mgr = CheckpointManager(spark, checkpoint_dir=os.path.join(
+        state_dir, "neardup_state"), interval=1,
+        algorithm="neardup_stream")
+    resumed = mgr.resume()
+    holder: dict[str, Any] = {
+        "pairs": resumed[1] if resumed else None,
+        "committed": resumed[0] if resumed else -1,
+    }
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= holder["committed"]:
+            return  # crash-replayed batch: state already reflects it
+        post = band_postings(batch, n_hashes=n_hashes, bands=bands) \
+            .localCheckpoint(eager=True)
+        a = post.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+        b = post.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+        new_pairs = (
+            a.join(b, ["band", "bkey"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        if os.path.exists(posting_store):
+            old = (
+                spark.read.parquet(posting_store)
+                .filter(F.col("batch") != int(batch_id))
+                .select("doc_id", "band", "bkey")
+            )
+            cross = (
+                post.join(old.withColumnRenamed("doc_id", "doc_o"),
+                          ["band", "bkey"])
+                .select(F.least("doc_id", "doc_o").alias("doc_a"),
+                        F.greatest("doc_id", "doc_o").alias("doc_b"))
+                .filter(F.col("doc_a") != F.col("doc_b"))
+            )
+            new_pairs = new_pairs.unionByName(cross)
+        pairs = holder["pairs"]
+        state = (new_pairs if pairs is None
+                 else pairs.unionByName(new_pairs))
+        state = state.dropDuplicates(["doc_a", "doc_b"])
+        n_batch = post.count()
+        # store first: if the state commit crashes, the replay guard
+        # skips this batch and the excluded-own-partition read keeps
+        # the already-stored postings out of the old side
+        post.write.mode("overwrite").parquet(
+            os.path.join(posting_store, f"batch={int(batch_id)}"))
+
+        def action(st: DataFrame) -> dict[str, Any]:
+            return {"pairs": st.count(), "batch_postings": n_batch,
+                    "batch_id": int(batch_id)}
+
+        st, _ = mgr.maybe_checkpoint(state, int(batch_id), action=action)
+        holder["pairs"] = st
+        holder["committed"] = int(batch_id)
+
+    _drive(spark, docs_dir, state_dir, fold,
+           max_files_per_trigger=max_files_per_trigger,
+           schema=DOC_SCHEMA)
+    final = holder["pairs"]
+    if final is None:  # empty stream
+        return spark.createDataFrame([], "doc_a long, doc_b long")
+    return final.select("doc_a", "doc_b")

@@ -220,3 +220,43 @@ def test_dedup_maintenance_first_seen_and_restart(spark, tmp_path):
         (r["fingerprint"], r["survivor_doc_id"]) for r in
         run_dedup_maintenance(spark, docs, state).collect())
     assert got2[zeta] == 10 and len(got2) == 3
+
+
+def test_near_dup_maintenance_matches_batch(spark, tmp_path):
+    """Accumulated streaming LSH pairs equal batch
+    minhash_lsh_candidates over the whole corpus — including a pair
+    whose two docs arrive in DIFFERENT drops (the posting-store cross
+    join) and a replayed-safe restart."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+    )
+    from neo4j_graph_algorithms_spark.streaming.dedup import (
+        run_near_dup_maintenance,
+    )
+
+    batches = [
+        [(0, "red fox jumps"), (1, "red fox jumps"), (2, "blue whale")],
+        [(3, "red fox jumps"), (4, "green tree")],
+        [(5, "blue whale"), (6, "lone document here")],
+    ]
+    docs = str(tmp_path / "docs")
+    _write_doc_batches(docs, batches)
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           run_near_dup_maintenance(
+               spark, docs, str(tmp_path / "state"),
+               n_hashes=4, bands=2).collect()}
+    all_rows = [(d, t, "en", "s", len(t)) for b in batches for d, t in b]
+    df = spark.createDataFrame(
+        all_rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long")
+    want = {(r["doc_a"], r["doc_b"]) for r in
+            minhash_lsh_candidates(df, n_hashes=4, bands=2).collect()}
+    assert got == want
+    # cross-batch pairs present: (0,3) and (2,5) span drops
+    assert (0, 3) in got and (2, 5) in got
+    # restart on the same state dir: no new drops -> same final state
+    again = {(r["doc_a"], r["doc_b"]) for r in
+             run_near_dup_maintenance(
+                 spark, docs, str(tmp_path / "state"),
+                 n_hashes=4, bands=2).collect()}
+    assert again == got
