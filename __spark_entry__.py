@@ -3245,6 +3245,72 @@ def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
             + f"\nSELECT a, b FROM e{rounds}")
 
 
+def _q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani et al. (1+ε)-greedy densest-subgraph peel, ε=0.5, 8
+    bounded rounds (operators/densest.py): vertices of the densest
+    intermediate subgraph plus its density. Deterministic depth → the
+    oracle unrolls the peel and replays the argmax round."""
+    from neo4j_graph_algorithms_spark.operators.densest import (
+        densest_subgraph,
+    )
+
+    e = _edges(spark, sf_dir)
+    return densest_subgraph(_vertices(e), e, epsilon=0.5,
+                            max_rounds=8).members
+
+
+def _densest_unrolled_sql(rounds: int, eps: float = 0.5) -> str:
+    """Unrolled (1+ε) densest-subgraph peel — mirrors
+    operators/densest.py:densest_subgraph: per round the surviving
+    canonical edge count, density, degree aggregation, and the
+    deg > 2(1+ε)ρ filter; the answer is the alive set of the max-ρ
+    round (ties → earliest). Division only evaluates on surviving rows,
+    so an emptied alive set short-circuits safely."""
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "ce AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+        "al0 AS MATERIALIZED (SELECT id FROM nodes)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"sv{i} AS MATERIALIZED (SELECT ce.a, ce.b FROM ce "
+            f"JOIN al{i} x ON ce.a = x.id JOIN al{i} y ON ce.b = y.id)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT {i} AS r, "
+            f"(SELECT count(*) FROM sv{i}) AS m, "
+            f"(SELECT count(*) FROM al{i}) AS n)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT id, count(*) AS deg FROM ("
+            f"SELECT a AS id FROM sv{i} UNION ALL "
+            f"SELECT b FROM sv{i}) GROUP BY id)"
+        )
+        parts.append(
+            f"al{i+1} AS MATERIALIZED (SELECT v.id FROM al{i} v "
+            f"LEFT JOIN d{i} d ON v.id = d.id, s{i} "
+            f"WHERE s{i}.n > 0 AND coalesce(d.deg, 0) > "
+            f"2 * (1 + {eps!r}) * (CAST(s{i}.m AS DOUBLE) / s{i}.n))"
+        )
+    summ_union = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(rounds))
+    alive_union = " UNION ALL ".join(
+        f"SELECT {i} AS r, id FROM al{i}" for i in range(rounds))
+    parts.append(
+        f"summ AS (SELECT r, CAST(m AS DOUBLE) / n AS rho "
+        f"FROM ({summ_union}) WHERE n > 0)")
+    parts.append(
+        "best AS (SELECT r, rho FROM summ ORDER BY rho DESC, r ASC "
+        "LIMIT 1)")
+    parts.append(f"ar AS ({alive_union})")
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT ar.id, round((SELECT rho FROM best), 6) AS density "
+        "FROM ar WHERE ar.r = (SELECT r FROM best)"
+    )
+
+
 def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incoming anchor-text rollup per target page — the Common-Crawl
     signal aggregated alongside the link graph. Checks the FULL anchor
@@ -3359,9 +3425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- window 1-50: driver-checked this round -------------------
         "pagerank": _q_pagerank,
         "spam_mass": _q_spam_mass,
-        "pagerank_batch_ppr": _q_pagerank_batch_ppr,
         "k_core": _q_kcore,
         "k_truss": _q_k_truss,
+        "densest_subgraph": _q_densest_subgraph,
         "pages_pagerank_e2e": _q_pages_pagerank,
         "anchor_stats": _q_anchor_stats,
         "wcc": _q_wcc,
@@ -3413,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
         "spanning_tree": _q_spanning_tree,
+        "pagerank_batch_ppr": _q_pagerank_batch_ppr,
         "shortest_path": _q_shortest_path,
         "betweenness": _q_betweenness,
         "minhash_lsh_candidates": _q_minhash_candidates,
@@ -3547,6 +3614,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_extract_edges": _pages_edges_sql(2000),
         "cocitation_pairs": _cocitation_sql(2000),
         "k_truss": _ktruss_unrolled_sql(5, 3),
+        "densest_subgraph": _densest_unrolled_sql(8, 0.5),
         # NaN ordering note: BOTH engines treat NaN as equal-to-itself
         # and greater-than-everything, so abs(NaN) <> inf is true in
         # both — is_finite guards with isnan first, replayed verbatim

@@ -117,3 +117,28 @@ def test_k_truss_k4_keeps_only_clique(spark):
 
     with pytest.raises(ValueError):
         k_truss(e, 2)
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    """A K6 planted in a sparse chain: the peel must report the clique
+    (density 15/6 = 2.5) — the chain dilutes round-0 density, later
+    rounds strip it away."""
+    from neo4j_graph_algorithms_spark.operators.densest import (
+        densest_subgraph,
+    )
+
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    chain = [(i, i + 1) for i in range(6, 30)]
+    e = spark.createDataFrame(k6 + chain + [(5, 6)], "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(31)], "id long")
+    res = densest_subgraph(v, e, epsilon=0.5)
+    got = {r["id"] for r in res.members.collect()}
+    assert got == set(range(6))
+    assert res.density == pytest.approx(2.5)
+    assert all(r["density"] == 2.5 for r in res.members.collect())
+    # bounded rounds: best tracked over the bound only, still a valid
+    # intermediate subgraph
+    res1 = densest_subgraph(v, e, epsilon=0.5, max_rounds=1)
+    assert res1.rounds == 1
+    with pytest.raises(ValueError):
+        densest_subgraph(v, e, epsilon=0.0)
