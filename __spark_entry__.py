@@ -584,6 +584,50 @@ def _lpa_unrolled_sql(iters: int) -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{iters}b"
 
 
+def _lpa_seeded_unrolled_sql(iters: int) -> str:
+    """Seeded + weighted LPA unroll — the reference's 'partition' seed
+    and 'weight' node-property semantics (LabelPropagation.java:45-51,
+    221-228) over the multiplicity-weighted edge table: seed label =
+    id % 7 on every third node (else own id), vote weight = edge
+    multiplicity × voter node weight (1 + id % 4). Vote sums are
+    integer-valued doubles, so the argmax order is exact in both
+    engines. Same red-black phase structure as _lpa_unrolled_sql."""
+    parts = [
+        _WEDGES_CTE,
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges))",
+        "nw AS MATERIALIZED (SELECT id, CAST(1 + id % 4 AS DOUBLE) AS w "
+        "FROM nodes)",
+        "l0b AS MATERIALIZED (SELECT id, "
+        "CASE WHEN id % 3 = 0 THEN id % 7 ELSE id END AS label "
+        "FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"l{i-1}b"
+        for phase, parity in (("a", 0), ("b", 1)):
+            src_l = prev if phase == "a" else f"l{i}a"
+            parts.append(
+                f"v{i}{phase} AS MATERIALIZED (SELECT e.src AS id, l.label, "
+                f"sum(e.weight * nw.w) AS votes "
+                f"FROM wedges e JOIN {src_l} l ON l.id = e.dst "
+                f"JOIN nw ON nw.id = e.dst "
+                f"WHERE e.src % 2 = {parity} GROUP BY e.src, l.label)"
+            )
+            parts.append(
+                f"w{i}{phase} AS MATERIALIZED (SELECT id, label, row_number() OVER "
+                f"(PARTITION BY id ORDER BY votes DESC, label ASC) AS rn "
+                f"FROM v{i}{phase})"
+            )
+            parts.append(
+                f"l{i}{phase} AS MATERIALIZED (SELECT p.id, "
+                f"coalesce(w.label, p.label) AS label "
+                f"FROM {src_l} p "
+                f"LEFT JOIN (SELECT id, label FROM w{i}{phase} WHERE rn = 1) w "
+                f"ON p.id = w.id)"
+            )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{iters}b"
+
+
 def _articlerank_unrolled_sql(iters: int) -> str:
     """ArticleRank: PageRank loop with factor 1/(outDeg + avgOutDeg)
     (ArticleRankComputeStep.java)."""
@@ -1259,6 +1303,26 @@ def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(
         v, e, max_iterations=LPA_ITERS, min_iterations=LPA_ITERS,
         direction="out", partition_col=None, node_weight_col=None,
+    )
+    return res.labels
+
+
+def _q_lpa_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded + weighted LPA — the reference's 'partition' seed and
+    'weight' node-property path (LabelPropagation.java:45-51,221-228)
+    over the multiplicity-weighted edges: seed = id % 7 on every third
+    node, voter weight = 1 + id % 4; votes = edge weight × voter
+    weight (operators/labelprop.py)."""
+    e = _edges_weighted(spark, sf_dir)
+    v = _vertices(e.select(F.col("src"), F.col("dst"))).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, F.col("id") % 7).alias("partition"),
+        (1 + F.col("id") % 4).cast("double").alias("weight"),
+    )
+    res = label_propagation(
+        v, e, max_iterations=LPA_ITERS, min_iterations=LPA_ITERS,
+        direction="out", partition_col="partition",
+        node_weight_col="weight",
     )
     return res.labels
 
@@ -3433,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": _q_wcc,
         "streaming_wcc": _q_streaming_wcc,
         "label_propagation": _q_lpa,
+        "label_propagation_seeded": _q_lpa_seeded,
         "triangles_per_node": _q_triangles,
         "triangles_sampled": _q_triangles_sampled,
         "modularity": _q_modularity,
@@ -3463,7 +3528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "graph_summary": _q_graph_summary,
-        "pii_scrub": _q_pii_scrub,
         "c4_filter": _q_c4_filter,
         "decontaminate": _q_decontaminate,
         "sample_documents": _q_sample_documents,
@@ -3479,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
         "spanning_tree": _q_spanning_tree,
+        "pii_scrub": _q_pii_scrub,
         "pagerank_batch_ppr": _q_pagerank_batch_ppr,
         "shortest_path": _q_shortest_path,
         "betweenness": _q_betweenness,
@@ -3711,6 +3776,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wcc_threshold": _WCC_TH_SQL,
         "label_propagation": _lpa_unrolled_sql(LPA_ITERS),
+        "label_propagation_seeded": _lpa_seeded_unrolled_sql(LPA_ITERS),
         "modularity": f"""
             WITH {_EDGES_CTE}, {_NODES_CTE},
             sym AS (SELECT src, dst, CAST(sum(w) AS DOUBLE) AS weight FROM (
