@@ -513,7 +513,7 @@ def _spam_mass_sql(iters: int, trusted: list[int]) -> str:
         f"SELECT id, round(r0, 6) AS pagerank, "
         f"round(r1 * (SELECT sum(r0) / sum(r1) FROM r{iters}), 6) AS trust, "
         f"round((r0 - r1 * (SELECT sum(r0) / sum(r1) FROM r{iters})) / r0, 6)"
-        f" AS spam_mass_rel FROM r{iters}"
+        f" + 0.0 AS spam_mass_rel FROM r{iters}"
     )
     return _batch_ppr_unrolled_sql(iters, [None, trusted],
                                    final_select=final)
@@ -1019,7 +1019,7 @@ _PEARSON_SQL = f"""
     SELECT a.item AS item1, b.item AS item2,
            round((list_dot_product(a.v, b.v) - a.s * b.s / a.n)
                  / sqrt((a.q - a.s * a.s / a.n) * (b.q - b.s * b.s / b.n)),
-                 5) AS similarity
+                 5) + 0.0 AS similarity
     FROM stats a JOIN stats b ON a.item < b.item
 """
 
@@ -1415,7 +1415,8 @@ def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _vertices(e).select(
         "id", (F.col("id") % 4).alias("community"))
     q = modularity(sym, labels)
-    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+    return spark.createDataFrame([(round(q, 6) + 0.0,)],
+                                 "modularity double")
 
 
 def _q_degree(direction: str, weighted: bool):
@@ -3130,10 +3131,22 @@ def _q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed d×d embedding covariance via per-partition Gram
     accumulation (model-sized shuffle; pipeline/pca.py). Oracle
-    recomputes the moments independently by explode + self-join."""
+    recomputes the moments independently by explode + self-join.
+
+    The driver query quantizes components to integer-valued doubles
+    (round(x·10⁴)) FIRST: every Gram/mean term is then an exact integer
+    (|Σ| < 2⁵³), so the moment sums are identical on both engines
+    regardless of partition/thread summation order — round(cov, 6) of a
+    raw-float sum flipped a boundary cell about once per ~50 full-window
+    runs before this. Production calls covariance_matrix on raw floats
+    (the pytest path, checked vs numpy at allclose tolerance)."""
     from neo4j_graph_algorithms_spark.pipeline.pca import covariance_matrix
 
-    out = covariance_matrix(_t(spark, sf_dir, "embeddings"))
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: F.round(x * 10000, 0)),
+    )
+    out = covariance_matrix(emb)
     return out.select("i", "j", F.round("cov", 6).alias("cov"))
 
 
@@ -3663,7 +3676,7 @@ def oracle_sql() -> dict[str, str]:
                        AS reciprocity,
                    round((s.n * s.sxy - s.sx * s.sy)
                          / sqrt((s.n * s.sxx - s.sx * s.sx)
-                                * (s.n * s.syy - s.sy * s.sy)), 6)
+                                * (s.n * s.syy - s.sy * s.sy)), 6) + 0.0
                        AS assortativity
             FROM v CROSS JOIN n CROSS JOIN r CROSS JOIN s
         """,
@@ -3798,7 +3811,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM ej GROUP BY cs)
             SELECT round(sum(in_c / (SELECT v FROM m2)
                    - (tot_c / (SELECT v FROM m2))
-                     * (tot_c / (SELECT v FROM m2))), 6) AS modularity
+                     * (tot_c / (SELECT v FROM m2))), 6) + 0.0 AS modularity
             FROM per
         """,
         "triangles_sampled": f"""

@@ -261,7 +261,7 @@ def pipeline_oracles() -> dict[str, str]:
                      CAST(row_number() OVER (PARTITION BY query_id
                           ORDER BY s DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM sims)
-        SELECT query_id, neighbor_id, rank, round(s, 5) AS sim
+        SELECT query_id, neighbor_id, rank, round(s, 5) + 0.0 AS sim
         FROM r WHERE rank <= 5
     """
 
@@ -330,7 +330,7 @@ def pipeline_oracles() -> dict[str, str]:
                      CAST(row_number() OVER (PARTITION BY query_id
                           ORDER BY s DESC, neighbor_id ASC) AS INTEGER) AS rank
               FROM sims)
-        SELECT query_id, neighbor_id, rank, round(s, 5) AS sim
+        SELECT query_id, neighbor_id, rank, round(s, 5) + 0.0 AS sim
         FROM r WHERE rank <= 5
     """
 
@@ -370,7 +370,7 @@ def pipeline_oracles() -> dict[str, str]:
                         list_dot_product(a.v, bq.v) / (a.n * bq.n) AS s
                  FROM nb a JOIN nb bq
                    ON a.bucket = bq.bucket AND a.vec_id < bq.vec_id)
-        SELECT vec_a, vec_b, round(s, 5) AS sim
+        SELECT vec_a, vec_b, round(s, 5) + 0.0 AS sim
         FROM cand WHERE s >= 0.3
     """
 
@@ -741,7 +741,7 @@ def pipeline_oracles() -> dict[str, str]:
         nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tp)
         SELECT pc.a AS term_a, pc.b AS term_b, pc.n_pair,
                round(ln((pc.n_pair / tot.np)
-                        / ((ca.c / nt.n) * (cb.c / nt.n))), 6) AS pmi
+                        / ((ca.c / nt.n) * (cb.c / nt.n))), 6) + 0.0 AS pmi
         FROM pc CROSS JOIN tot CROSS JOIN nt
         JOIN uni ca ON pc.a = ca.tok JOIN uni cb ON pc.b = cb.tok
         WHERE pc.n_pair >= 2
@@ -749,10 +749,14 @@ def pipeline_oracles() -> dict[str, str]:
 
     # mirrors pca.covariance_matrix: independent recomputation of the
     # second moments by explode + per-vector self-join (the Spark side
-    # accumulates per-partition Gram blocks — different physical path,
-    # same exact sums up to float addition order, matched at 6 dp)
+    # accumulates per-partition Gram blocks — different physical path).
+    # Components are quantized to integer-valued doubles (round(x·1e4),
+    # matching the driver query) so every moment sum is EXACT on both
+    # engines — no float-addition-order hazard under round(cov, 6)
     sql["pca_covariance"] = """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding::DOUBLE[],
+                                         x -> round(x * 10000)) AS v
                    FROM embeddings),
         x AS (SELECT vec_id, unnest(v) AS val,
                      unnest(range(0, len(v))) AS pos FROM e),
@@ -761,7 +765,7 @@ def pipeline_oracles() -> dict[str, str]:
         m AS (SELECT pos AS k, sum(val) AS sx FROM x GROUP BY 1),
         c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e)
         SELECT p.i, p.j,
-               round((p.sxy - mi.sx * mj.sx / c.n) / (c.n - 1), 6) AS cov
+               round((p.sxy - mi.sx * mj.sx / c.n) / (c.n - 1), 6) + 0.0 AS cov
         FROM p CROSS JOIN c
         JOIN m mi ON p.i = mi.k JOIN m mj ON p.j = mj.k
     """
