@@ -2355,6 +2355,192 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT id FROM alive{rounds}"
 
 
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set, 8 fixed rounds (operators/mis.py —
+    the peel converges on this graph well before round 8 and a
+    converged state is a fixpoint, so the fixed-round oracle replay is
+    exact). Priorities are md5-keyed, identical on both engines."""
+    from neo4j_graph_algorithms_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    e = _edges(spark, sf_dir)
+    return maximal_independent_set(
+        _vertices(e), e, seed=42, max_rounds=8).members
+
+
+def _mis_oracle_sql(rounds: int = 8, seed: int = 42) -> str:
+    """Unrolled Luby rounds (the k_core oracle pattern): per round the
+    md5 priority key, the min-surviving-neighbor-key aggregation, the
+    winner filter, and the winners+neighbors removal."""
+    key = ("md5('{s}|{t}|' || CAST(id AS VARCHAR)) || '-' || "
+           "lpad(CAST(id AS VARCHAR), 12, '0')")
+    parts = [
+        _EDGES_CTE,
+        _NODES_CTE,
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM edges WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM edges WHERE src <> dst))",
+        "alive0 AS MATERIALIZED (SELECT id FROM nodes)",
+    ]
+    for t in range(1, rounds + 1):
+        k = key.format(s=seed, t=t)
+        parts.append(
+            f"key{t} AS MATERIALIZED (SELECT id, {k} AS k "
+            f"FROM alive{t-1})")
+        parts.append(
+            f"nm{t} AS (SELECT e.u AS id, min(kk.k) AS nk FROM sym e "
+            f"JOIN alive{t-1} a ON e.u = a.id "
+            f"JOIN alive{t-1} b ON e.v = b.id "
+            f"JOIN key{t} kk ON kk.id = e.v GROUP BY e.u)")
+        parts.append(
+            f"win{t} AS MATERIALIZED (SELECT kk.id FROM key{t} kk "
+            f"LEFT JOIN nm{t} nm ON nm.id = kk.id "
+            f"WHERE nm.nk IS NULL OR kk.k < nm.nk)")
+        parts.append(
+            f"rem{t} AS (SELECT id FROM win{t} UNION "
+            f"SELECT e.v FROM sym e JOIN win{t} w ON e.u = w.id "
+            f"JOIN alive{t-1} b ON e.v = b.id)")
+        parts.append(
+            f"alive{t} AS MATERIALIZED (SELECT a.id FROM alive{t-1} a "
+            f"LEFT JOIN rem{t} r ON r.id = a.id WHERE r.id IS NULL)")
+    union = " UNION ALL ".join(
+        f"SELECT id FROM win{t}" for t in range(1, rounds + 1))
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id FROM ({union})"
+
+
+# the synthetic redirect domain for the resolve_redirects driver query:
+# every node id not divisible by 32 forwards to id-1 (chains of up to
+# 31 hops ending at the nearest multiple of 32), plus a deliberate
+# 3-cycle on ids outside the node table. Pure arithmetic, identically
+# constructible on both engines.
+_REDIRECT_CYCLE = [(2000001, 2000002), (2000002, 2000003),
+                   (2000003, 2000001)]
+
+
+def _q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling
+    (operators/redirects.py): 6 doubling rounds resolve chains up to 64
+    hops (the synthetic domain's longest is 31); the planted 3-cycle
+    stays flagged unresolved at exactly 2^6 hops — the same state a
+    single-step walk capped at 64 hops reports, which is what the
+    recursive-CTE oracle replays."""
+    from neo4j_graph_algorithms_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    nodes = _vertices(_edges(spark, sf_dir))
+    red = (
+        nodes.filter(F.col("id") % 32 != 0)
+        .select(F.col("id").alias("src"), (F.col("id") - 1).alias("dst"))
+        .join(nodes.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+        .select("src", "dst")
+        .union(spark.createDataFrame(_REDIRECT_CYCLE, "src long, dst long"))
+    )
+    return resolve_redirects(red, doubling_rounds=6)
+
+
+def _redirects_oracle_sql(doubling_rounds: int = 6) -> str:
+    cap = 2 ** doubling_rounds
+    cyc = ", ".join(f"({a}, {b})" for a, b in _REDIRECT_CYCLE)
+    return f"""
+        WITH RECURSIVE {_EDGES_CTE}, {_NODES_CTE},
+        red AS MATERIALIZED (
+            SELECT n.id AS src, n.id - 1 AS dst FROM nodes n
+            WHERE n.id % 32 <> 0
+              AND EXISTS (SELECT 1 FROM nodes m WHERE m.id = n.id - 1)
+            UNION ALL
+            SELECT * FROM (VALUES {cyc}) t(src, dst)),
+        f AS MATERIALIZED (
+            SELECT src, min(dst) AS dst FROM red
+            WHERE src <> dst GROUP BY src),
+        walk(src, ptr, hops) AS (
+            SELECT src, dst, CAST(1 AS BIGINT) FROM f
+            UNION ALL
+            SELECT w.src, n.dst, w.hops + 1
+            FROM walk w JOIN f n ON n.src = w.ptr
+            WHERE w.hops < {cap}),
+        fin AS (SELECT src, ptr, hops, row_number() OVER (
+                    PARTITION BY src ORDER BY hops DESC) AS rn
+                FROM walk)
+        SELECT fin.src, fin.ptr AS final_dst, fin.hops,
+               CAST(CASE WHEN fin.ptr IN (SELECT src FROM f)
+                    THEN 0 ELSE 1 END AS INTEGER) AS resolved
+        FROM fin WHERE rn = 1
+    """
+
+
+def _q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann-style coloring by iterated Luby MIS on a 200-node
+    subgraph: 4 color classes of 4 fixed inner rounds each (nested
+    fixed bounds keep it SQL-replayable); vertices past the cap carry
+    color -1 so the output is total."""
+    from neo4j_graph_algorithms_spark.operators.mis import greedy_coloring
+
+    e = _sub_edges(spark, sf_dir, 200)
+    return greedy_coloring(_vertices(e), e, seed=42, max_colors=4,
+                           mis_rounds=4)
+
+
+def _coloring_oracle_sql(colors: int = 4, rounds: int = 4,
+                         seed: int = 42, n_sub: int = 200) -> str:
+    """Nested unroll: color c runs _mis_oracle_sql's round chain on the
+    still-uncolored vertex set with seed+c·1000003."""
+    key = ("md5('{s}|{t}|' || CAST(id AS VARCHAR)) || '-' || "
+           "lpad(CAST(id AS VARCHAR), 12, '0')")
+    parts = [
+        _EDGES_CTE,
+        f"sedges AS (SELECT src, dst FROM edges "
+        f"WHERE src < {n_sub} AND dst < {n_sub})",
+        "snodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM sedges "
+        "UNION ALL SELECT dst FROM sedges))",
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM sedges WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM sedges WHERE src <> dst))",
+        "u0 AS MATERIALIZED (SELECT id FROM snodes)",
+    ]
+    for c in range(colors):
+        s = seed + c * 1_000_003
+        parts.append(
+            f"c{c}a0 AS MATERIALIZED (SELECT id FROM u{c})")
+        for t in range(1, rounds + 1):
+            k = key.format(s=s, t=t)
+            parts.append(
+                f"c{c}key{t} AS MATERIALIZED (SELECT id, {k} AS k "
+                f"FROM c{c}a{t-1})")
+            parts.append(
+                f"c{c}nm{t} AS (SELECT e.u AS id, min(kk.k) AS nk "
+                f"FROM sym e JOIN c{c}a{t-1} a ON e.u = a.id "
+                f"JOIN c{c}a{t-1} b ON e.v = b.id "
+                f"JOIN c{c}key{t} kk ON kk.id = e.v GROUP BY e.u)")
+            parts.append(
+                f"c{c}win{t} AS MATERIALIZED (SELECT kk.id "
+                f"FROM c{c}key{t} kk "
+                f"LEFT JOIN c{c}nm{t} nm ON nm.id = kk.id "
+                f"WHERE nm.nk IS NULL OR kk.k < nm.nk)")
+            parts.append(
+                f"c{c}rem{t} AS (SELECT id FROM c{c}win{t} UNION "
+                f"SELECT e.v FROM sym e JOIN c{c}win{t} w ON e.u = w.id "
+                f"JOIN c{c}a{t-1} b ON e.v = b.id)")
+            parts.append(
+                f"c{c}a{t} AS MATERIALIZED (SELECT a.id FROM c{c}a{t-1} a "
+                f"LEFT JOIN c{c}rem{t} r ON r.id = a.id "
+                f"WHERE r.id IS NULL)")
+        wins = " UNION ALL ".join(
+            f"SELECT id FROM c{c}win{t}" for t in range(1, rounds + 1))
+        parts.append(f"mis{c} AS MATERIALIZED (SELECT id FROM ({wins}))")
+        parts.append(
+            f"u{c+1} AS MATERIALIZED (SELECT u.id FROM u{c} u "
+            f"LEFT JOIN mis{c} m ON m.id = u.id WHERE m.id IS NULL)")
+    classes = " UNION ALL ".join(
+        f"SELECT id, {c} AS color FROM mis{c}" for c in range(colors))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, CAST(color AS INTEGER) AS color FROM ({classes} "
+        f"UNION ALL SELECT id, -1 FROM u{colors})"
+    )
+
+
 def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.operators.scc import (
         strongly_connected_components,
@@ -3528,7 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_knn": _q_cosine_knn,
         "cocitation_pairs": _q_cocitation,
         "dedup_clusters": _q_dedup_clusters,
-        "ngram_jaccard_pairs": _q_ngram3_jaccard,
+        "maximal_independent_set": _q_mis,
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -3538,7 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": _q_ngram_lm,
         "vocab_top": _q_vocab,
         "tfidf_top_terms": _q_tfidf,
-        "inverted_index": _q_inverted_index,
+        "resolve_redirects": _q_resolve_redirects,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "graph_summary": _q_graph_summary,
         "c4_filter": _q_c4_filter,
@@ -3553,6 +3739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 51+: rotated out this round (r1/r2-green or rows-only;
         # all still replayed by test_oracle_parity every run) ----------
         "events_sessionize": _q_events_sessionize,
+        "ngram_jaccard_pairs": _q_ngram3_jaccard,
+        "inverted_index": _q_inverted_index,
+        "greedy_coloring": _q_greedy_coloring,
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
         "spanning_tree": _q_spanning_tree,
@@ -3780,6 +3969,9 @@ def oracle_sql() -> dict[str, str]:
         "wcc": _WCC_SQL,
         "streaming_wcc": _WCC_SQL,
         "k_core": _kcore_oracle_sql(3, 8),
+        "maximal_independent_set": _mis_oracle_sql(8, 42),
+        "resolve_redirects": _redirects_oracle_sql(6),
+        "greedy_coloring": _coloring_oracle_sql(4, 4, 42, 200),
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,
         "triangles_incremental": f"""

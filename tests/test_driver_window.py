@@ -47,6 +47,8 @@ FAMILIES = {
     "graphstats": ["degree_histogram", "graph_summary"],
     "cocitation": ["cocitation_pairs"],
     "ktruss": ["k_truss"],
+    "mis": ["maximal_independent_set", "greedy_coloring"],
+    "redirects": ["resolve_redirects"],
     "embedding_prep": ["node2vec_pairs"],
     "mixing": ["mix_corpus", "temperature_mix"],
     "packing": ["pack_sequences"],
