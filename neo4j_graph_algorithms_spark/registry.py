@@ -116,6 +116,9 @@ _REGISTRY: dict[str, str] = {
     "ext.kTruss": f"{_P}.operators.ktruss:k_truss",
     "ext.stream.nearDup": f"{_P}.streaming.dedup:run_near_dup_maintenance",
     "ext.densestSubgraph": f"{_P}.operators.densest:densest_subgraph",
+    "ext.mis": f"{_P}.operators.mis:maximal_independent_set",
+    "ext.coloring": f"{_P}.operators.mis:greedy_coloring",
+    "ext.resolveRedirects": f"{_P}.operators.redirects:resolve_redirects",
 }
 
 
