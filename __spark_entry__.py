@@ -1088,6 +1088,54 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution (the standard web
+    formulation; reference drops the mass — this is the extension).
+    Edges are filtered to src % 3 != 0 so the graph actually HAS
+    dangling vertices (334 at sf0.01; the unfiltered driver graph has
+    none and the check would be vacuous)."""
+    e = _edges(spark, sf_dir).filter((F.col("src") % 3) != 0)
+    res = pagerank(_vertices(e), e, max_iterations=PR_ITERS, tol=0.0,
+                   dangling="redistribute")
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_dangling_unrolled_sql(iters: int) -> str:
+    """Unrolled redistribute-variant oracle: per iteration the message
+    aggregation PLUS the dangling-mass scalar s{i}, crossed into the
+    rank update exactly as the operator's in-plan 1-row aggregate.
+    r{i} is referenced twice per round (m{i+1} and s{i+1}) —
+    MATERIALIZED, or DuckDB re-inlines the whole chain per reference."""
+    parts = [
+        _EDGES_CTE.replace("FROM lineitem",
+                           "FROM lineitem "
+                           "WHERE (l_orderkey % 1000) % 3 <> 0"),
+        _NODES_CTE,
+        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src)",
+        "fac AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / d.outd AS factor "
+        "FROM edges e JOIN deg d ON e.src = d.src)",
+        "nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "dang AS MATERIALIZED (SELECT n.id FROM nodes n "
+        "LEFT JOIN deg d ON d.src = n.id WHERE d.src IS NULL)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(0.15 AS DOUBLE) AS rank "
+        "FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS (SELECT f.dst AS id, sum(r.rank * f.factor) AS msg "
+            f"FROM fac f JOIN r{i-1} r ON f.src = r.id GROUP BY f.dst)")
+        parts.append(
+            f"s{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS ds "
+            f"FROM r{i-1} r JOIN dang d ON d.id = r.id)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.id, 0.15 + 0.85 * "
+            f"(coalesce(m.msg, 0.0) + s.ds / nc.n) AS rank "
+            f"FROM nodes n LEFT JOIN m{i} m ON n.id = m.id "
+            f"CROSS JOIN s{i} s CROSS JOIN nc)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}")
+
+
 def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _edges_weighted(spark, sf_dir)
     res = pagerank(_vertices(e), e, max_iterations=PR_ITERS, tol=0.0, weighted=True)
@@ -3742,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram3_jaccard,
         "inverted_index": _q_inverted_index,
         "greedy_coloring": _q_greedy_coloring,
+        "pagerank_dangling": _q_pagerank_dangling,
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
         "spanning_tree": _q_spanning_tree,
@@ -3972,6 +4021,7 @@ def oracle_sql() -> dict[str, str]:
         "maximal_independent_set": _mis_oracle_sql(8, 42),
         "resolve_redirects": _redirects_oracle_sql(6),
         "greedy_coloring": _coloring_oracle_sql(4, 4, 42, 200),
+        "pagerank_dangling": _pagerank_dangling_unrolled_sql(PR_ITERS),
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,
         "triangles_incremental": f"""

@@ -272,6 +272,7 @@ def pagerank(
     hub_replicas: int = 8,
     initial_ranks: DataFrame | None = None,
     edges_prelayout: bool = False,
+    dangling: str = "drop",
     spark: SparkSession | None = None,
 ) -> PageRankResult:
     """Run PageRank to ``max_iterations`` or until ``max|Δ| < tol``.
@@ -316,10 +317,41 @@ def pagerank(
     PageRank's update is a contraction (damping < 1 drives per-step
     deltas monotonically down in the limit), so block-delta < tol is a
     conservative stop — never earlier than the per-step check.
+
+    ``dangling``: what out-degree-0 vertices do with their rank mass.
+    ``'drop'`` (default) matches the reference exactly — dangling nodes
+    simply stop pushing (NonWeightedComputeStep.java:54, no dangling
+    term exists anywhere in the fork). ``'redistribute'`` is the
+    standard Google formulation for web crawls (Brin & Page 1998; most
+    crawl frontiers are majority-dangling): each superstep adds
+    ``d·S/N`` to every vertex where S is the dangling vertices' total
+    rank — computed IN-PLAN as a vertex-sized semi-join aggregation
+    crossed back in as a 1-row broadcast, so the superstep stays two
+    vertex-sized aggs and zero extra edge passes. At the fixpoint total
+    mass is exactly N (the per-node-formulation invariant), which the
+    tests pin. Redistribution references the evolving state twice per
+    superstep, so ``unroll`` is clamped to 1 (each step materializes —
+    without that an unrolled block would recompute the rank chain 2^J
+    times). Dataframe strategy only; personalized PR would redistribute
+    to its teleport set instead — rejected explicitly rather than
+    guessed.
     """
     spark = spark or vertices.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     num_blocks = num_blocks or shuffle_n
+
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError("dangling must be 'drop' or 'redistribute'")
+    if dangling == "redistribute":
+        if strategy != "dataframe":
+            raise NotImplementedError(
+                "dangling='redistribute' requires strategy='dataframe'")
+        if source_ids is not None:
+            raise NotImplementedError(
+                "dangling='redistribute' with personalized teleport sets "
+                "is ambiguous (mass goes to the teleport set, not "
+                "uniformly) — not implemented")
+        unroll = 1  # state referenced twice per superstep; see docstring
 
     ef = _edge_factors(edges, weighted)
     csr_path: str | None = None
@@ -409,6 +441,18 @@ def pagerank(
     )
     n_vertices = vbase.count()
 
+    dang: DataFrame | None = None
+    if dangling == "redistribute":
+        # vertices with no outgoing factor rows (out-deg 0, or all
+        # weights <= 0 in the weighted variant) — vertex-sized, static
+        dang = (
+            vbase.select("id")
+            .join(ef.select(F.col("src").alias("id")).distinct(),
+                  "id", "leftanti")
+            .persist()
+        )
+        dang.count()
+
     resumed = ckpt.resume()
     if resumed is not None:
         start_it, ranks = resumed
@@ -459,6 +503,24 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("factor")).alias("msg"))
             )
+        if dang is not None:
+            # dangling mass S as an in-plan 1-row aggregate; the cross
+            # join broadcasts it (scalar), costing no extra edge pass
+            s_row = (
+                cur.join(dang, "id", "leftsemi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_ds"))
+            )
+            return (
+                vbase.join(msgs, vbase["id"] == msgs["dst"], "left")
+                .crossJoin(F.broadcast(s_row))
+                .select(
+                    vbase["id"],
+                    (F.col("base") + F.lit(damping)
+                     * (F.coalesce(F.col("msg"), F.lit(0.0))
+                        + F.col("_ds") / F.lit(float(n_vertices))))
+                    .alias("rank"),
+                )
+            )
         return (
             vbase.join(msgs, vbase["id"] == msgs["dst"], "left")
             .select(
@@ -501,6 +563,8 @@ def pagerank(
     result = ranks.select("id", "rank")
     metrics = list(ckpt.metrics)
     vbase.unpersist()
+    if dang is not None:
+        dang.unpersist()
     if hot_replica_map is not None:
         hot_replica_map.unpersist()
     if csr_path is not None:

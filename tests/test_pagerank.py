@@ -409,3 +409,56 @@ def test_spam_mass_semantics(spark):
     got = {r["id"]: r["r0"] for r in b.ranks.collect()}
     for i in range(8):
         assert got[i] == pr[i], i
+
+
+def _np_pagerank_redistribute(n, pairs, iters, d=0.85):
+    """Per-node formulation with uniform dangling redistribution:
+    r = 0.15 + d*(A^T (r/deg) + S/n), S = sum of dangling ranks."""
+    deg = np.zeros(n)
+    for s, t in pairs:
+        deg[s] += 1
+    r = np.full(n, 1 - d)
+    for _ in range(iters):
+        msg = np.zeros(n)
+        for s, t in pairs:
+            msg[t] += r[s] / deg[s]
+        dangle = r[deg == 0].sum()
+        r = (1 - d) + d * (msg + dangle / n)
+    return r
+
+
+def test_pr_dangling_redistribute_vs_numpy(spark):
+    # wiki graph has dangling node 'a' (and others with out-deg 0)
+    names = WIKI_NAMES
+    v = _vertices(spark, names)
+    e = make_edges(spark, WIKI_EDGES, names)
+    pairs = [(names.index(s), names.index(t)) for s, t in WIKI_EDGES]
+    res = pagerank(v, e, max_iterations=25, dangling="redistribute")
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    exp = _np_pagerank_redistribute(len(names), pairs, 25)
+    for i in range(len(names)):
+        assert got[i] == pytest.approx(exp[i], abs=1e-9), i
+
+
+def test_pr_dangling_mass_invariant(spark):
+    # at the fixpoint total mass = n exactly (the per-node-formulation
+    # invariant of the redistributing variant)
+    names = WIKI_NAMES
+    v = _vertices(spark, names)
+    e = make_edges(spark, WIKI_EDGES, names)
+    res = pagerank(v, e, max_iterations=200, tol=1e-12,
+                   dangling="redistribute")
+    total = sum(r["rank"] for r in res.ranks.collect())
+    assert total == pytest.approx(len(names), abs=1e-6)
+    assert res.converged
+
+
+def test_pr_dangling_validation(spark):
+    v = _vertices(spark, LABEL1_NAMES)
+    e = make_edges(spark, LABEL1_EDGES, LABEL1_NAMES)
+    with pytest.raises(ValueError):
+        pagerank(v, e, dangling="bogus")
+    with pytest.raises(NotImplementedError):
+        pagerank(v, e, dangling="redistribute", strategy="csr")
+    with pytest.raises(NotImplementedError):
+        pagerank(v, e, dangling="redistribute", source_ids=[0])
