@@ -3348,6 +3348,69 @@ def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(_edges(spark, sf_dir))
 
 
+def _q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clauset-Shalizi-Newman continuous-MLE power-law exponent of the
+    in-degree distribution (operators/graphstats.py:powerlaw_fit). The
+    ln sum runs over the degree HISTOGRAM (one term per distinct
+    degree), so both engines sum the same bounded term set."""
+    from neo4j_graph_algorithms_spark.operators.graphstats import powerlaw_fit
+
+    out = powerlaw_fit(_edges(spark, sf_dir), direction="in", d_min=2)
+    return out.select(F.round("alpha", 6).alias("alpha"), "d_min", "n_tail")
+
+
+_POWERLAW_SQL = f"""
+    WITH {_EDGES_CTE},
+    deg AS (SELECT dst, count(*) AS deg FROM edges GROUP BY dst),
+    hist AS (SELECT deg, count(*) AS c FROM deg GROUP BY deg),
+    tail AS (SELECT * FROM hist WHERE deg >= 2)
+    SELECT round(1.0 + CAST(sum(c) AS DOUBLE)
+                 / sum(c * ln(deg / 1.5)), 6) AS alpha,
+           CAST(2 AS BIGINT) AS d_min,
+           CAST(sum(c) AS BIGINT) AS n_tail
+    FROM tail
+"""
+
+
+def _q_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact diameter lower bound of the undirected graph by BFS double
+    sweep (operators/graphstats.py:diameter_double_sweep); oracle = two
+    chained recursive-CTE BFS walks with the same farthest-vertex
+    tie-break (max distance, then min id)."""
+    from neo4j_graph_algorithms_spark.operators.graphstats import (
+        diameter_double_sweep,
+    )
+
+    e = _edges(spark, sf_dir)
+    return diameter_double_sweep(_vertices(e), e)
+
+
+_DIAMETER_SWEEP_SQL = f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    {_NODES_CTE},
+    sym AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+        UNION ALL SELECT dst, src FROM edges WHERE src <> dst)),
+    st AS (SELECT min(id) AS s FROM nodes),
+    r1(id, d) AS (
+        SELECT s, CAST(0 AS BIGINT) FROM st
+        UNION
+        SELECT e.v, r1.d + 1 FROM r1 JOIN sym e ON e.u = r1.id
+        WHERE r1.d < 64),
+    m1 AS (SELECT id, min(d) AS d FROM r1 GROUP BY id),
+    far AS (SELECT id FROM m1 ORDER BY d DESC, id LIMIT 1),
+    r2(id, d) AS (
+        SELECT id, CAST(0 AS BIGINT) FROM far
+        UNION
+        SELECT e.v, r2.d + 1 FROM r2 JOIN sym e ON e.u = r2.id
+        WHERE r2.d < 64),
+    m2 AS (SELECT id, min(d) AS d FROM r2 GROUP BY id)
+    SELECT (SELECT s FROM st) AS start_id,
+           (SELECT id FROM far) AS peripheral_id,
+           (SELECT max(d) FROM m2) AS lower_bound
+"""
+
+
 def _q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-graph reciprocity + degree assortativity, aggregation-only
     (operators/graphstats.py:graph_summary)."""
@@ -3791,6 +3854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "greedy_coloring": _q_greedy_coloring,
         "pagerank_dangling": _q_pagerank_dangling,
+        "powerlaw_fit": _q_powerlaw_fit,
+        "diameter_sweep": _q_diameter_sweep,
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
         "spanning_tree": _q_spanning_tree,
@@ -4022,6 +4087,8 @@ def oracle_sql() -> dict[str, str]:
         "resolve_redirects": _redirects_oracle_sql(6),
         "greedy_coloring": _coloring_oracle_sql(4, 4, 42, 200),
         "pagerank_dangling": _pagerank_dangling_unrolled_sql(PR_ITERS),
+        "powerlaw_fit": _POWERLAW_SQL,
+        "diameter_sweep": _DIAMETER_SWEEP_SQL,
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,
         "triangles_incremental": f"""

@@ -119,6 +119,8 @@ _REGISTRY: dict[str, str] = {
     "ext.mis": f"{_P}.operators.mis:maximal_independent_set",
     "ext.coloring": f"{_P}.operators.mis:greedy_coloring",
     "ext.resolveRedirects": f"{_P}.operators.redirects:resolve_redirects",
+    "ext.graph.powerlawFit": f"{_P}.operators.graphstats:powerlaw_fit",
+    "ext.graph.diameterSweep": f"{_P}.operators.graphstats:diameter_double_sweep",
 }
 
 

@@ -6,6 +6,7 @@ from collections import Counter
 
 import pytest
 
+from tests.conftest import make_edges
 from neo4j_graph_algorithms_spark.operators.graphstats import (
     degree_histogram, graph_summary,
 )
@@ -78,3 +79,42 @@ def test_cocitation_and_coupling_pairs(spark):
     assert all(n >= 2 for n in
                (r["n_common"] for r in
                 coupling_pairs(e, min_count=2).collect()))
+
+
+def test_powerlaw_fit_matches_python(spark):
+    import math
+    import random
+    rng = random.Random(5)
+    pairs = list({(rng.randrange(50), rng.randrange(200)) for _ in range(600)})
+    e = make_edges(spark, pairs)
+    from neo4j_graph_algorithms_spark.operators.graphstats import powerlaw_fit
+    row = powerlaw_fit(e, direction="in", d_min=2).first()
+    indeg = {}
+    for _, d in pairs:
+        indeg[d] = indeg.get(d, 0) + 1
+    tail = [v for v in indeg.values() if v >= 2]
+    exp = 1.0 + len(tail) / sum(math.log(v / 1.5) for v in tail)
+    assert row["alpha"] == pytest.approx(exp, rel=1e-9)
+    assert row["n_tail"] == len(tail)
+    with pytest.raises(ValueError):
+        powerlaw_fit(e, direction="sideways")
+
+
+def test_double_sweep_known_graphs(spark):
+    from neo4j_graph_algorithms_spark.operators.graphstats import (
+        diameter_double_sweep,
+    )
+    # path 0-1-2-3-4: diameter 4, double sweep exact on trees
+    e = make_edges(spark, [(i, i + 1) for i in range(4)])
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    row = diameter_double_sweep(v, e).first()
+    assert row["lower_bound"] == 4
+    assert row["peripheral_id"] == 4  # farthest from 0
+    # 6-ring: every eccentricity is 3
+    e = make_edges(spark, [(i, (i + 1) % 6) for i in range(6)])
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    assert diameter_double_sweep(v, e).first()["lower_bound"] == 3
+    # star from center: two hops leaf-to-leaf
+    e = make_edges(spark, [(0, i) for i in range(1, 6)])
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    assert diameter_double_sweep(v, e).first()["lower_bound"] == 2
