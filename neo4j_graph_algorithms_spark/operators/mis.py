@@ -125,10 +125,15 @@ def maximal_independent_set(
             )
             n_win = winners.count()
             mis = winners if mis is None else mis.union(winners)
-            # winners + their neighbors leave
+            # winners + their neighbors leave. Winners ⊆ alive, so the
+            # u-side alive filter is redundant here — semi-join by the
+            # (tiny) winner set FIRST, then the vertex-sized alive
+            # filter on v; the winner probe prunes the edge scan before
+            # anything vertex-sized moves
             nbrs = (
-                live.join(winners.withColumnRenamed("id", "u"), "u",
-                          "leftsemi")
+                sym.join(winners.withColumnRenamed("id", "u"), "u",
+                         "leftsemi")
+                .join(alive.withColumnRenamed("id", "v"), "v", "leftsemi")
                 .select(F.col("v").alias("id"))
                 .distinct()
             )
