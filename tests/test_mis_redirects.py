@@ -149,3 +149,33 @@ def test_redirects_duplicate_src_and_self_loop(spark):
     assert got[1] == (9, 2, 1)
     assert got[3] == (9, 1, 1)
     assert 2 not in got
+
+
+def test_redirects_random_functional_graphs_vs_python(spark):
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 60
+        # random functional mapping over a subset of [0, n): ~2/3 of
+        # nodes redirect somewhere (self-loops and dup srcs included to
+        # exercise canonicalization)
+        rows = [(s, rng.randrange(n)) for s in range(n)
+                if rng.random() < 0.66]
+        rows += [(rows[0][0], rng.randrange(n))] if rows else []
+        k = 4
+        got = {x.src: (x.final_dst, x.hops, x.resolved)
+               for x in resolve_redirects(
+                   _redirects(spark, rows), doubling_rounds=k).collect()}
+        # python replay: min-dst per src, drop self-loops, walk 2^k steps
+        f = {}
+        for s, d in rows:
+            if s != d:
+                f[s] = min(f.get(s, d), d)
+        cap = 2 ** k
+        for s in f:
+            cur, hops = s, 0
+            while hops < cap and cur in f:
+                cur = f[cur]
+                hops += 1
+            exp = (cur, hops, 0 if cur in f else 1)
+            assert got[s] == exp, (trial, s, got[s], exp)
+        assert set(got) == set(f)
