@@ -2190,6 +2190,53 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(v, e, walks_per_node=1, walk_length=3)
 
 
+def _q_random_walks_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted walks (extension — the reference's NodeWalker is
+    uniform-only): pick = Murmur3 mod Σw interval-indexed into the
+    dst-ordered cumulative weights; link-count weights are integral so
+    the whole draw is integer arithmetic and the oracle replays it
+    bit-for-bit."""
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        random_walks_weighted,
+    )
+
+    e = _edges_weighted(spark, sf_dir)
+    v = _vertices(e).filter(F.col("id") < 50)
+    return random_walks_weighted(v, e, walks_per_node=1, walk_length=3)
+
+
+def _random_walks_weighted_oracle_sql(n_starts=50, walk_length=3, seed=42):
+    parts = [
+        _WEDGES_CTE,
+        "we AS MATERIALIZED (SELECT src, dst, CAST(weight AS BIGINT) AS w "
+        "FROM wedges WHERE weight > 0)",
+        "wws AS MATERIALIZED (SELECT src, sum(w) AS ws FROM we GROUP BY src)",
+        "wrank AS MATERIALIZED (SELECT src, dst, w, sum(w) OVER ("
+        "PARTITION BY src ORDER BY dst ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS cum FROM we)",
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM wedges UNION ALL SELECT dst FROM wedges))",
+        f"w0 AS MATERIALIZED (SELECT CAST(id AS BIGINT) AS walk_id, "
+        f"CAST(id AS BIGINT) AS node FROM nodes WHERE id < {n_starts})",
+    ]
+    for s in range(1, walk_length + 1):
+        parts += murmur3_long_int_int_ctes(
+            f"ws{s}_", "w0", "walk_id", "walk_id", s, seed)
+        parts.append(
+            f"w{s} AS MATERIALIZED (SELECT w.walk_id, "
+            f"CAST(r.dst AS BIGINT) AS node "
+            f"FROM w{s-1} w "
+            f"JOIN ws{s}_F h ON h.walk_id = w.walk_id "
+            f"JOIN wws d ON d.src = w.node "
+            f"JOIN wrank r ON r.src = w.node "
+            f"AND r.cum - r.w <= ((h.h % d.ws) + d.ws) % d.ws "
+            f"AND ((h.h % d.ws) + d.ws) % d.ws < r.cum)")
+    sel = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS INT) AS step, node FROM w{s}"
+        for s in range(walk_length + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
 def _q_node2vec_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph → walks → skip-gram pair counts, end-to-end oracle-checked:
     the walks replay bit-for-bit (Murmur3 pick), the pair expansion is
@@ -3856,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dangling": _q_pagerank_dangling,
         "powerlaw_fit": _q_powerlaw_fit,
         "diameter_sweep": _q_diameter_sweep,
+        "random_walks_weighted": _q_random_walks_weighted,
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
         "spanning_tree": _q_spanning_tree,
@@ -4089,6 +4137,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_dangling": _pagerank_dangling_unrolled_sql(PR_ITERS),
         "powerlaw_fit": _POWERLAW_SQL,
         "diameter_sweep": _DIAMETER_SWEEP_SQL,
+        "random_walks_weighted": _random_walks_weighted_oracle_sql(),
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,
         "triangles_incremental": f"""

@@ -591,6 +591,89 @@ def _walk_step(cur: DataFrame, deg: DataFrame, ranked: DataFrame,
     )
 
 
+def random_walks_weighted(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    walks_per_node: int = 1,
+    walk_length: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(walk_id, step, node) — fixed-length weighted random walks: at
+    each step the walker picks out-edge (u → x) with probability
+    ``weight(u,x) / Σ weight(u,·)``. The reference's NodeWalker samples
+    uniformly only (impl/walking/NodeWalker.java RandomNextNodeStrategy);
+    this is the weighted extension a crawl simulator needs (follow
+    links proportionally to link multiplicity).
+
+    Determinism & replay: weights are treated as INTEGRAL
+    multiplicities (link counts — each weight is cast to long; the
+    caller owns pre-scaling fractional weights). The draw is
+    ``pick = hash(walk_id, step, seed) mod W_u`` (an integer in
+    [0, W_u)), and the chosen edge is the one whose cumulative-weight
+    interval over the dst-ordered adjacency contains ``pick`` — all
+    integer arithmetic, so the DuckDB oracle replays it exactly (same
+    Murmur3 chain as ``random_walks``).
+
+    Scale note: unlike the uniform walker (whose pick reduces to an
+    equi-join on a precomputed rank), interval selection genuinely
+    needs the walker's candidate adjacency — the same per-hub fan-out
+    trade-off as ``node2vec_walks``, and the same cumulative-window
+    shape. Dead ends (no out-edges) stop."""
+    wedges = (
+        edges.select("src", "dst",
+                     F.col("weight").cast("long").alias("_w"))
+        .filter(F.col("_w") > 0)
+    )
+    wsum = wedges.groupBy("src").agg(F.sum("_w").alias("_wsum")) \
+        .withColumnRenamed("src", "node").persist()
+    ranked = (
+        wedges.select(F.col("src").alias("node"), "dst", "_w")
+        .withColumn(
+            "_cum",
+            F.sum("_w").over(
+                W.partitionBy("node").orderBy("dst")
+                .rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .persist()
+    )
+    ranked.count()
+
+    starts = vertices.select("id").crossJoin(
+        F.broadcast(
+            vertices.sparkSession.range(walks_per_node).select(
+                F.col("id").alias("_w"))
+        )
+    ).select(
+        (F.col("id") * walks_per_node + F.col("_w")).alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("id").alias("node"),
+    )
+    out = starts.persist()
+    cur = starts
+    for step in range(1, walk_length + 1):
+        pick = F.pmod(
+            F.hash(F.col("walk_id"), F.lit(step), F.lit(seed)),
+            F.col("_wsum"),
+        )
+        nxt = (
+            cur.join(wsum, "node")
+            .withColumn("_pick", pick)
+            .join(ranked, "node")
+            .filter((F.col("_cum") - F.col("_w") <= F.col("_pick"))
+                    & (F.col("_pick") < F.col("_cum")))
+            .select("walk_id", F.lit(step).alias("step"),
+                    F.col("dst").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        nxt.count()
+        out = out.union(nxt)
+        cur = nxt
+    wsum.unpersist()
+    ranked.unpersist()
+    return out
+
+
 def node2vec_walks(
     vertices: DataFrame,
     edges: DataFrame,

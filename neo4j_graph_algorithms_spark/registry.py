@@ -121,6 +121,7 @@ _REGISTRY: dict[str, str] = {
     "ext.resolveRedirects": f"{_P}.operators.redirects:resolve_redirects",
     "ext.graph.powerlawFit": f"{_P}.operators.graphstats:powerlaw_fit",
     "ext.graph.diameterSweep": f"{_P}.operators.graphstats:diameter_double_sweep",
+    "ext.randomWalk.weighted": f"{_P}.operators.traversal:random_walks_weighted",
 }
 
 

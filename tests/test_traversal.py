@@ -357,3 +357,41 @@ def test_walk_skipgram_pairs_python_replay(spark):
                 exp[tuple(sorted((seq[i], seq[j])))] += 1
     assert got == dict(exp)
     assert got[(5, 5)] == 1  # revisit within window → self-pair
+
+
+def test_weighted_walks_equal_uniform_when_weights_one(spark):
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        random_walks, random_walks_weighted,
+    )
+    pairs = [(i, (i + j) % 12) for i in range(12) for j in (1, 2, 3)]
+    v = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    e = make_edges(spark, pairs)  # weight defaults to 1.0
+    uni = {(r.walk_id, r.step): r.node
+           for r in random_walks(v, e, walk_length=4).collect()}
+    wtd = {(r.walk_id, r.step): r.node
+           for r in random_walks_weighted(v, e, walk_length=4).collect()}
+    # pick = pmod(hash, W_u) with W_u == deg indexes the same dst-ordered
+    # adjacency → bit-identical trajectories
+    assert uni == wtd
+
+
+def test_weighted_walks_follow_weights_and_stop_at_dead_ends(spark):
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        random_walks_weighted,
+    )
+    # node 0 → 1 with weight 999, 0 → 2 with weight 1; 1 and 2 dead-end
+    e = make_edges(spark, [(0, 1, 999.0), (0, 2, 1.0)])
+    v = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    out = random_walks_weighted(v, e, walks_per_node=200,
+                                walk_length=1).collect()
+    step1 = [r.node for r in out if r.step == 1]
+    # only walkers starting at 0 take a step (1, 2 are dead ends)
+    assert len(step1) == 200
+    frac = sum(1 for n in step1 if n == 1) / len(step1)
+    assert frac > 0.97  # 999/1000 expected; deterministic given the seed
+    # every step-1 node is an out-neighbor of 0
+    assert set(step1) <= {1, 2}
+    # deterministic
+    again = random_walks_weighted(v, e, walks_per_node=200,
+                                  walk_length=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
