@@ -3608,6 +3608,36 @@ def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cocitation_pairs(e, min_count=2)
 
 
+def _q_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (the transpose of co-citation: pages
+    LINKING TO ≥2 common targets; Kessler 1963) on the same pages
+    link graph — pivot is the shared target."""
+    from neo4j_graph_algorithms_spark.operators.cocitation import (
+        coupling_pairs,
+    )
+    from neo4j_graph_algorithms_spark.sources import (
+        extract_edges, generate_pages,
+    )
+
+    e = extract_edges(generate_pages(spark, 2000)).select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+    return coupling_pairs(e, min_count=2)
+
+
+def _coupling_sql(n: int, min_count: int = 2) -> str:
+    """Coupling oracle: the cocitation SQL with the pivot transposed
+    (shared dst_url, paired src_urls)."""
+    return (
+        "WITH " + ",\n".join(_pages_linklist_parts(n)) + ",\n"
+        "e AS (SELECT DISTINCT src_url, dst_url FROM plinks)\n"
+        "SELECT a.src_url AS item_a, b.src_url AS item_b, "
+        "count(*) AS n_common "
+        "FROM e a JOIN e b ON a.dst_url = b.dst_url "
+        "AND a.src_url < b.src_url "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_count}"
+    )
+
+
 def _cocitation_sql(n: int, min_count: int = 2) -> str:
     """Oracle for cocitation: distinct link list → source-pivot
     self-join → pair counts (operators/cocitation.py:cocitation_pairs;
@@ -3904,6 +3934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_fit": _q_powerlaw_fit,
         "diameter_sweep": _q_diameter_sweep,
         "random_walks_weighted": _q_random_walks_weighted,
+        "coupling_pairs": _q_coupling,
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
         "spanning_tree": _q_spanning_tree,
@@ -4138,6 +4169,7 @@ def oracle_sql() -> dict[str, str]:
         "powerlaw_fit": _POWERLAW_SQL,
         "diameter_sweep": _DIAMETER_SWEEP_SQL,
         "random_walks_weighted": _random_walks_weighted_oracle_sql(),
+        "coupling_pairs": _coupling_sql(2000),
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,
         "triangles_incremental": f"""
