@@ -124,6 +124,55 @@ _REGISTRY: dict[str, str] = {
     "ext.randomWalk.weighted": f"{_P}.operators.traversal:random_walks_weighted",
 }
 
+# The reference exposes each algorithm under several procedure names:
+# `.stream` twins return rows instead of writing node properties, and
+# queue/forkJoin/forkJoinMerge/mscoloring (unionFind), the scc impl
+# family, and triangleCount.forkJoin pick a JVM THREAD strategy — an
+# axis Spark owns (parallelism is partitioning, not a procedure name).
+# Every alias resolves to the same DataFrame operator; write-mode =
+# persist the returned DataFrame (sources/iceberg.py). The full
+# reference @Procedure surface is pinned by
+# tests/test_registry_surface.py against the grep of the reference tree.
+_ALIASES: dict[str, str] = {
+    "algo.unionFind.queue": "algo.unionFind",
+    "algo.unionFind.forkJoin": "algo.unionFind",
+    "algo.unionFind.forkJoinMerge": "algo.unionFind",
+    "algo.unionFind.mscoloring": "algo.unionFind",
+    "algo.scc.recursive.tarjan": "algo.scc",
+    "algo.scc.recursive.tunedTarjan": "algo.scc",
+    "algo.scc.iterative": "algo.scc",
+    "algo.scc.multistep": "algo.scc",
+    "algo.scc.forwardBackward.stream": "algo.scc",
+    "algo.triangleCount.forkJoin": "algo.triangleCount",
+    "algo.spanningTree.minimum": "algo.spanningTree",
+    "algo.spanningTree.maximum": "algo.spanningTree",
+}
+for _alias, _target in _ALIASES.items():
+    _REGISTRY[_alias] = _REGISTRY[_target]
+
+# .stream twins (write mode differs only in the sink)
+_STREAM_TWINS = [
+    "algo.pageRank", "algo.articleRank", "algo.eigenvector", "algo.degree",
+    "algo.closeness", "algo.closeness.harmonic", "algo.closeness.dangalchev",
+    "algo.betweenness", "algo.betweenness.sampled", "algo.unionFind",
+    "algo.unionFind.queue", "algo.unionFind.forkJoin",
+    "algo.unionFind.forkJoinMerge", "algo.unionFind.mscoloring",
+    "algo.labelPropagation", "algo.louvain", "algo.infoMap", "algo.scc",
+    "algo.scc.iterative", "algo.scc.recursive.tunedTarjan",
+    "algo.scc.multistep", "algo.triangleCount", "algo.triangleCount.forkJoin",
+    "algo.kShortestPaths", "algo.shortestPath", "algo.shortestPaths",
+    "algo.shortestPath.deltaStepping", "algo.balancedTriads",
+    "algo.similarity.jaccard", "algo.similarity.overlap",
+    "algo.similarity.cosine", "algo.similarity.euclidean",
+    "algo.similarity.pearson",
+]
+for _base in _STREAM_TWINS:
+    _REGISTRY[f"{_base}.stream"] = _REGISTRY[_base]
+
+# catalog/meta procedures implemented by this module itself
+_REGISTRY.setdefault("algo.list", f"{_P}.registry:list_algorithms")
+_REGISTRY.setdefault("algo.asPath", f"{_P}.functions.scalars:as_path")
+
 
 def list_algorithms() -> dict[str, str]:
     """Reference procedure name → ``module:callable`` entry point."""
