@@ -33,6 +33,17 @@ def _union_edges(spark):
         [(s, d) for s, d in rows], "src long, dst long")
 
 
+def _stamp_arrival_order(path, i):
+    # Spark's file source orders same-mtime files ARBITRARILY (directory
+    # listing order); real crawl drops arrive over time with increasing
+    # mtimes. Space them 10 s apart so drop order == arrival order even
+    # when a loaded test box writes all files within one mtime tick
+    # (observed: a full-suite run processed drop001 before drop000 and
+    # flipped a first-seen-wins survivor).
+    base = 1_600_000_000
+    os.utime(path, (base + 10 * i, base + 10 * i))
+
+
 def _write_batches(spark, deltas_dir, batches):
     # one file per drop => one micro-batch per drop at maxFilesPerTrigger=1
     import pyarrow as pa
@@ -42,7 +53,9 @@ def _write_batches(spark, deltas_dir, batches):
     for i, b in enumerate(batches):
         tbl = pa.table({"src": [int(s) for s, _ in b],
                         "dst": [int(d) for _, d in b]})
-        pq.write_table(tbl, os.path.join(deltas_dir, f"drop{i:03d}.parquet"))
+        fp = os.path.join(deltas_dir, f"drop{i:03d}.parquet")
+        pq.write_table(tbl, fp)
+        _stamp_arrival_order(fp, i)
 
 
 def _vertices(edges):
@@ -166,7 +179,9 @@ def _write_doc_batches(docs_dir, batches):
             "source": ["s"] * len(b),
             "n_chars": [len(t) for _, t in b],
         })
-        pq.write_table(tbl, os.path.join(docs_dir, f"drop{i:03d}.parquet"))
+        fp = os.path.join(docs_dir, f"drop{i:03d}.parquet")
+        pq.write_table(tbl, fp)
+        _stamp_arrival_order(fp, i)
 
 
 def test_dedup_maintenance_matches_batch(spark, tmp_path):
