@@ -3395,6 +3395,66 @@ def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(_edges(spark, sf_dir))
 
 
+def _q_community_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMI/ARI between two deterministic labelings (id%5 vs id%3) of
+    the driver graph's nodes (operators/metrics.py): exercises the
+    contingency/marginal/entropy pipeline with a closed-form SQL
+    replay. Real usage compares detector outputs (LPA vs Louvain vs
+    ground truth); the arithmetic labelings keep the oracle
+    self-contained."""
+    from neo4j_graph_algorithms_spark.operators.metrics import (
+        community_compare,
+    )
+
+    e = _edges(spark, sf_dir)
+    v = _vertices(e)
+    a = v.select("id", (F.col("id") % 5).alias("label"))
+    b = v.select("id", (F.col("id") % 3).alias("label"))
+    out = community_compare(a, b)
+    return out.select("n", F.round("nmi", 6).alias("nmi"),
+                      F.round("ari", 6).alias("ari"))
+
+
+_COMMUNITY_COMPARE_SQL = f"""
+    WITH {_EDGES_CTE}, {_NODES_CTE},
+    la AS (SELECT id, id % 5 AS ca FROM nodes),
+    lb AS (SELECT id, id % 3 AS cb FROM nodes),
+    ct AS MATERIALIZED (SELECT ca, cb, count(*) AS nij
+                        FROM la JOIN lb USING (id) GROUP BY 1, 2),
+    ma AS MATERIALIZED (SELECT ca, sum(nij) AS ai FROM ct GROUP BY 1),
+    mb AS MATERIALIZED (SELECT cb, sum(nij) AS bj FROM ct GROUP BY 1),
+    s AS (SELECT CAST(sum(nij) AS DOUBLE) AS n,
+                 sum(CAST(nij AS DOUBLE) * (CAST(nij AS DOUBLE) - 1.0)
+                     / 2.0) AS snij2
+          FROM ct),
+    sa AS (SELECT sum(CAST(ai AS DOUBLE) * (CAST(ai AS DOUBLE) - 1.0)
+                      / 2.0) AS sai2 FROM ma),
+    sb AS (SELECT sum(CAST(bj AS DOUBLE) * (CAST(bj AS DOUBLE) - 1.0)
+                      / 2.0) AS sbj2 FROM mb),
+    mi AS (SELECT sum((ct.nij / s.n)
+                      * ln((s.n * ct.nij)
+                           / (CAST(ma.ai AS DOUBLE) * mb.bj))) AS mi
+           FROM ct JOIN ma USING (ca) JOIN mb USING (cb) CROSS JOIN s),
+    ha AS (SELECT -sum((ai / s.n) * ln(ai / s.n)) AS ha
+           FROM ma CROSS JOIN s),
+    hb AS (SELECT -sum((bj / s.n) * ln(bj / s.n)) AS hb
+           FROM mb CROSS JOIN s)
+    SELECT CAST(s.n AS BIGINT) AS n,
+           round(CASE WHEN ha.ha + hb.hb = 0.0 THEN 1.0
+                 ELSE 2.0 * mi.mi / (ha.ha + hb.hb) END, 6) + 0.0 AS nmi,
+           round(CASE WHEN (sa.sai2 + sb.sbj2) / 2.0
+                      - sa.sai2 * sb.sbj2 / (s.n * (s.n - 1.0) / 2.0) = 0.0
+                 THEN 1.0
+                 ELSE (s.snij2
+                       - sa.sai2 * sb.sbj2 / (s.n * (s.n - 1.0) / 2.0))
+                      / ((sa.sai2 + sb.sbj2) / 2.0
+                         - sa.sai2 * sb.sbj2 / (s.n * (s.n - 1.0) / 2.0))
+                 END, 6) + 0.0 AS ari
+    FROM s CROSS JOIN sa CROSS JOIN sb
+    CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
 def _q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clauset-Shalizi-Newman continuous-MLE power-law exponent of the
     in-degree distribution (operators/graphstats.py:powerlaw_fit). The
@@ -3935,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_sweep": _q_diameter_sweep,
         "random_walks_weighted": _q_random_walks_weighted,
         "coupling_pairs": _q_coupling,
+        "community_compare": _q_community_compare,
         "degree_histogram": _q_degree_histogram,
         "temperature_mix": _q_temperature_mix,
         "spanning_tree": _q_spanning_tree,
@@ -4170,6 +4231,7 @@ def oracle_sql() -> dict[str, str]:
         "diameter_sweep": _DIAMETER_SWEEP_SQL,
         "random_walks_weighted": _random_walks_weighted_oracle_sql(),
         "coupling_pairs": _coupling_sql(2000),
+        "community_compare": _COMMUNITY_COMPARE_SQL,
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,
         "triangles_incremental": f"""

@@ -122,6 +122,7 @@ _REGISTRY: dict[str, str] = {
     "ext.graph.powerlawFit": f"{_P}.operators.graphstats:powerlaw_fit",
     "ext.graph.diameterSweep": f"{_P}.operators.graphstats:diameter_double_sweep",
     "ext.randomWalk.weighted": f"{_P}.operators.traversal:random_walks_weighted",
+    "ext.community.compare": f"{_P}.operators.metrics:community_compare",
 }
 
 # The reference exposes each algorithm under several procedure names:
