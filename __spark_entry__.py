@@ -461,13 +461,16 @@ def _pages_pagerank_sql(n: int, max_iters: int, tol: float,
 
 
 def _batch_ppr_unrolled_sql(iters: int, source_sets: list[list[int] | None],
-                            final_select: str | None = None) -> str:
+                            final_select: str | None = None,
+                            extra_ctes: list[str] | None = None) -> str:
     """Unrolled batch personalized PageRank — S rank columns per CTE
     level, each column the exact _ppr_unrolled_sql recurrence for its
     teleport set (operators/pagerank.py:pagerank_batch_personalized).
     A ``None`` set = global teleport (the spam_mass register).
     ``final_select`` overrides the trailing SELECT (CTEs end at
-    ``r{iters}``)."""
+    ``r{iters}``); ``extra_ctes`` are appended after the recurrence
+    (they can reference ``r{iters}``) — the sweep-cut oracle composes
+    its conductance scan this way."""
     S = len(source_sets)
     bases = []
     for ss in source_sets:
@@ -498,6 +501,7 @@ def _batch_ppr_unrolled_sql(iters: int, source_sets: list[list[int] | None],
                 f"coalesce(m.m{s}, 0.0) AS r{s}" for s in range(S))
             + f" FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)"
         )
+    parts += extra_ctes or []
     tail = final_select or (
         "SELECT id, "
         + ", ".join(f"round(r{s}, 6) AS r{s}" for s in range(S))
@@ -1185,6 +1189,167 @@ def _q_pagerank_batch_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vertices(e), e, BATCH_PPR_SETS, max_iterations=PR_ITERS, tol=0.0)
     return res.ranks.select(
         "id", *[F.round(f"r{s}", 6).alias(f"r{s}") for s in range(3)])
+
+
+SWEEP_SEEDS = [0, 1, 2, 3, 4]
+
+
+def _q_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPR-Nibble sweep (operators/local_cluster.py — Andersen-Chung-
+    Lang local clustering): 10-iteration personalized PageRank from 5
+    seeds, vertices ordered by quantized score/degree, conductance of
+    every sweep prefix via distributed prefix sums (plans/ranking.py —
+    range repartition + per-partition offsets, no single-partition
+    window). Oracle replays the batch-PPR recurrence then the identical
+    sweep with SQL window cumsums; the round(·,6) quantization of the
+    ordering key makes the sweep order integer-exact cross-engine."""
+    from neo4j_graph_algorithms_spark.operators.local_cluster import (
+        sweep_cut,
+    )
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        pagerank_batch_personalized,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = pagerank_batch_personalized(
+        _vertices(e), e, [SWEEP_SEEDS], max_iterations=PR_ITERS, tol=0.0)
+    scores = res.ranks.select("id", F.col("r0").alias("score"))
+    return sweep_cut(e, scores, quantize=6)
+
+
+def _ppr_sweep_cut_sql(iters: int, seeds: list[int]) -> str:
+    """Sweep-cut conductance scan composed onto the unrolled batch-PPR
+    recurrence: undirected simple graph, support = quantized score > 0,
+    difference-array cut counts (+1 at the lower sweep position, −1 at
+    the higher; no −1 when the far endpoint is outside the support),
+    window cumsums for volume and cut."""
+    extra = [
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+        "sdeg AS (SELECT id, count(*) AS deg FROM "
+        "(SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) "
+        "GROUP BY id)",
+        "sm2 AS (SELECT 2.0 * count(*) AS m2 FROM und)",
+        f"sup AS (SELECT r.id, round(r.r0, 6) AS s, d.deg "
+        f"FROM r{iters} r JOIN sdeg d ON r.id = d.id "
+        "WHERE round(r.r0, 6) > 0)",
+        "rk AS MATERIALIZED (SELECT id, deg, "
+        "row_number() OVER (ORDER BY s / deg DESC, id) AS pos FROM sup)",
+        "prs AS (SELECT ra.pos AS pa, rb.pos AS pb FROM und u "
+        "LEFT JOIN rk ra ON u.a = ra.id LEFT JOIN rk rb ON u.b = rb.id "
+        "WHERE ra.pos IS NOT NULL OR rb.pos IS NOT NULL)",
+        "ev AS (SELECT pos, sum(delta) AS delta FROM ("
+        "SELECT CASE WHEN pa IS NULL THEN pb WHEN pb IS NULL THEN pa "
+        "WHEN pa < pb THEN pa ELSE pb END AS pos, 1 AS delta FROM prs "
+        "UNION ALL "
+        "SELECT CASE WHEN pa < pb THEN pb ELSE pa END AS pos, -1 AS delta "
+        "FROM prs WHERE pa IS NOT NULL AND pb IS NOT NULL"
+        ") GROUP BY pos)",
+        "sweep AS (SELECT r.pos, r.id, "
+        "sum(r.deg) OVER (ORDER BY r.pos) AS vol, "
+        "sum(coalesce(e.delta, 0)) OVER (ORDER BY r.pos) AS cut "
+        "FROM rk r LEFT JOIN ev e ON e.pos = r.pos)",
+    ]
+    final = (
+        "SELECT pos, id, CAST(vol AS BIGINT) AS vol, "
+        "CAST(cut AS BIGINT) AS cut, "
+        "round(CAST(cut AS DOUBLE) / least(CAST(vol AS DOUBLE), "
+        "(SELECT m2 FROM sm2) - vol), 6) + 0.0 AS conductance "
+        "FROM sweep "
+        "WHERE least(CAST(vol AS DOUBLE), (SELECT m2 FROM sm2) - vol) > 0"
+    )
+    return _batch_ppr_unrolled_sql(iters, [seeds],
+                                   final_select=final, extra_ctes=extra)
+
+
+KATZ_ITERS = 8
+KATZ_ALPHA = 0.05
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (operators/centrality_variants.py:katz_centrality),
+    fixed 8 iterations of x ← β + α·Aᵀx from x₀ = β·1 — engine
+    extension between the reference's eigenvector centrality
+    (EigenvectorCentralityProc.java) and PageRank. Oracle unrolls the
+    identical recurrence."""
+    from neo4j_graph_algorithms_spark.operators.centrality_variants import (
+        katz_centrality,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = katz_centrality(_vertices(e), e, alpha=KATZ_ALPHA, beta=1.0,
+                          max_iterations=KATZ_ITERS, tol=0.0)
+    return res.scores.select("id", F.round("score", 6).alias("score"))
+
+
+def _katz_unrolled_sql(iters: int, alpha: float) -> str:
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "k0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"km{i} AS MATERIALIZED (SELECT e.dst AS id, sum(k.x) AS m "
+            f"FROM edges e JOIN k{i-1} k ON e.src = k.id GROUP BY e.dst)")
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT n.id, 1.0 + {alpha!r} * "
+            f"coalesce(m.m, 0.0) AS x FROM nodes n "
+            f"LEFT JOIN km{i} m ON n.id = m.id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(x, 6) AS score FROM k{iters}")
+
+
+def _q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community cut/volume/conductance (operators/metrics.py:
+    community_conductance) over the deterministic one-level Louvain
+    labels — the partition-quality YIELD surface. Oracle composes the
+    conductance scan onto the unrolled Louvain rounds."""
+    from neo4j_graph_algorithms_spark.operators.louvain import (
+        louvain_one_level,
+    )
+    from neo4j_graph_algorithms_spark.operators.metrics import (
+        community_conductance,
+    )
+
+    e = _sub_edges(spark, sf_dir)
+    labels = louvain_one_level(_vertices(e), e, rounds=4)
+    return community_conductance(e, labels)
+
+
+def _community_conductance_sql(rounds: int) -> str:
+    extra = [
+        "cund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM se WHERE src <> dst)",
+        "cdeg AS (SELECT id, count(*) AS deg FROM "
+        "(SELECT a AS id FROM cund UNION ALL SELECT b AS id FROM cund) "
+        "GROUP BY id)",
+        "cm2 AS (SELECT 2.0 * count(*) AS m2 FROM cund)",
+        f"clab AS (SELECT id, community FROM lab{rounds})",
+        "cvol AS (SELECT l.community, count(*) AS size, "
+        "sum(coalesce(d.deg, 0)) AS vol FROM clab l "
+        "LEFT JOIN cdeg d ON l.id = d.id GROUP BY l.community)",
+        "csided AS (SELECT u.a, u.b, la.community AS ca, lb.community AS cb, "
+        "CASE WHEN la.community <> lb.community THEN 1 ELSE 0 END AS x "
+        "FROM cund u JOIN clab la ON u.a = la.id "
+        "JOIN clab lb ON u.b = lb.id)",
+        "ccut AS (SELECT community, sum(x) AS cut FROM ("
+        "SELECT ca AS community, x FROM csided "
+        "UNION ALL SELECT cb AS community, x FROM csided"
+        ") GROUP BY community)",
+    ]
+    final = (
+        "SELECT v.community, CAST(v.size AS BIGINT) AS size, "
+        "CAST(v.vol AS BIGINT) AS vol, "
+        "CAST(coalesce(c.cut, 0) AS BIGINT) AS cut, "
+        "CASE WHEN least(CAST(v.vol AS DOUBLE), "
+        "(SELECT m2 FROM cm2) - v.vol) > 0 THEN "
+        "round(CAST(coalesce(c.cut, 0) AS DOUBLE) / "
+        "least(CAST(v.vol AS DOUBLE), (SELECT m2 FROM cm2) - v.vol), 6) "
+        "+ 0.0 ELSE NULL END AS conductance "
+        "FROM cvol v LEFT JOIN ccut c ON v.community = c.community"
+    )
+    return _louvain_onelevel_sql(rounds, final_select=final,
+                                 extra_ctes=extra)
 
 
 def _q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2044,13 +2209,16 @@ def _random_walks_oracle_sql(n_starts=50, walk_length=3, seed=42):
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
-def _hyperball_oracle_sql(radius: int = 3, b: int = 4) -> str:
+def _hyperball_oracle_sql(radius: int = 3, b: int = 4,
+                          final_select: str | None = None) -> str:
     """Bit-exact DuckDB replay of operators/hyperball.py: the Murmur3
     register init (same hash chain as the random-walk oracle), ``radius``
     elementwise-max gather rounds, and the shared HLL estimate expression
     (``hll_estimate_sql`` emits ONE text valid in both engines, so the
     double arithmetic runs in the same order — register sums are dyadic
-    rationals, exact in IEEE doubles)."""
+    rationals, exact in IEEE doubles). With ``final_select`` the
+    per-radius estimates become a ``balls(id, r, ball_est)`` CTE that the
+    caller's SELECT composes on (eccentricity)."""
     from neo4j_graph_algorithms_spark.operators.hyperball import (
         HASH_SALT1,
         HASH_SALT2,
@@ -2096,7 +2264,10 @@ def _hyperball_oracle_sql(radius: int = 3, b: int = 4) -> str:
     sel = " UNION ALL ".join(
         f"SELECT id, CAST({t} AS INT) AS r, {est} AS ball_est FROM regs{t}"
         for t in range(radius + 1))
-    return "WITH " + ",\n".join(parts) + "\n" + sel
+    if final_select is None:
+        return "WITH " + ",\n".join(parts) + "\n" + sel
+    parts.append(f"balls AS ({sel})")
+    return "WITH " + ",\n".join(parts) + "\n" + final_select
 
 
 def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2111,6 +2282,32 @@ def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = hyperball(v, e, radius=3, b=4)
     return res.balls.select("id", F.col("r").cast("int").alias("r"),
                             "ball_est")
+
+
+def _q_approx_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate eccentricity (operators/hyperball.py:
+    approx_eccentricity): smallest radius whose ball estimate equals
+    the final one, from the same bit-exact sketch as hyperball_balls.
+    The oracle composes the plateau scan onto the HLL replay."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import (
+        approx_eccentricity,
+        hyperball,
+    )
+
+    e = _edges(spark, sf_dir)
+    v = _vertices(e)
+    res = hyperball(v, e, radius=3, b=4)
+    return approx_eccentricity(res.balls)
+
+
+_ECC_FINAL_SELECT = """
+SELECT b.id, CAST(min(b.r) AS INT) AS ecc, round(max(f.fin), 6) AS reach
+FROM balls b
+JOIN (SELECT id, ball_est AS fin FROM balls
+      WHERE r = (SELECT max(r) FROM balls)) f ON b.id = f.id
+WHERE b.ball_est = f.fin
+GROUP BY b.id
+"""
 
 
 def _q_hyperball_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2809,12 +3006,15 @@ def _q_louvain_onelevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_one_level(_vertices(e), e, rounds=4)
 
 
-def _louvain_onelevel_sql(rounds: int) -> str:
+def _louvain_onelevel_sql(rounds: int, final_select: str | None = None,
+                          extra_ctes: list[str] | None = None) -> str:
     """Unrolled one-level Louvain: per round, votes (v→neighbor-community
     weight) → Σ_tot → gain → argmax pick → parity-gated moves → next
     labels. All arithmetic is IEEE-double over integer-valued operands in
     the same association order as the Spark operator, so gains (and the
-    min-community tie-break on exact ties) agree bit-for-bit."""
+    min-community tie-break on exact ties) agree bit-for-bit.
+    ``extra_ctes``/``final_select`` let composing oracles (per-community
+    conductance) build on ``lab{rounds}``."""
     parts = [
         f"e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey % {N_MOD} AS BIGINT) AS src, "
         f"CAST(l_partkey % {N_MOD} AS BIGINT) AS dst FROM lineitem)",
@@ -2838,8 +3038,9 @@ def _louvain_onelevel_sql(rounds: int) -> str:
         "lab0 AS MATERIALIZED (SELECT id, id AS community FROM verts)",
     ]
     parts += _louvain_rounds_sql(rounds, tag="", e="e", kv="kv", tm="tm")
-    return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT id, community FROM lab{rounds}")
+    parts += extra_ctes or []
+    tail = final_select or f"SELECT id, community FROM lab{rounds}"
+    return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
 def _louvain_rounds_sql(rounds: int, *, tag: str, e: str, kv: str,
@@ -4061,6 +4262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_onelevel": _q_louvain_onelevel,
         "quality_scores": _q_quality,
         "louvain": _q_louvain,
+        "katz": _q_katz,
+        "ppr_sweep_cut": _q_ppr_sweep_cut,
+        "community_conductance": _q_community_conductance,
+        "approx_eccentricity": _q_approx_eccentricity,
     }
 
 
@@ -4077,6 +4282,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_unrolled_sql(PR_ITERS, weighted=True),
         "pagerank_personalized": _ppr_unrolled_sql(PR_ITERS, list(range(10))),
         "pagerank_batch_ppr": _batch_ppr_unrolled_sql(PR_ITERS, BATCH_PPR_SETS),
+        "katz": _katz_unrolled_sql(KATZ_ITERS, KATZ_ALPHA),
+        "ppr_sweep_cut": _ppr_sweep_cut_sql(PR_ITERS, SWEEP_SEEDS),
+        "community_conductance": _community_conductance_sql(4),
         "spam_mass": _spam_mass_sql(PR_ITERS, list(range(20))),
         # bucket = length(bin(deg))-1: exact binary digit count on both
         # engines (float log2 can land a hair under an integer)
@@ -4196,6 +4404,8 @@ def oracle_sql() -> dict[str, str]:
         "hyperball_balls": _hyperball_oracle_sql(radius=3, b=4),
         "hyperball_anf": _hyperball_anf_oracle_sql(radius=3, b=4),
         "effective_diameter": _effective_diameter_oracle_sql(radius=3, b=4),
+        "approx_eccentricity": _hyperball_oracle_sql(
+            radius=3, b=4, final_select=_ECC_FINAL_SELECT),
         "k_shortest_paths": _ksp_oracle_sql(),
         "all_shortest_paths": _allsp_unrolled_sql(20),
         "astar_path": _astar_oracle_sql(),

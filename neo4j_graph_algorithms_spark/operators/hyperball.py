@@ -52,6 +52,7 @@ __all__ = [
     "hyperball",
     "approx_neighborhood_function",
     "approx_effective_diameter",
+    "approx_eccentricity",
     "closeness_hyperball",
     "hll_alpha",
     "hll_estimate_sql",
@@ -256,6 +257,46 @@ def approx_effective_diameter(
         )
     )
     return hit
+
+
+def approx_eccentricity(balls: DataFrame) -> DataFrame:
+    """Approximate per-vertex eccentricity from the HyperBall sketch
+    (HyperANF §5 uses the same plateau idea graph-wide for the
+    diameter): ``ecc(v)`` = the smallest radius whose ball estimate
+    equals the final (radius-R) estimate — where v's sketch first
+    reports its final ball size. On a collision-free sketch (small
+    balls / linear-counting regime) this IS the exact eccentricity
+    within the run's radius bound; with register collisions it can
+    under-report (a new shell that changes no register is invisible) —
+    the usual HLL trade. Run with ``radius`` comfortably past the
+    expected diameter, else values truncate at R.
+
+    Defined via double EQUALITY of the deterministic estimate (the
+    sketch replay is bit-exact cross-engine), not monotonicity — the
+    linear-counting→raw-estimate switch makes the series technically
+    non-monotone at the regime boundary.
+
+    Returns ``(id, ecc, reach)``; ``reach`` = final ball estimate
+    rounded to 6 decimals. Radius = ``min(ecc)``, diameter ≈
+    ``max(ecc)`` over any strongly-reachable vertex set.
+    """
+    from pyspark.sql.window import Window
+
+    wv = Window.partitionBy("id")
+    mx = balls.withColumn("_rmax", F.max("r").over(wv))
+    fin = (
+        mx.filter(F.col("r") == F.col("_rmax"))
+        .select("id", F.col("ball_est").alias("_fin"))
+    )
+    return (
+        balls.join(fin, "id")
+        .filter(F.col("ball_est") == F.col("_fin"))
+        .groupBy("id")
+        .agg(
+            F.min("r").cast("int").alias("ecc"),
+            F.round(F.max("_fin"), 6).alias("reach"),
+        )
+    )
 
 
 def closeness_hyperball(

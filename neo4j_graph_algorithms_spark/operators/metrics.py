@@ -25,7 +25,79 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["community_compare"]
+__all__ = ["community_compare", "community_conductance"]
+
+
+def community_conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    label_col: str = "community",
+) -> DataFrame:
+    """Per-community cut size, volume, and conductance — the standard
+    quality score for a partition (Kannan, Vempala & Vetta; used to
+    evaluate any of the engine's community detectors).
+
+    ``labels``: (id, community). Degrees/volumes are over the
+    undirected simple graph induced by ``edges`` (symmetrized,
+    deduplicated, self-loops dropped); ``cut(c)`` counts undirected
+    edges with exactly one endpoint labeled ``c``; conductance =
+    cut / min(vol, 2m − vol), NULL-free: communities whose denominator
+    is 0 (the whole graph) are excluded.
+
+    Shape: one distinct over the edge table, two broadcast-sized joins
+    of the edge list against the (vertex-sized) label table, then
+    community-keyed aggregations — output is |communities| rows,
+    model-sized. No per-prefix or per-pair work.
+    """
+    lab = labels.select("id", F.col(label_col).alias("_c"))
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+        # materialized once; the returned plan still references it, so a
+        # persist+unpersist pair would silently recompute it downstream
+        .localCheckpoint(eager=True)
+    )
+    m = und.count()
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    vol = (
+        lab.join(deg, "id", "left")
+        .groupBy(F.col("_c").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"),
+             F.sum(F.coalesce(F.col("deg"), F.lit(0))).alias("vol"))
+    )
+    la = lab.select(F.col("id").alias("a"), F.col("_c").alias("_ca"))
+    lb = lab.select(F.col("id").alias("b"), F.col("_c").alias("_cb"))
+    sided = (
+        und.join(la, "a").join(lb, "b")
+        .withColumn("_x", F.when(F.col("_ca") != F.col("_cb"), 1)
+                    .otherwise(0))
+    )
+    cut = (
+        sided.select(F.col("_ca").alias("community"), "_x")
+        .unionAll(sided.select(F.col("_cb").alias("community"), "_x"))
+        .groupBy("community").agg(F.sum("_x").alias("cut"))
+    )
+    m2 = 2.0 * m
+    den = F.least(F.col("vol").cast("double"), F.lit(m2) - F.col("vol"))
+    return (
+        vol.join(cut, "community", "left")
+        .select(
+            "community",
+            F.col("size").cast("long").alias("size"),
+            F.col("vol").cast("long").alias("vol"),
+            F.coalesce(F.col("cut"), F.lit(0)).cast("long").alias("cut"),
+            F.when(den > 0,
+                   F.round(F.coalesce(F.col("cut"), F.lit(0)) / den, 6)
+                   + F.lit(0.0)).alias("conductance"),
+        )
+    )
 
 
 def community_compare(

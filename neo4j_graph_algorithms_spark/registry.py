@@ -123,6 +123,11 @@ _REGISTRY: dict[str, str] = {
     "ext.graph.diameterSweep": f"{_P}.operators.graphstats:diameter_double_sweep",
     "ext.randomWalk.weighted": f"{_P}.operators.traversal:random_walks_weighted",
     "ext.community.compare": f"{_P}.operators.metrics:community_compare",
+    "ext.community.conductance": f"{_P}.operators.metrics:community_conductance",
+    "ext.katz": f"{_P}.operators.centrality_variants:katz_centrality",
+    "ext.localCluster.sweepCut": f"{_P}.operators.local_cluster:sweep_cut",
+    "ext.localCluster.pprNibble": f"{_P}.operators.local_cluster:ppr_local_cluster",
+    "ext.hyperBall.eccentricity": f"{_P}.operators.hyperball:approx_eccentricity",
 }
 
 # The reference exposes each algorithm under several procedure names:

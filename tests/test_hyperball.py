@@ -123,3 +123,36 @@ def test_bad_params_raise(spark):
         hyperball(v, e, radius=1, b=1)
     with pytest.raises(ValueError):
         hyperball(v, e, radius=1, b=4, direction="sideways")
+
+
+def test_approx_eccentricity_path_exact(spark):
+    """On a short directed path the sketch is collision-free whp and the
+    plateau radius equals the exact eccentricity min(n-1-v, R)."""
+    from neo4j_graph_algorithms_spark.operators.hyperball import (
+        approx_eccentricity,
+    )
+
+    n, R = 6, 6
+    e = _path_edges(spark, n)
+    # b=5 (m=32): collision-free on this fixture (b=4 under-reports
+    # ecc(0) by 1 — node 5's register is dominated, the documented
+    # HLL trade); deterministic for the fixed Murmur3 salts
+    res = hyperball(_vertices(spark, n), e, radius=R, b=5)
+    got = {r["id"]: r["ecc"] for r in
+           approx_eccentricity(res.balls).collect()}
+    for v in range(n):
+        assert got[v] == min(n - 1 - v, R), v
+
+
+def test_approx_eccentricity_truncates_at_radius(spark):
+    from neo4j_graph_algorithms_spark.operators.hyperball import (
+        approx_eccentricity,
+    )
+
+    n, R = 8, 2
+    e = _path_edges(spark, n)
+    res = hyperball(_vertices(spark, n), e, radius=R, b=4)
+    got = {r["id"]: r["ecc"] for r in
+           approx_eccentricity(res.balls).collect()}
+    assert max(got.values()) <= R
+    assert got[n - 1] == 0  # sink: ball never grows

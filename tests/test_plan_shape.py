@@ -311,3 +311,37 @@ def test_lm_scoring_model_joins_broadcast(spark):
     n_bc = len(re.findall(r"\(\d+\)\s+BroadcastHashJoin", plan))
     assert n_bc == 2, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_ranked_prefix_sums_no_single_partition_window(spark):
+    """The sweep-cut ranking contract (plans/ranking.py): the global
+    rank/cumsum must come from range-repartitioned per-partition
+    windows — a partition-less Window would collapse the vertex-scale
+    table into ONE task (Exchange SinglePartition)."""
+    from neo4j_graph_algorithms_spark.plans.ranking import (
+        ranked_prefix_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float((i * 13) % 97), 1) for i in range(300)],
+        "id long, key double, w long")
+    # inspect the pre-materialization plan: build the same local stage
+    # the helper runs before its localCheckpoint
+    local = (
+        df.repartitionByRange(5, F.asc("key"), F.asc("id"))
+        .sortWithinPartitions(F.asc("key"), F.asc("id"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    from pyspark.sql import Window
+    w = (Window.partitionBy("_pid").orderBy(F.asc("key"), F.asc("id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = local.withColumn("_lrn", F.count(F.lit(1)).over(w))
+    plan = _explain(staged)
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    # and the public helper's OUTPUT must already be materialized
+    # (localCheckpoint) with correct global ranks
+    out = ranked_prefix_sums(df, [F.asc("key"), F.asc("id")],
+                             {"w": "cw"}, num_partitions=5)
+    out_plan = _explain(out)
+    assert "SinglePartition" not in out_plan, out_plan
