@@ -1299,6 +1299,62 @@ def _katz_unrolled_sql(iters: int, alpha: float) -> str:
             + f"\nSELECT id, round(x, 6) AS score FROM k{iters}")
 
 
+LANDMARKS = list(range(8))
+LANDMARK_DEPTH = 12
+
+
+def _q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance estimation (operators/landmarks.py — Potamias
+    et al. CIKM'09): two MS-BFS passes build the |V|·k landmark index,
+    then 50 fixed query pairs are answered with the triangle-inequality
+    bound min_l d(src→l)+d(l→dst) — joins only, no per-query traversal.
+    Oracle replays both BFS directions as recursive CTEs and the same
+    min-plus join."""
+    from neo4j_graph_algorithms_spark.operators.landmarks import (
+        estimate_distances,
+        landmark_distance_index,
+    )
+
+    e = _edges(spark, sf_dir)
+    v = _vertices(e)
+    idx = landmark_distance_index(v, e, LANDMARKS,
+                                  max_depth=LANDMARK_DEPTH)
+    pairs = spark.range(50).select(
+        F.col("id").alias("src"),
+        ((F.col("id") * 37 + 11) % N_MOD).alias("dst"))
+    return estimate_distances(pairs, idx)
+
+
+def _landmark_distances_sql(landmarks: list[int], depth: int) -> str:
+    lm_vals = ", ".join(f"({x})" for x in landmarks)
+    return f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        lm(id) AS (SELECT * FROM (VALUES {lm_vals}) t(id)),
+        fw(l, v, d) AS (
+          SELECT id, id, 0 FROM lm
+          UNION
+          SELECT fw.l, e.dst, fw.d + 1 FROM fw
+          JOIN edges e ON e.src = fw.v WHERE fw.d < {depth}
+        ),
+        fwd AS (SELECT l, v, min(d) AS d_from FROM fw GROUP BY l, v),
+        bw(l, v, d) AS (
+          SELECT id, id, 0 FROM lm
+          UNION
+          SELECT bw.l, e.src, bw.d + 1 FROM bw
+          JOIN edges e ON e.dst = bw.v WHERE bw.d < {depth}
+        ),
+        bwd AS (SELECT l, v, min(d) AS d_to FROM bw GROUP BY l, v),
+        prs AS (SELECT i AS src, (i * 37 + 11) % {N_MOD} AS dst
+                FROM range(50) t(i))
+        SELECT p.src, p.dst,
+               CAST(min(b.d_to + f.d_from) AS BIGINT) AS dist_est
+        FROM prs p
+        JOIN bwd b ON b.v = p.src
+        JOIN fwd f ON f.l = b.l AND f.v = p.dst
+        GROUP BY p.src, p.dst
+    """
+
+
 def _q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community cut/volume/conductance (operators/metrics.py:
     community_conductance) over the deterministic one-level Louvain
@@ -4266,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep_cut": _q_ppr_sweep_cut,
         "community_conductance": _q_community_conductance,
         "approx_eccentricity": _q_approx_eccentricity,
+        "landmark_distances": _q_landmark_distances,
     }
 
 
@@ -4406,6 +4463,8 @@ def oracle_sql() -> dict[str, str]:
         "effective_diameter": _effective_diameter_oracle_sql(radius=3, b=4),
         "approx_eccentricity": _hyperball_oracle_sql(
             radius=3, b=4, final_select=_ECC_FINAL_SELECT),
+        "landmark_distances": _landmark_distances_sql(
+            LANDMARKS, LANDMARK_DEPTH),
         "k_shortest_paths": _ksp_oracle_sql(),
         "all_shortest_paths": _allsp_unrolled_sql(20),
         "astar_path": _astar_oracle_sql(),

@@ -74,6 +74,7 @@ _REGISTRY: dict[str, str] = {
     "ext.stream.wcc": f"{_P}.streaming.graph_maintenance:run_component_maintenance",
     "ext.stream.pageRank": f"{_P}.streaming.graph_maintenance:run_pagerank_maintenance",
     "ext.stream.triangleCount": f"{_P}.streaming.graph_maintenance:run_triangle_maintenance",
+    "ext.stream.labelPropagation": f"{_P}.streaming.graph_maintenance:run_labelprop_maintenance",
     "ext.kCore": f"{_P}.operators.kcore:k_core",
     "ext.coreness": f"{_P}.operators.kcore:coreness",
     "ext.hyperBall": f"{_P}.operators.hyperball:hyperball",
@@ -128,6 +129,8 @@ _REGISTRY: dict[str, str] = {
     "ext.localCluster.sweepCut": f"{_P}.operators.local_cluster:sweep_cut",
     "ext.localCluster.pprNibble": f"{_P}.operators.local_cluster:ppr_local_cluster",
     "ext.hyperBall.eccentricity": f"{_P}.operators.hyperball:approx_eccentricity",
+    "ext.landmarks.index": f"{_P}.operators.landmarks:landmark_distance_index",
+    "ext.landmarks.estimate": f"{_P}.operators.landmarks:estimate_distances",
 }
 
 # The reference exposes each algorithm under several procedure names:

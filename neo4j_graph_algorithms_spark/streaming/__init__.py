@@ -21,6 +21,7 @@ from neo4j_graph_algorithms_spark.streaming.events import (
 )
 from neo4j_graph_algorithms_spark.streaming.graph_maintenance import (
     run_component_maintenance,
+    run_labelprop_maintenance,
     run_pagerank_maintenance,
     run_triangle_maintenance,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "windowed_event_counts",
     "run_stream_once",
     "run_component_maintenance",
+    "run_labelprop_maintenance",
     "run_pagerank_maintenance",
     "run_triangle_maintenance",
     "run_dedup_maintenance",

@@ -52,6 +52,7 @@ from ..plans.checkpoint import CheckpointManager
 __all__ = [
     "EDGE_DELTA_SCHEMA",
     "run_component_maintenance",
+    "run_labelprop_maintenance",
     "run_pagerank_maintenance",
     "run_triangle_maintenance",
 ]
@@ -279,3 +280,81 @@ def run_triangle_maintenance(
         return spark.createDataFrame(
             [], "id long, triangles long, coefficient double")
     return final.select("id", "triangles", "coefficient")
+
+
+def run_labelprop_maintenance(
+    spark: SparkSession,
+    deltas_dir: str,
+    state_dir: str,
+    *,
+    max_iterations: int = 10,
+    direction: str = "out",
+    relabel_every: int = 1,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Maintain LPA community labels over streamed edge deltas; returns
+    the final (id, label). Each fold appends the delta to the
+    accumulated edge store and re-runs synchronous LPA WARM-STARTED
+    from the previous labels (they ride in as the reference's seed
+    ``partition`` property — LabelPropagation.java reads seeds the same
+    way), so a small crawl delta converges in the perturbation-decay
+    rounds instead of from singleton labels. New vertices default to
+    their own id, exactly the cold-start rule. ``relabel_every=k``
+    ingests edges every batch but refreshes labels on every k-th (the
+    same cadence knob as PageRank maintenance). Idempotent per batch id
+    via the committed-iteration guard; LPA itself is a fixpoint
+    refinement, so a replayed relabel reproduces the same state."""
+    from ..operators.labelprop import label_propagation
+
+    edges_store = os.path.join(state_dir, "edges")
+    mgr = CheckpointManager(spark, checkpoint_dir=os.path.join(
+        state_dir, "lpa_state"), interval=1, algorithm="labelprop_stream")
+    resumed = mgr.resume()
+    holder: dict[str, Any] = {
+        "prev": resumed[1] if resumed else None,
+        "committed": resumed[0] if resumed else -1,
+        "since": 0,
+    }
+
+    def relabel(batch_id: int, n_delta: int) -> None:
+        edges = (
+            spark.read.parquet(edges_store)
+            .select("src", "dst").dropDuplicates(["src", "dst"])
+        )
+        v = _vertices(edges)
+        prev = holder["prev"]
+        if prev is not None:
+            v = v.join(
+                prev.select("id", F.col("label").alias("partition")),
+                "id", "left")
+        res = label_propagation(
+            v, edges, max_iterations=max_iterations, direction=direction,
+            partition_col="partition" if prev is not None else None,
+            node_weight_col=None)
+        state, _ = mgr.maybe_checkpoint(
+            res.labels.select("id", "label"), int(batch_id),
+            delta_edges=n_delta, rounds=res.ran_iterations)
+        holder["prev"] = state
+        holder["committed"] = int(batch_id)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= holder["committed"]:
+            return  # crash-replayed batch: state already reflects it
+        delta = batch.select("src", "dst").dropDuplicates(["src", "dst"])
+        n_delta = delta.count()
+        delta.write.mode("overwrite").parquet(
+            os.path.join(edges_store, f"batch={int(batch_id)}"))
+        holder["last_batch"] = int(batch_id)
+        holder["since"] += 1
+        if holder["since"] >= relabel_every:
+            relabel(int(batch_id), n_delta)
+            holder["since"] = 0
+
+    _drive(spark, deltas_dir, state_dir, fold,
+           max_files_per_trigger=max_files_per_trigger)
+    if holder["since"] > 0 and os.path.exists(edges_store):
+        relabel(holder["last_batch"], 0)  # trailing partial window
+    final = holder["prev"]
+    if final is None:
+        return spark.createDataFrame([], "id long, label long")
+    return final.select("id", "label")

@@ -275,3 +275,53 @@ def test_near_dup_maintenance_matches_batch(spark, tmp_path):
                  spark, docs, str(tmp_path / "state"),
                  n_hashes=4, bands=2).collect()}
     assert again == got
+
+
+def test_labelprop_maintenance_converges_and_is_fixpoint(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.streaming.graph_maintenance import (
+        run_labelprop_maintenance,
+    )
+
+    # two cliques arriving in separate drops, bridged by nothing
+    cliq_a = [(a, b) for a in (0, 1, 2, 3) for b in (0, 1, 2, 3) if a < b]
+    cliq_b = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13)
+              if a < b]
+    deltas = str(tmp_path / "deltas")
+    _write_batches(spark, deltas, [cliq_a, cliq_b])
+    state = str(tmp_path / "state")
+    # direction="out" on the a<b-oriented cliques: sync LPA funnels every
+    # clique to its sink's label ("both" on K4 oscillates into a 2-2
+    # split — the known synchronous-LPA bipartite oscillation)
+    got = {r["id"]: r["label"] for r in run_labelprop_maintenance(
+        spark, deltas, state, direction="out").collect()}
+    assert set(got) == {0, 1, 2, 3, 10, 11, 12, 13}
+    assert len({got[i] for i in (0, 1, 2, 3)}) == 1
+    assert len({got[i] for i in (10, 11, 12, 13)}) == 1
+    assert got[0] != got[10]
+
+    # replaying the same drops into the same state is a no-op fixpoint
+    # (committed-batch guard + warm-started LPA on an unchanged graph)
+    again = {r["id"]: r["label"] for r in run_labelprop_maintenance(
+        spark, deltas, state, direction="out").collect()}
+    assert again == got
+
+
+def test_labelprop_maintenance_resume_and_new_drop(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.streaming.graph_maintenance import (
+        run_labelprop_maintenance,
+    )
+
+    cliq_a = [(a, b) for a in (0, 1, 2, 3) for b in (0, 1, 2, 3) if a < b]
+    cliq_b = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13)
+              if a < b]
+    bridge = [(3, 10), (10, 3), (2, 11), (11, 2), (1, 12), (12, 1),
+              (0, 13), (13, 0)]
+    deltas = str(tmp_path / "deltas")
+    state = str(tmp_path / "state")
+    _write_batches(spark, deltas, [cliq_a, cliq_b])
+    run_labelprop_maintenance(spark, deltas, state, direction="both")
+    # a heavy bridge drop lands; a NEW run resumes state and re-labels
+    _write_batches(spark, deltas, [cliq_a, cliq_b, bridge])
+    got = {r["id"]: r["label"] for r in run_labelprop_maintenance(
+        spark, deltas, state, direction="both").collect()}
+    assert set(got) == {0, 1, 2, 3, 10, 11, 12, 13}
