@@ -131,6 +131,8 @@ _REGISTRY: dict[str, str] = {
     "ext.hyperBall.eccentricity": f"{_P}.operators.hyperball:approx_eccentricity",
     "ext.landmarks.index": f"{_P}.operators.landmarks:landmark_distance_index",
     "ext.landmarks.estimate": f"{_P}.operators.landmarks:estimate_distances",
+    "ext.source.warc": f"{_P}.sources.warc:read_warc",
+    "ext.source.warcPages": f"{_P}.sources.warc:warc_pages",
 }
 
 # The reference exposes each algorithm under several procedure names:

@@ -9,6 +9,10 @@ vectorized Arrow UDFs (no per-row Python).
 """
 
 from neo4j_graph_algorithms_spark.sources.pages import generate_pages, expected_edges
+from neo4j_graph_algorithms_spark.sources.warc import (
+    read_warc,
+    warc_pages,
+)
 from neo4j_graph_algorithms_spark.sources.extraction import (
     extract_text,
     extract_links,
@@ -19,6 +23,8 @@ from neo4j_graph_algorithms_spark.sources.extraction import (
 )
 
 __all__ = [
+    "read_warc",
+    "warc_pages",
     "generate_pages",
     "expected_edges",
     "extract_text",
