@@ -131,3 +131,47 @@ def test_k_truss_matches_python_peel(spark, edges):
         cur = nxt
     assert got == cur
     assert res.converged
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, N - 1), st.integers(0, N - 1)),
+        min_size=1, max_size=16),
+    scores=st.dictionaries(
+        st.integers(0, N - 1),
+        st.floats(0.01, 1.0, allow_nan=False),
+        min_size=1, max_size=N),
+)
+@_SETTINGS
+def test_sweep_cut_matches_python_sweep(spark, edges, scores):
+    from neo4j_graph_algorithms_spark.operators.local_cluster import (
+        sweep_cut,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    sup = {i: s for i, s in scores.items() if i in deg}
+    if not sup:
+        return
+    e = make_edges(spark, sorted(und))
+    sdf = spark.createDataFrame(
+        sorted(sup.items()), "id long, score double")
+    got = sorted(sweep_cut(e, sdf, num_partitions=3).collect(),
+                 key=lambda r: r["pos"])
+
+    m2 = 2 * len(und)
+    order = sorted(sup, key=lambda i: (-sup[i] / deg[i], i))
+    inset = set()
+    want = []
+    for pos, v in enumerate(order, 1):
+        inset.add(v)
+        vol = sum(deg[x] for x in inset)
+        cut = sum(1 for a, b in und if (a in inset) != (b in inset))
+        if min(vol, m2 - vol) > 0:
+            want.append((pos, v, vol, cut))
+    assert [(r["pos"], r["id"], r["vol"], r["cut"]) for r in got] == want
