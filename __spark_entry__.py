@@ -462,7 +462,8 @@ def _pages_pagerank_sql(n: int, max_iters: int, tol: float,
 
 def _batch_ppr_unrolled_sql(iters: int, source_sets: list[list[int] | None],
                             final_select: str | None = None,
-                            extra_ctes: list[str] | None = None) -> str:
+                            extra_ctes: list[str] | None = None,
+                            reverse: bool = False) -> str:
     """Unrolled batch personalized PageRank — S rank columns per CTE
     level, each column the exact _ppr_unrolled_sql recurrence for its
     teleport set (operators/pagerank.py:pagerank_batch_personalized).
@@ -479,11 +480,16 @@ def _batch_ppr_unrolled_sql(iters: int, source_sets: list[list[int] | None],
         else:
             ids = ", ".join(str(x) for x in ss)
             bases.append(f"CASE WHEN id IN ({ids}) THEN 0.15 ELSE 0.0 END")
-    parts = [
-        _EDGES_CTE, _NODES_CTE,
-        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src)",
-        "fac AS (SELECT e.src, e.dst, 1.0 / d.outd AS factor "
-        "FROM edges e JOIN deg d ON e.src = d.src)",
+    # reverse=True transposes the walk (Anti-TrustRank: distrust flows
+    # against the link direction); nodes stay the original vertex set
+    etab = "tedges" if reverse else "edges"
+    parts = [_EDGES_CTE, _NODES_CTE]
+    if reverse:
+        parts.append("tedges AS (SELECT dst AS src, src AS dst FROM edges)")
+    parts += [
+        f"deg AS (SELECT src, count(*) AS outd FROM {etab} GROUP BY src)",
+        f"fac AS (SELECT e.src, e.dst, 1.0 / d.outd AS factor "
+        f"FROM {etab} e JOIN deg d ON e.src = d.src)",
         "r0 AS MATERIALIZED (SELECT id, "
         + ", ".join(f"CAST({bases[s]} AS DOUBLE) AS r{s}" for s in range(S))
         + " FROM nodes)",
@@ -1422,6 +1428,25 @@ def _q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.round("pagerank", 6).alias("pagerank"),
         F.round("trust", 6).alias("trust"),
         F.round("spam_mass_rel", 6).alias("spam_mass_rel"))
+
+
+def _q_anti_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-TrustRank (Krishnan & Raj AIRWeb'06 — operators/pagerank.py:
+    anti_trust_rank): distrust PPR from 10 known-spam seeds over the
+    TRANSPOSED edge table; pages that link (directly or transitively)
+    to spam inherit distrust. Oracle unrolls the same recurrence over
+    the transposed edge CTE."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        anti_trust_rank,
+    )
+
+    e = _edges(spark, sf_dir)
+    out = anti_trust_rank(_vertices(e), e, ANTI_TRUST_SEEDS,
+                          max_iterations=PR_ITERS, tol=0.0)
+    return out.select("id", F.round("anti_trust", 6).alias("anti_trust"))
+
+
+ANTI_TRUST_SEEDS = list(range(900, 910))
 
 
 def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4323,6 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_conductance": _q_community_conductance,
         "approx_eccentricity": _q_approx_eccentricity,
         "landmark_distances": _q_landmark_distances,
+        "anti_trust_rank": _q_anti_trust_rank,
     }
 
 
@@ -4465,6 +4491,10 @@ def oracle_sql() -> dict[str, str]:
             radius=3, b=4, final_select=_ECC_FINAL_SELECT),
         "landmark_distances": _landmark_distances_sql(
             LANDMARKS, LANDMARK_DEPTH),
+        "anti_trust_rank": _batch_ppr_unrolled_sql(
+            PR_ITERS, [ANTI_TRUST_SEEDS], reverse=True,
+            final_select=f"SELECT id, round(r0, 6) AS anti_trust "
+                         f"FROM r{PR_ITERS}"),
         "k_shortest_paths": _ksp_oracle_sql(),
         "all_shortest_paths": _allsp_unrolled_sql(20),
         "astar_path": _astar_oracle_sql(),

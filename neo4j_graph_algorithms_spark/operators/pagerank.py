@@ -1029,3 +1029,42 @@ def spam_mass(
         trust.alias("trust"),
         ((F.col("r0") - trust) / F.col("r0")).alias("spam_mass_rel"),
     )
+
+
+def anti_trust_rank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    spam_ids: list[int],
+    *,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 0.0,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Anti-TrustRank (Krishnan & Raj, "Web Spam Detection with
+    Anti-Trust Rank", AIRWeb'06): distrust seeded at KNOWN-spam pages
+    and propagated along REVERSED edges — a page that links to spam
+    inherits distrust, exactly as a page linked from a trusted seed
+    inherits trust in TrustRank. The complement signal to
+    :func:`spam_mass`: TrustRank needs a curated good-seed set,
+    Anti-TrustRank needs only a blacklist, and the two are typically
+    combined on a Common-Crawl host graph.
+
+    Implementation = :func:`pagerank_batch_personalized` with the seed
+    set on the transposed edge table: one superstep loop, one edge scan
+    per superstep (transposition is a column swap, not a shuffle — the
+    loop repartitions on its own join key anyway). Returns
+    ``(id, anti_trust)``; scores only reach pages that can REACH a spam
+    seed, everything else is the bare teleport floor at seeds' 0.
+
+    Fixed ``max_iterations`` at ``tol=0.0`` keeps it SQL-replayable
+    (the driver oracle unrolls the same recurrence over the transposed
+    edge CTE).
+    """
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    res = pagerank_batch_personalized(
+        vertices, rev, [spam_ids],
+        damping=damping, max_iterations=max_iterations, tol=tol,
+        spark=spark,
+    )
+    return res.ranks.select("id", F.col("r0").alias("anti_trust"))

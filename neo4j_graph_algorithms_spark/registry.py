@@ -88,6 +88,7 @@ _REGISTRY: dict[str, str] = {
     "ext.pageRank.batchPersonalized":
         f"{_P}.operators.pagerank:pagerank_batch_personalized",
     "ext.trustRank.spamMass": f"{_P}.operators.pagerank:spam_mass",
+    "ext.antiTrustRank": f"{_P}.operators.pagerank:anti_trust_rank",
     "ext.anchorText.stats": f"{_P}.sources.extraction:anchor_stats",
     "ext.kmeans": f"{_P}.pipeline.kmeans:kmeans_fit",
     "ext.dedup.semantic": f"{_P}.pipeline.kmeans:semantic_dedup",

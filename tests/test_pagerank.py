@@ -462,3 +462,20 @@ def test_pr_dangling_validation(spark):
         pagerank(v, e, dangling="redistribute", strategy="csr")
     with pytest.raises(NotImplementedError):
         pagerank(v, e, dangling="redistribute", source_ids=[0])
+
+
+def test_anti_trust_rank_flows_to_predecessors_only(spark):
+    from neo4j_graph_algorithms_spark.operators.pagerank import (
+        anti_trust_rank,
+    )
+
+    # chain 0 -> 1 -> 2 -> 3(spam) <- 4; 5 isolated from spam
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 3), (3, 5)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    at = {r["id"]: r["anti_trust"] for r in anti_trust_rank(
+        verts, edges, [3], max_iterations=20).collect()}
+    # distrust at the seed, decaying UP the chain; none downstream
+    assert at[3] > at[2] > at[1] > at[0] > 0
+    assert at[4] > 0            # links directly to spam
+    assert at[5] == 0.0         # only linked FROM spam — not distrusted
