@@ -3895,6 +3895,20 @@ def _q_jaccard_degree_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot dedup (pipeline/dedup.py:keep_latest — the
+    Common-Crawl re-crawl rule, exercised here as latest event per
+    user): one key-partitioned window rank, deterministic event_id
+    tie-break. Oracle is the identical row_number filter."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import keep_latest
+
+    ev = _t(spark, sf_dir, "events")
+    return keep_latest(
+        ev, ["user_id"], "ts", tiebreak=["event_id"]
+    ).select("user_id", "event_id", "event_type",
+             F.round("value", 6).alias("value"))
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -4349,6 +4363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_eccentricity": _q_approx_eccentricity,
         "landmark_distances": _q_landmark_distances,
         "anti_trust_rank": _q_anti_trust_rank,
+        "events_latest": _q_events_latest,
     }
 
 
@@ -4495,6 +4510,15 @@ def oracle_sql() -> dict[str, str]:
             PR_ITERS, [ANTI_TRUST_SEEDS], reverse=True,
             final_select=f"SELECT id, round(r0, 6) AS anti_trust "
                          f"FROM r{PR_ITERS}"),
+        "events_latest": """
+            SELECT user_id, event_id, event_type,
+                   round(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
         "k_shortest_paths": _ksp_oracle_sql(),
         "all_shortest_paths": _allsp_unrolled_sql(20),
         "astar_path": _astar_oracle_sql(),

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "keep_latest",
     "tokens_expr",
     "shingles_expr",
     "exact_duplicates",
@@ -453,4 +454,34 @@ def duplicate_span_scores(
             F.round(F.col("dup_chunks").cast("double")
                     / F.col("n_chunks"), 6).alias("dup_frac"),
         )
+    )
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    *,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Latest-snapshot dedup: one row per ``keys`` group — the row with
+    the greatest ``ts_col`` (ties broken by ``tiebreak`` columns
+    descending, so the result is deterministic when timestamps
+    collide). THE Common-Crawl re-crawl rule: a URL captured in several
+    crawls keeps only its newest capture before any graph build or
+    text-pipeline stage.
+
+    One window keyed by ``keys`` — a single hash shuffle, map-side
+    combinable rank, no self-join. Key-partitioned (never a global
+    window), so it scales with the key cardinality like every other
+    keyed aggregation here.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.desc(ts_col)] + [F.desc(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -134,6 +134,7 @@ _REGISTRY: dict[str, str] = {
     "ext.landmarks.estimate": f"{_P}.operators.landmarks:estimate_distances",
     "ext.source.warc": f"{_P}.sources.warc:read_warc",
     "ext.source.warcPages": f"{_P}.sources.warc:warc_pages",
+    "ext.dedup.keepLatest": f"{_P}.pipeline.dedup:keep_latest",
 }
 
 # The reference exposes each algorithm under several procedure names:

@@ -769,3 +769,21 @@ def test_duplicate_span_scores_cross_doc_only(spark):
     assert out[2]["n_chunks"] == 2 and out[2]["dup_chunks"] == 1
     # intra-doc repetition alone must NOT count (countDistinct doc > 1)
     assert out[3]["dup_chunks"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_keep_latest_per_key_with_tiebreak(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import keep_latest
+
+    rows = [
+        ("u1", 1, "2024-01-01 00:00:00", "a"),
+        ("u1", 2, "2024-01-02 00:00:00", "b"),   # latest for u1
+        ("u2", 3, "2024-01-05 00:00:00", "c"),
+        ("u2", 4, "2024-01-05 00:00:00", "d"),   # ts tie -> higher id wins
+        ("u3", 5, "2024-01-03 00:00:00", "e"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, snap int, ts string, body string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["url"]: (r["snap"], r["body"]) for r in
+           keep_latest(df, ["url"], "ts", tiebreak=["snap"]).collect()}
+    assert got == {"u1": (2, "b"), "u2": (4, "d"), "u3": (5, "e")}
