@@ -3355,6 +3355,17 @@ def _q_ngram3_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.8, ngram=3)
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: token-set MAX-containment |A∩B|/min(|A|,|B|)
+    ≥ 0.8 (pipeline/dedup.py:containment_pairs — Broder's containment;
+    catches a short doc nested in a long one that Jaccard misses)."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
 def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 16 deterministic coarse cells, 4 probed per query —
     the scale path next to cosine_knn's exact baseline."""
@@ -4364,6 +4375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": _q_landmark_distances,
         "anti_trust_rank": _q_anti_trust_rank,
         "events_latest": _q_events_latest,
+        "containment_pairs": _q_containment,
     }
 
 

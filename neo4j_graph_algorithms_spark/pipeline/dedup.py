@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "keep_latest",
+    "containment_pairs",
     "tokens_expr",
     "shingles_expr",
     "exact_duplicates",
@@ -484,4 +485,48 @@ def keep_latest(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def containment_pairs(docs: DataFrame, *, threshold: float = 0.8,
+                      text_col: str = "text",
+                      df_cutoff: int | None = TOKEN_DF_CUTOFF,
+                      ngram: int = 1) -> DataFrame:
+    """(doc_a, doc_b, containment) for pairs whose token-set
+    MAX-containment ``|A∩B| / min(|A|,|B|)`` ≥ threshold — the
+    asymmetric near-dup measure (Broder's resemblance-vs-containment
+    distinction): a short document embedded verbatim in a long one has
+    containment ≈ 1 while its Jaccard can be arbitrarily small, so a
+    Jaccard-only dedup pass keeps the nested copy. Same inverted-index
+    shape as :func:`token_jaccard_pairs` (df-pruned posting self-join —
+    one shuffle, no all-pairs), same ``df_cutoff``/``ngram`` knobs.
+    """
+    toks = _doc_tokens(docs, text_col, ngram).distinct()
+    if df_cutoff is not None:
+        rare = (
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= int(df_cutoff)).select("tok")
+        )
+        toks = toks.join(rare, "tok", "left_semi")
+    toks = toks.persist()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("i").cast("double") / F.least("na", "nb"), 6)
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= float(threshold))
     )

@@ -212,6 +212,26 @@ def pipeline_oracles() -> dict[str, str]:
         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
     """
 
+    # mirrors dedup.containment_pairs(df_cutoff=1000, threshold=0.8):
+    # same pruned posting self-join, score = i / least(na, nb)
+    sql["containment_pairs"] = f"""
+        WITH {_TOKS},
+        dt0 AS (SELECT DISTINCT doc_id, tok FROM toks),
+        rare AS (SELECT tok FROM dt0 GROUP BY tok HAVING count(*) <= 1000),
+        dt AS (SELECT doc_id, dt0.tok FROM dt0 JOIN rare ON rare.tok = dt0.tok),
+        sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        c AS (SELECT i.doc_a, i.doc_b,
+                     round(CAST(i.i AS DOUBLE) / least(sa.n, sb.n), 6)
+                       AS containment
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b)
+        SELECT doc_a, doc_b, containment FROM c WHERE containment >= 0.8
+    """
+
     # mirrors dedup.token_jaccard_pairs(ngram=3, threshold=0.8): unit =
     # word 3-gram shingles (contiguous, space-joined), same df prune
     sql["ngram_jaccard_pairs"] = """

@@ -135,6 +135,7 @@ _REGISTRY: dict[str, str] = {
     "ext.source.warc": f"{_P}.sources.warc:read_warc",
     "ext.source.warcPages": f"{_P}.sources.warc:warc_pages",
     "ext.dedup.keepLatest": f"{_P}.pipeline.dedup:keep_latest",
+    "ext.dedup.containment": f"{_P}.pipeline.dedup:containment_pairs",
 }
 
 # The reference exposes each algorithm under several procedure names:

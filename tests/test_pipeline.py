@@ -787,3 +787,21 @@ def test_keep_latest_per_key_with_tiebreak(spark):
     got = {r["url"]: (r["snap"], r["body"]) for r in
            keep_latest(df, ["url"], "ts", tiebreak=["snap"]).collect()}
     assert got == {"u1": (2, "b"), "u2": (4, "d"), "u3": (5, "e")}
+
+
+def test_containment_catches_nested_doc_jaccard_misses(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        containment_pairs,
+        token_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated text entirely")],
+        "doc_id long, text string")
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"] for r in
+            containment_pairs(docs, threshold=0.9).collect()}
+    assert cont == {(1, 2): 1.0}  # short fully nested in long
+    jac = token_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []              # Jaccard 4/44 — invisible to it
