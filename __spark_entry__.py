@@ -3975,6 +3975,36 @@ def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cocitation_pairs(e, min_count=2)
 
 
+def _q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global butterfly (2x2 biclique) count of the pages link graph
+    (operators/cocitation.py:butterfly_count — Sanei-Mehri et al.
+    KDD'18): one C(n,2) fold over the coupling wedge join."""
+    from neo4j_graph_algorithms_spark.operators.cocitation import (
+        butterfly_count,
+    )
+    from neo4j_graph_algorithms_spark.sources import (
+        extract_edges, generate_pages,
+    )
+
+    e = extract_edges(generate_pages(spark, 2000)).select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+    return butterfly_count(e)
+
+
+def _butterflies_sql(n: int) -> str:
+    return (
+        "WITH " + ",\n".join(_pages_linklist_parts(n)) + ",\n"
+        "e AS (SELECT DISTINCT src_url, dst_url FROM plinks),\n"
+        "cp AS (SELECT a.src_url AS item_a, b.src_url AS item_b, "
+        "count(*) AS n_common "
+        "FROM e a JOIN e b ON a.dst_url = b.dst_url "
+        "AND a.src_url < b.src_url "
+        "GROUP BY 1, 2 HAVING count(*) >= 2)\n"
+        "SELECT CAST(coalesce(sum(n_common * (n_common - 1) / 2), 0.0) "
+        "AS BIGINT) AS butterflies, count(*) AS wedge_pairs FROM cp"
+    )
+
+
 def _q_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bibliographic coupling (the transpose of co-citation: pages
     LINKING TO ≥2 common targets; Kessler 1963) on the same pages
@@ -4376,6 +4406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_trust_rank": _q_anti_trust_rank,
         "events_latest": _q_events_latest,
         "containment_pairs": _q_containment,
+        "butterfly_count": _q_butterflies,
     }
 
 
@@ -4566,6 +4597,7 @@ def oracle_sql() -> dict[str, str]:
         "diameter_sweep": _DIAMETER_SWEEP_SQL,
         "random_walks_weighted": _random_walks_weighted_oracle_sql(),
         "coupling_pairs": _coupling_sql(2000),
+        "butterfly_count": _butterflies_sql(2000),
         "community_compare": _COMMUNITY_COMPARE_SQL,
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["cocitation_pairs", "coupling_pairs"]
+__all__ = ["cocitation_pairs", "coupling_pairs", "butterfly_count"]
 
 
 def _pair_counts(edges: DataFrame, pivot: str, item: str,
@@ -74,3 +74,38 @@ def coupling_pairs(
     ``min_count`` common targets (item_a < item_b). Targets with
     in-degree above ``pivot_cutoff`` are pruned before the join."""
     return _pair_counts(edges, "dst", "src", pivot_cutoff, min_count)
+
+
+def butterfly_count(
+    edges: DataFrame,
+    *,
+    pivot_cutoff: int | None = 1000,
+) -> DataFrame:
+    """Global butterfly (2×2 biclique / 4-cycle) count of the directed
+    bipartite src→dst incidence — the bipartite analogue of the
+    triangle count (Sanei-Mehri, Sariyüce & Tirthapura, "Butterfly
+    Counting in Bipartite Networks", KDD'18), THE cohesion motif for
+    host↔page / page↔resource web structures where triangles cannot
+    exist.
+
+    Identity: a butterfly is an unordered pair of sources sharing an
+    unordered pair of targets, so
+
+        #butterflies = Σ over source-pairs C(#common targets, 2)
+
+    i.e. one C(n,2) fold over :func:`coupling_pairs` — the wedge
+    (pivot-keyed self-join) does all the work, nothing new shuffles.
+    ``pivot_cutoff`` prunes hub targets first, exactly as in
+    coupling_pairs; the returned count is over the pruned graph (at
+    web scale an unpruned butterfly count is dominated by one
+    degree-10⁶ hub's C(10⁶,2) wedges — the pruned count is the one a
+    production system reports). One summary row
+    ``(butterflies, wedge_pairs)``.
+    """
+    pairs = coupling_pairs(edges, pivot_cutoff=pivot_cutoff, min_count=2)
+    return pairs.agg(
+        F.coalesce(
+            F.sum(F.col("n_common") * (F.col("n_common") - 1) / 2), F.lit(0.0)
+        ).cast("long").alias("butterflies"),
+        F.count(F.lit(1)).alias("wedge_pairs"),
+    )

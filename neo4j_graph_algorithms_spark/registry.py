@@ -115,6 +115,7 @@ _REGISTRY: dict[str, str] = {
     "ext.dedup.duplicateSpans": f"{_P}.pipeline.dedup:duplicate_span_scores",
     "ext.cocitation": f"{_P}.operators.cocitation:cocitation_pairs",
     "ext.coupling": f"{_P}.operators.cocitation:coupling_pairs",
+    "ext.butterflyCount": f"{_P}.operators.cocitation:butterfly_count",
     "ext.kTruss": f"{_P}.operators.ktruss:k_truss",
     "ext.stream.nearDup": f"{_P}.streaming.dedup:run_near_dup_maintenance",
     "ext.densestSubgraph": f"{_P}.operators.densest:densest_subgraph",

@@ -118,3 +118,34 @@ def test_double_sweep_known_graphs(spark):
     e = make_edges(spark, [(0, i) for i in range(1, 6)])
     v = spark.createDataFrame([(i,) for i in range(6)], "id long")
     assert diameter_double_sweep(v, e).first()["lower_bound"] == 2
+
+
+def test_butterfly_count_known_bicliques(spark):
+    from neo4j_graph_algorithms_spark.operators.cocitation import (
+        butterfly_count,
+    )
+
+    # K_{2,2}: exactly one butterfly
+    k22 = [(0, 10), (0, 11), (1, 10), (1, 11)]
+    df = spark.createDataFrame(k22, "src long, dst long")
+    row = butterfly_count(df).first()
+    assert (row["butterflies"], row["wedge_pairs"]) == (1, 1)
+
+    # K_{2,3}: the source pair shares 3 targets -> C(3,2) = 3
+    k23 = [(s, t) for s in (0, 1) for t in (10, 11, 12)]
+    row = butterfly_count(
+        spark.createDataFrame(k23, "src long, dst long")).first()
+    assert (row["butterflies"], row["wedge_pairs"]) == (3, 1)
+
+    # two disjoint K_{2,2}s + a wedge-only pair (1 shared target)
+    two = k22 + [(4, 20), (4, 21), (5, 20), (5, 21), (8, 30), (9, 30)]
+    row = butterfly_count(
+        spark.createDataFrame(two, "src long, dst long")).first()
+    assert (row["butterflies"], row["wedge_pairs"]) == (2, 2)
+
+    # hub target above the cutoff is pruned before wedges
+    hub = k22 + [(s, 99) for s in range(6)]
+    row = butterfly_count(
+        spark.createDataFrame(hub, "src long, dst long"),
+        pivot_cutoff=4).first()
+    assert row["butterflies"] == 1

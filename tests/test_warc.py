@@ -90,3 +90,26 @@ def test_warc_pages_schema_and_extraction(spark, tmp_path):
         "the quick brown fox and the lazy dog"
     assert got["http://b.test/"]["lang"] == "en"
     assert got["http://a.test/"]["warc_ts"] is not None
+
+
+def test_parse_warc_fuzz_bodies_with_separator_bytes():
+    """Content-Length framing must survive bodies containing CRLFCRLF
+    and header-lookalike bytes — random bodies round-trip byte-exact."""
+    import random
+
+    rng = random.Random(13)
+    alphabet = [b"\r\n\r\n", b"WARC/1.0\r\n", b"<p>x</p>", b"\x00\xff",
+                b"Content-Length: 9\r\n", b"a" * 7]
+    for trial in range(20):
+        bodies = []
+        seg = b""
+        for i in range(rng.randrange(1, 6)):
+            body = b"".join(rng.choice(alphabet)
+                            for _ in range(rng.randrange(0, 12)))
+            bodies.append(body)
+            seg += _record("response", f"http://f{trial}-{i}.test/",
+                           "2026-08-19T03:00:00Z", _http(body))
+        recs = list(parse_warc_bytes(seg))
+        assert [r["html"] for r in recs] == bodies
+        assert [r["url"] for r in recs] == [
+            f"http://f{trial}-{i}.test/" for i in range(len(bodies))]
