@@ -3975,6 +3975,41 @@ def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cocitation_pairs(e, min_count=2)
 
 
+REWIRE_SEED = 7
+
+
+def _q_rewire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Configuration-model rewiring (operators/nullmodel.py — Newman's
+    degree-preserving null model for motif significance): stubs ranked
+    by a seeded md5 order via distributed prefix sums, re-paired by
+    global position. Oracle replays the identical md5 ordering with
+    SQL row_number."""
+    from neo4j_graph_algorithms_spark.operators.nullmodel import (
+        rewire_configuration_model,
+    )
+
+    e = _edges(spark, sf_dir)
+    return rewire_configuration_model(e, seed=REWIRE_SEED)
+
+
+def _rewire_sql(seed: int) -> str:
+    def key(role: str) -> str:
+        return (
+            f"md5(concat_ws('|', '{seed}', '{role}', "
+            "CAST(src AS VARCHAR), CAST(dst AS VARCHAR))) || '-' || "
+            "lpad(CAST(src AS VARCHAR), 12, '0') || "
+            "lpad(CAST(dst AS VARCHAR), 12, '0')"
+        )
+    return f"""
+        WITH {_EDGES_CTE},
+        o AS (SELECT src, {key('out')} AS k FROM edges),
+        outs AS (SELECT src, row_number() OVER (ORDER BY k) AS r FROM o),
+        i AS (SELECT dst, {key('in')} AS k FROM edges),
+        ins AS (SELECT dst, row_number() OVER (ORDER BY k) AS r FROM i)
+        SELECT outs.src, ins.dst FROM outs JOIN ins ON outs.r = ins.r
+    """
+
+
 def _q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global butterfly (2x2 biclique) count of the pages link graph
     (operators/cocitation.py:butterfly_count — Sanei-Mehri et al.
@@ -4407,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest": _q_events_latest,
         "containment_pairs": _q_containment,
         "butterfly_count": _q_butterflies,
+        "rewire_null_model": _q_rewire,
     }
 
 
@@ -4598,6 +4634,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_weighted": _random_walks_weighted_oracle_sql(),
         "coupling_pairs": _coupling_sql(2000),
         "butterfly_count": _butterflies_sql(2000),
+        "rewire_null_model": _rewire_sql(REWIRE_SEED),
         "community_compare": _COMMUNITY_COMPARE_SQL,
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,

@@ -116,6 +116,8 @@ _REGISTRY: dict[str, str] = {
     "ext.cocitation": f"{_P}.operators.cocitation:cocitation_pairs",
     "ext.coupling": f"{_P}.operators.cocitation:coupling_pairs",
     "ext.butterflyCount": f"{_P}.operators.cocitation:butterfly_count",
+    "ext.nullModel.rewire": f"{_P}.operators.nullmodel:rewire_configuration_model",
+    "ext.nullModel.motifZscore": f"{_P}.operators.nullmodel:motif_zscore",
     "ext.kTruss": f"{_P}.operators.ktruss:k_truss",
     "ext.stream.nearDup": f"{_P}.streaming.dedup:run_near_dup_maintenance",
     "ext.densestSubgraph": f"{_P}.operators.densest:densest_subgraph",

@@ -5,6 +5,7 @@ import math
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import make_edges
 from neo4j_graph_algorithms_spark.operators.graphstats import (
@@ -149,3 +150,40 @@ def test_butterfly_count_known_bicliques(spark):
         spark.createDataFrame(hub, "src long, dst long"),
         pivot_cutoff=4).first()
     assert row["butterflies"] == 1
+
+
+def test_rewire_preserves_degree_sequences(spark):
+    import random
+
+    from neo4j_graph_algorithms_spark.operators.nullmodel import (
+        motif_zscore,
+        rewire_configuration_model,
+    )
+
+    rng = random.Random(3)
+    pairs = sorted({(rng.randrange(20), rng.randrange(20))
+                    for _ in range(60)})
+    e = spark.createDataFrame(pairs, "src long, dst long")
+
+    def degs(df):
+        out = {r["src"]: r["cnt"] for r in
+               df.groupBy("src").agg(F.count(F.lit(1)).alias("cnt"))
+               .collect()}
+        inn = {r["dst"]: r["cnt"] for r in
+               df.groupBy("dst").agg(F.count(F.lit(1)).alias("cnt"))
+               .collect()}
+        return out, inn
+
+    r1 = rewire_configuration_model(e, seed=1)
+    assert degs(r1) == degs(e)          # every out/in degree preserved
+    assert r1.count() == len(pairs)
+    # deterministic per seed, different across seeds
+    r1b = rewire_configuration_model(e, seed=1)
+    assert sorted(map(tuple, r1.collect())) == \
+        sorted(map(tuple, r1b.collect()))
+    r2 = rewire_configuration_model(e, seed=2)
+    assert sorted(map(tuple, r2.collect())) != \
+        sorted(map(tuple, r1.collect()))
+
+    z = motif_zscore(10.0, [4.0, 6.0, 5.0])
+    assert z["null_mean"] == 5.0 and z["z"] > 0
