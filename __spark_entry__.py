@@ -4290,6 +4290,120 @@ def _q_pages_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+OPIC_STEPS = 8
+
+
+def _q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC crawl importance (Abiteboul et al. WWW'03,
+    operators/opic.py): synchronous cash/history supersteps with the
+    virtual-page dangling feed. Fixed supersteps at the same graph as
+    pagerank; oracle unrolls the recurrence including the per-step
+    dangling-mass scalar."""
+    from neo4j_graph_algorithms_spark.operators.opic import opic_importance
+
+    e = _edges(spark, sf_dir)
+    out = opic_importance(_vertices(e), e, supersteps=OPIC_STEPS)
+    return out.select("id", F.round("importance", 6).alias("importance"))
+
+
+def _opic_unrolled_sql(steps: int) -> str:
+    """Chained-CTE replay of the synchronous OPIC recurrence
+    (cash/history + uniform dangling redistribution each step)."""
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src)",
+        ("fac AS (SELECT e.src, e.dst, 1.0 / d.outd AS factor "
+         "FROM edges e JOIN deg d ON e.src = d.src)"),
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        ("dang AS (SELECT n.id FROM nodes n LEFT JOIN deg d "
+         "ON d.src = n.id WHERE d.src IS NULL)"),
+        # MATERIALIZED: each state CTE is referenced 3× (dangling scalar,
+        # message join, carry-over) — DuckDB inlines by default, which
+        # would make the unroll exponential in `steps`
+        ("s0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS cash, "
+         "CAST(0 AS DOUBLE) AS hist FROM nodes)"),
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(s.cash), 0.0) AS dm "
+            f"FROM s{i-1} s JOIN dang ON dang.id = s.id)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT f.dst AS id, sum(s.cash * f.factor) AS msg "
+            f"FROM fac f JOIN s{i-1} s ON f.src = s.id GROUP BY f.dst)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT s.id, "
+            f"coalesce(m.msg, 0.0) + (SELECT dm FROM d{i}) / "
+            f"(SELECT n FROM nn) AS cash, "
+            f"s.hist + s.cash AS hist "
+            f"FROM s{i-1} s LEFT JOIN m{i} m ON m.id = s.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, round((hist + cash) / {steps + 1}.0, 6) "
+        f"AS importance FROM s{steps}"
+    )
+
+
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (operators/bowtie.py) on the same
+    300-node induced subgraph as the SCC row; oracle recomputes CORE
+    via the transitive-closure SCC, IN/OUT via closure reach, and the
+    giant weak component via the symmetric closure."""
+    from neo4j_graph_algorithms_spark.operators.bowtie import (
+        bowtie_decomposition,
+    )
+
+    e = _sub_edges(spark, sf_dir, 300)
+    return bowtie_decomposition(_vertices(e), e)
+
+
+def _bowtie_sql(n: int) -> str:
+    return f"""
+    WITH RECURSIVE {_sub_cte(n)}, {_SNODES_CTE},
+    r(u, v) AS (
+      SELECT src, dst FROM sub WHERE src <> dst
+      UNION
+      SELECT r.u, e.dst FROM r JOIN sub e ON e.src = r.v WHERE e.dst <> r.u
+    ),
+    mut AS (SELECT a.u AS id, a.v AS o FROM r a
+            JOIN r b ON b.u = a.v AND b.v = a.u),
+    allm AS (SELECT id, o FROM mut
+             UNION ALL SELECT id, id FROM snodes),
+    comp AS (SELECT id, min(o) AS component FROM allm GROUP BY id),
+    topc AS (SELECT component FROM comp GROUP BY component
+             ORDER BY count(*) DESC, component ASC LIMIT 1),
+    core AS (SELECT id FROM comp
+             WHERE component = (SELECT component FROM topc)),
+    fwd AS (SELECT DISTINCT r.v AS id FROM r JOIN core c ON r.u = c.id),
+    bwd AS (SELECT DISTINCT r.u AS id FROM r JOIN core c ON r.v = c.id),
+    sym AS (SELECT src, dst FROM sub WHERE src <> dst
+            UNION SELECT dst, src FROM sub WHERE src <> dst),
+    ur(u, v) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT ur.u, e.dst FROM ur JOIN sym e ON e.src = ur.v
+      WHERE e.dst <> ur.u
+    ),
+    wall AS (SELECT u AS id, v AS o FROM ur
+             UNION ALL SELECT id, id FROM snodes),
+    wcomp AS (SELECT id, min(o) AS wc FROM wall GROUP BY id),
+    giant AS (SELECT min(w.wc) AS wc FROM wcomp w JOIN core c ON w.id = c.id)
+    SELECT n.id,
+      CASE WHEN c.id IS NOT NULL THEN 'CORE'
+           WHEN b.id IS NOT NULL THEN 'IN'
+           WHEN f.id IS NOT NULL THEN 'OUT'
+           WHEN w.wc = (SELECT wc FROM giant) THEN 'TENDRILS'
+           ELSE 'DISCONNECTED' END AS bowtie_class
+    FROM snodes n
+    LEFT JOIN core c ON c.id = n.id
+    LEFT JOIN bwd b ON b.id = n.id
+    LEFT JOIN fwd f ON f.id = n.id
+    JOIN wcomp w ON w.id = n.id
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -4443,6 +4557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment,
         "butterfly_count": _q_butterflies,
         "rewire_null_model": _q_rewire,
+        "opic_importance": _q_opic,
+        "bowtie_classes": _q_bowtie,
     }
 
 
@@ -4635,6 +4751,8 @@ def oracle_sql() -> dict[str, str]:
         "coupling_pairs": _coupling_sql(2000),
         "butterfly_count": _butterflies_sql(2000),
         "rewire_null_model": _rewire_sql(REWIRE_SEED),
+        "opic_importance": _opic_unrolled_sql(OPIC_STEPS),
+        "bowtie_classes": _bowtie_sql(300),
         "community_compare": _COMMUNITY_COMPARE_SQL,
         "wcc_stats": _WCC_STATS_SQL,
         "wcc_incremental": _WCC_SQL,
