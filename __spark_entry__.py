@@ -3340,6 +3340,21 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs_q, pairs, quality_col="n_tokens")
 
 
+def _q_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup (pipeline/dedup.py:ensemble_dedup_clusters):
+    exact-text star edges ∪ MinHash-LSH bands ∪ SimHash Hamming<=3
+    candidates → WCC clusters → quality-ranked canonical. Oracle
+    replays all three candidate joins + the recursive min-label WCC."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        ensemble_dedup_clusters, tokens_expr)
+
+    docs = _t(spark, sf_dir, "documents")
+    docs_q = docs.withColumn("n_tokens", F.size(tokens_expr(F.col("text"))))
+    return ensemble_dedup_clusters(
+        docs_q, quality_col="n_tokens", n_hashes=4, bands=2,
+        simhash_bits=16, max_hamming=3, simhash_bands=4)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neo4j_graph_algorithms_spark.pipeline.dedup import token_jaccard_pairs
 
@@ -4559,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewire_null_model": _q_rewire,
         "opic_importance": _q_opic,
         "bowtie_classes": _q_bowtie,
+        "ensemble_dedup": _q_ensemble_dedup,
     }
 
 

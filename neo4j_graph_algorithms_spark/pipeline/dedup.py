@@ -37,6 +37,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "keep_latest",
     "containment_pairs",
+    "ensemble_near_dup_pairs",
+    "ensemble_dedup_clusters",
     "tokens_expr",
     "shingles_expr",
     "exact_duplicates",
@@ -530,3 +532,92 @@ def containment_pairs(docs: DataFrame, *, threshold: float = 0.8,
         )
         .filter(F.col("containment") >= float(threshold))
     )
+
+
+def ensemble_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    bands: int = MINHASH_BANDS,
+    simhash_bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    simhash_bands: int | None = None,
+) -> DataFrame:
+    """Multi-signal near-dup candidates — the union a production corpus
+    dedup actually runs (e.g. the RefinedWeb/Dolma recipe: exact hash
+    FIRST, then fuzzy MinHash, with SimHash as the cheap third vote):
+
+    - ``via_exact``   — byte-identical text (md5 fingerprint),
+    - ``via_minhash`` — shares a MinHash-LSH band (Jaccard-sensitive),
+    - ``via_simhash`` — SimHash Hamming distance <= ``max_hamming``
+      (cosine/bag-of-words-sensitive).
+
+    Returns distinct ``(doc_a, doc_b, via_exact, via_minhash,
+    via_simhash)`` with doc_a < doc_b and 0/1 signal flags (a pair can
+    carry several).
+
+    Scale shape: each signal is its own bounded-fan-out candidate join
+    (hash agg star edges / one banded posting self-join / one banded
+    posting self-join); the union is a 3-way unionAll + one
+    map-side-combinable max() agg — no all-pairs stage anywhere. Exact
+    duplicates emit STAR edges (group min ↔ member), not the quadratic
+    within-group clique: downstream clustering only needs connectivity,
+    and a 10^6-copy boilerplate group must not cost 10^12 pairs.
+    """
+    # star edges: (group-min, member) per fingerprint group
+    fmin = (docs.select("doc_id", F.md5(F.col(text_col)).alias("_f"))
+            .groupBy("_f").agg(F.min("doc_id").alias("_m")))
+    ex = (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("_f"))
+        .join(fmin, "_f")
+        .filter(F.col("doc_id") != F.col("_m"))
+        .select(F.col("_m").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    mh = minhash_lsh_candidates(docs, text_col=text_col,
+                                n_hashes=n_hashes, bands=bands)
+    sh = simhash_near_dup(docs, text_col=text_col, n_bits=simhash_bits,
+                          max_hamming=max_hamming,
+                          n_bands=simhash_bands).select("doc_a", "doc_b")
+
+    def tag(df, e, m, s):
+        return df.select(
+            "doc_a", "doc_b",
+            F.lit(e).alias("via_exact"),
+            F.lit(m).alias("via_minhash"),
+            F.lit(s).alias("via_simhash"),
+        )
+
+    return (
+        tag(ex, 1, 0, 0)
+        .unionAll(tag(mh, 0, 1, 0))
+        .unionAll(tag(sh, 0, 0, 1))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("via_exact").alias("via_exact"),
+             F.max("via_minhash").alias("via_minhash"),
+             F.max("via_simhash").alias("via_simhash"))
+    )
+
+
+def ensemble_dedup_clusters(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    quality_col: str | None = None,
+    n_hashes: int = N_MINHASH,
+    bands: int = MINHASH_BANDS,
+    simhash_bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    simhash_bands: int | None = None,
+) -> DataFrame:
+    """End-to-end multi-signal dedup: :func:`ensemble_near_dup_pairs`
+    → :func:`dedup_clusters` (WCC over pair endpoints only, canonical
+    by quality then lowest id). Same output contract as
+    ``dedup_clusters``: (doc_id, cluster_id, is_canonical) for EVERY
+    doc."""
+    pairs = ensemble_near_dup_pairs(
+        docs, text_col=text_col, n_hashes=n_hashes, bands=bands,
+        simhash_bits=simhash_bits, max_hamming=max_hamming,
+        simhash_bands=simhash_bands,
+    ).select("doc_a", "doc_b")
+    return dedup_clusters(docs, pairs, quality_col=quality_col)

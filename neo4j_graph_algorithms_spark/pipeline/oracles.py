@@ -177,6 +177,53 @@ def pipeline_oracles() -> dict[str, str]:
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
+    # mirrors dedup.ensemble_dedup_clusters(n_hashes=4, bands=2,
+    # simhash_bits=16, max_hamming=3): candidate pairs = exact-text
+    # STAR edges (group-min ↔ member) ∪ minhash-LSH bands ∪ exhaustive
+    # simhash Hamming (= the pigeonhole-complete banded join), then the
+    # same min-label WCC + quality-ranked canonical as dedup_clusters
+    sql["ensemble_dedup"] = f"""
+        WITH RECURSIVE {_TOKS}, {_HASHED},
+        sigs AS (SELECT doc_id, {minhash_aggs} FROM hashed GROUP BY doc_id),
+        c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a
+               JOIN sigs b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+        c2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a
+               JOIN sigs b ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id),
+        sh_hashed AS (SELECT doc_id, {_h15("tok || '#s0'")} AS h FROM toks),
+        sh_sums AS (SELECT doc_id, {bit_sums} FROM sh_hashed GROUP BY doc_id),
+        sh_sig AS (SELECT doc_id, CAST({sig_expr} AS BIGINT) AS simhash
+                   FROM sh_sums),
+        sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM sh_sig a JOIN sh_sig b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+        fmin AS (SELECT f, min(doc_id) AS m FROM fp GROUP BY f),
+        ex AS (SELECT fmin.m AS doc_a, fp.doc_id AS doc_b
+               FROM fp JOIN fmin USING (f) WHERE fp.doc_id <> fmin.m),
+        cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+                 SELECT * FROM ex UNION ALL SELECT * FROM c1
+                 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM sh)),
+        sym AS (SELECT doc_a AS s, doc_b AS d FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+        r(id, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT sym.d, r.lab FROM r JOIN sym ON sym.s = r.id AND sym.d <> r.lab
+        ),
+        comp AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id),
+        q AS (SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+              FROM documents),
+        ranked AS (SELECT comp.cluster_id, comp.doc_id,
+                          row_number() OVER (PARTITION BY comp.cluster_id
+                                             ORDER BY q.n DESC, comp.doc_id) AS rn
+                   FROM comp JOIN q USING (doc_id)),
+        canon AS (SELECT cluster_id, doc_id AS c FROM ranked WHERE rn = 1)
+        SELECT comp.doc_id AS doc_id, comp.cluster_id AS cluster_id,
+               CAST(comp.doc_id = canon.c AS INTEGER) AS is_canonical
+        FROM comp JOIN canon USING (cluster_id)
+    """
+
     # mirrors text.bpe_token_stats: whitespace words + BPE-ish regex
     # pieces (leftmost-first alternation — identical in RE2 and Java)
     sql["bpe_token_stats"] = r"""

@@ -102,3 +102,41 @@ def test_bowtie_all_core_when_strongly_connected(spark):
            bowtie_decomposition(_vertices(spark, 3),
                                 _edges(spark, pairs)).collect()}
     assert set(got.values()) == {"CORE"}
+
+
+def test_ensemble_near_dup_signals(spark):
+    from pyspark.sql import functions as F
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        ensemble_dedup_clusters,
+        ensemble_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),   # exact dup of 0
+            (2, "alpha beta gamma delta epsilon eta"),    # near dup of 0
+            (3, "totally different words here now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]):
+             (r["via_exact"], r["via_minhash"], r["via_simhash"])
+             for r in ensemble_near_dup_pairs(
+                 docs, n_hashes=4, bands=2, simhash_bits=16,
+                 max_hamming=3, simhash_bands=4).collect()}
+    # the exact pair is found, flagged via_exact (other signals fire
+    # too — identical text collides in every scheme)
+    assert pairs[(0, 1)][0] == 1
+    # doc 3 shares nothing
+    assert not any(3 in p for p in pairs)
+
+    clusters = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+                for r in ensemble_dedup_clusters(
+                    docs.withColumn("n_tokens", F.lit(6)),
+                    quality_col="n_tokens", n_hashes=4, bands=2,
+                    simhash_bits=16, max_hamming=3,
+                    simhash_bands=4).collect()}
+    assert clusters[0] == (0, 1)          # canonical of its cluster
+    assert clusters[1][0] == 0            # exact dup joins cluster 0
+    assert clusters[3] == (3, 1)          # singleton stays canonical
