@@ -4419,6 +4419,203 @@ def _bowtie_sql(n: int) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization family (pipeline/urlnorm.py)
+# ---------------------------------------------------------------------------
+
+def _synth_url_variants():
+    """Deterministic messy-URL spelling per doc_id (6 variant classes:
+    upper-case scheme/host + trailing slash, explicit default port,
+    fragment, tracking params, permuted query, non-default port /
+    empty path). Mirrored literally in _CANON_SYNTH_SQL."""
+    i = F.col("doc_id")
+    h = (i % 7).cast("string")
+    s = i.cast("string")
+    v = i % 6
+    pre = lambda scheme, port="": F.concat(  # noqa: E731
+        F.lit(f"{scheme}://h"), h, F.lit(f".example.org{port}/p/"), s)
+    return (
+        F.when(v == 0, F.concat(F.lit("HTTPS://H"), h,
+                                F.lit(".Example.ORG/p/"), s, F.lit("/")))
+        .when(v == 1, F.concat(pre("https", ":443"),
+                               F.lit("?utm_source=x&b=2&a=1")))
+        .when(v == 2, F.concat(pre("http", ":80"), F.lit("#frag-"), s))
+        .when(v == 3, F.concat(pre("https"), F.lit("?z=9&gclid=abc&a=1&a=0")))
+        .when(v == 4, F.concat(F.lit("https://h"), h, F.lit(".example.org")))
+        .otherwise(F.concat(F.lit("https://h"), h,
+                            F.lit(".example.org:8443/p/"), s))
+    )
+
+
+_CANON_SYNTH_SQL = """
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'HTTPS://H' || CAST(doc_id % 7 AS VARCHAR)
+        || '.Example.ORG/p/' || CAST(doc_id AS VARCHAR) || '/'
+      WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+        || '.example.org:443/p/' || CAST(doc_id AS VARCHAR)
+        || '?utm_source=x&b=2&a=1'
+      WHEN 2 THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+        || '.example.org:80/p/' || CAST(doc_id AS VARCHAR)
+        || '#frag-' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+        || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        || '?z=9&gclid=abc&a=1&a=0'
+      WHEN 4 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+        || '.example.org'
+      ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+        || '.example.org:8443/p/' || CAST(doc_id AS VARCHAR)
+    END
+"""
+
+
+def _canon_url_cte_parts(keep: str) -> list[str]:
+    """CTEs ``cp``/``cq`` canonicalizing column ``url`` of CTE ``u`` —
+    the DuckDB replay of pipeline/urlnorm.py:canonicalize_url (same
+    regexes, same tracking-param rule, same trailing-slash/default-port
+    handling). ``keep`` = comma-joined passthrough columns of ``u``.
+    Final canonical expression available as cq.canon."""
+    track = r"^(utm_[^=&]*|gclid|fbclid|ref)(=|$)"
+    return [
+        f"""cp AS (SELECT {keep}, url,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+          coalesce(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1), '')
+            AS port,
+          coalesce(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
+            AS rawpath,
+          -- DuckDB regexp_extract is NULL (not '') on no match — Spark
+          -- returns ''; coalesce keeps the twin expressions aligned
+          coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS qraw
+          FROM u)""",
+        f"""cq AS (SELECT {keep}, url, scheme, host,
+          CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                    AND NOT (scheme = 'https' AND port = '443')
+               THEN ':' || port ELSE '' END AS port_part,
+          CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+               ELSE regexp_replace(rawpath, '/+$', '') END AS path_part,
+          -- array_to_string over an empty list is NULL in DuckDB;
+          -- Spark's array_join gives '' — coalesce aligns the twins
+          coalesce(array_to_string(list_sort(list_filter(
+            string_split(qraw, '&'),
+            x -> x <> '' AND NOT regexp_matches(x, '{track}'))), '&'), '')
+            AS qstr
+          FROM cp)""",
+        f"""canon AS (SELECT {keep}, url,
+          CASE WHEN scheme = '' THEN url
+               ELSE scheme || '://' || host || port_part || path_part ||
+                 CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END
+          END AS canonical_url FROM cq)""",
+    ]
+
+
+def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over 6 deterministic messy-spelling classes
+    (case, default port, fragment, tracking params, query permutation,
+    empty path) — pipeline/urlnorm.py:canonicalize_url, a pure codegen'd
+    column expression (plan pinned UDF-free by tests/test_urlnorm.py)."""
+    from neo4j_graph_algorithms_spark.pipeline.urlnorm import (
+        canonicalize_url,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.select("doc_id", _synth_url_variants().alias("url"))
+        .select("doc_id", "url",
+                canonicalize_url("url").alias("canonical_url"))
+    )
+
+
+def _canonical_urls_sql() -> str:
+    parts = [f"u AS (SELECT doc_id, {_CANON_SYNTH_SQL} AS url "
+             f"FROM documents)"]
+    parts += _canon_url_cte_parts("doc_id")
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT doc_id, url, canonical_url FROM canon")
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup with latest-capture-wins: ~5 spelling
+    variants per page (path keyed by doc_id % 97) collapse to one
+    survivor by (capture_ts, url, doc_id) struct-max — ONE hash
+    aggregation, no window/join (pipeline/urlnorm.py:url_dedup).
+    capture_ts is a bigint here (not timestamp) so the oracle hash is
+    timezone-free; ordering semantics are identical."""
+    from neo4j_graph_algorithms_spark.pipeline.urlnorm import url_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    page = (F.col("doc_id") % 97).cast("long")
+    h = (page % 7).cast("string")
+    p = page.cast("string")
+    v = F.col("doc_id") % 6
+    s = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://h"), h, F.lit(".example.org/p/"), p)
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTPS://H"), h,
+                                F.lit(".Example.ORG/p/"), p,
+                                F.lit("/?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("https://h"), h,
+                               F.lit(".example.org:443/p/"), p,
+                               F.lit("?a=1&b=2&utm_source=x")))
+        .when(v == 2, F.concat(base, F.lit("/?b=2&a=1#frag-"), s))
+        .when(v == 3, F.concat(base, F.lit("?utm_campaign=y&a=1&b=2")))
+        .when(v == 4, F.concat(base, F.lit("?b=2&gclid=z&a=1")))
+        .otherwise(F.concat(base, F.lit("/?a=1&b=2")))
+    )
+    ts = (F.col("doc_id") * 7919) % 100000
+    pages = d.select("doc_id", url.alias("url"),
+                     ts.cast("long").alias("capture_ts"))
+    out = url_dedup(pages, url_col="url", ts_col="capture_ts",
+                    id_col="doc_id")
+    return out.select(
+        "canonical_url", F.col("doc_id").alias("winner_doc_id"),
+        "n_variants")
+
+
+def _url_dedup_sql() -> str:
+    synth = """
+      CASE CAST(doc_id % 6 AS INT)
+        WHEN 0 THEN 'HTTPS://H' || CAST((doc_id % 97) % 7 AS VARCHAR)
+          || '.Example.ORG/p/' || CAST(doc_id % 97 AS VARCHAR)
+          || '/?b=2&a=1'
+        WHEN 1 THEN 'https://h' || CAST((doc_id % 97) % 7 AS VARCHAR)
+          || '.example.org:443/p/' || CAST(doc_id % 97 AS VARCHAR)
+          || '?a=1&b=2&utm_source=x'
+        WHEN 2 THEN 'https://h' || CAST((doc_id % 97) % 7 AS VARCHAR)
+          || '.example.org/p/' || CAST(doc_id % 97 AS VARCHAR)
+          || '/?b=2&a=1#frag-' || CAST(doc_id AS VARCHAR)
+        WHEN 3 THEN 'https://h' || CAST((doc_id % 97) % 7 AS VARCHAR)
+          || '.example.org/p/' || CAST(doc_id % 97 AS VARCHAR)
+          || '?utm_campaign=y&a=1&b=2'
+        WHEN 4 THEN 'https://h' || CAST((doc_id % 97) % 7 AS VARCHAR)
+          || '.example.org/p/' || CAST(doc_id % 97 AS VARCHAR)
+          || '?b=2&gclid=z&a=1'
+        ELSE 'https://h' || CAST((doc_id % 97) % 7 AS VARCHAR)
+          || '.example.org/p/' || CAST(doc_id % 97 AS VARCHAR)
+          || '/?a=1&b=2'
+      END
+    """
+    parts = [
+        f"u AS (SELECT doc_id, {synth} AS url, "
+        f"CAST((doc_id * 7919) % 100000 AS BIGINT) AS capture_ts "
+        f"FROM documents)",
+    ]
+    parts += _canon_url_cte_parts("doc_id, capture_ts")
+    parts.append(
+        "ranked AS (SELECT canonical_url, doc_id, "
+        "count(*) OVER (PARTITION BY canonical_url) AS n_variants, "
+        "row_number() OVER (PARTITION BY canonical_url "
+        "ORDER BY capture_ts DESC, url DESC, doc_id DESC) AS rn "
+        "FROM canon)")
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT canonical_url, doc_id AS winner_doc_id, "
+            "CAST(n_variants AS BIGINT) AS n_variants "
+            "FROM ranked WHERE rn = 1")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -4575,6 +4772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_importance": _q_opic,
         "bowtie_classes": _q_bowtie,
         "ensemble_dedup": _q_ensemble_dedup,
+        "canonical_urls": _q_canonical_urls,
+        "url_dedup": _q_url_dedup,
     }
 
 
@@ -4985,6 +5184,8 @@ def oracle_sql() -> dict[str, str]:
         FROM fin
     """
     sql.update(pipeline_oracles())
+    sql["canonical_urls"] = _canonical_urls_sql()
+    sql["url_dedup"] = _url_dedup_sql()
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

@@ -108,6 +108,8 @@ _REGISTRY: dict[str, str] = {
     "ext.index.cooccurrencePmi": f"{_P}.pipeline.index:cooccurrence_pmi",
     "ext.graph.degreeHistogram": f"{_P}.operators.graphstats:degree_histogram",
     "ext.graph.summary": f"{_P}.operators.graphstats:graph_summary",
+    "ext.url.canonicalize": f"{_P}.pipeline.urlnorm:canonicalize_url",
+    "ext.url.dedup": f"{_P}.pipeline.urlnorm:url_dedup",
     "ext.walks.skipgramPairs": f"{_P}.operators.traversal:walk_skipgram_pairs",
     "ext.salsa": f"{_P}.operators.centrality_variants:salsa",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
