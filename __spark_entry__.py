@@ -4616,6 +4616,105 @@ def _url_dedup_sql() -> str:
             "FROM ranked WHERE rn = 1")
 
 
+# ---------------------------------------------------------------------------
+# Line-level curation family (pipeline/lines.py)
+# ---------------------------------------------------------------------------
+
+# documents.text is single-line; fold every 4 words into a line so the
+# line operators have real multi-line input. Spark $1 == DuckDB \1; the
+# 'g' flag matches Spark's replace-all default.
+_SYNTH_LINES_RE = r"((\S+ ){3}\S+) "
+_SYNTH_LINES_SQL = (r"regexp_replace(text, '((\S+ ){3}\S+) ', "
+                    r"'\1' || chr(10), 'g')")
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact-line dedup (C4 span rule at line granularity,
+    first occurrence by (doc_id, pos) wins) over documents folded to
+    4-word lines — pipeline/lines.py:line_dedup: one explode, one
+    line-keyed min-struct aggregation, one join back, one doc-keyed
+    re-assembly."""
+    from neo4j_graph_algorithms_spark.pipeline.lines import line_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", _SYNTH_LINES_RE, "$1\n").alias("text"))
+    return line_dedup(d)
+
+
+def _line_dedup_sql() -> str:
+    return f"""
+    WITH u AS (SELECT doc_id, {_SYNTH_LINES_SQL} AS t FROM documents),
+    l AS (SELECT doc_id, generate_subscripts(sl, 1) - 1 AS pos,
+                 unnest(sl) AS line
+          FROM (SELECT doc_id, string_split(t, chr(10)) AS sl FROM u)),
+    w AS (SELECT line, doc_id, pos,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, pos) AS rn FROM l),
+    k AS (SELECT doc_id, pos, line FROM w WHERE rn = 1),
+    s AS (SELECT doc_id, count(*) AS kept_lines,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text
+          FROM k GROUP BY doc_id),
+    tot AS (SELECT doc_id,
+                   CAST(len(string_split(t, chr(10))) AS BIGINT)
+                     AS n_lines FROM u)
+    SELECT t.doc_id, t.n_lines,
+           CAST(coalesce(s.kept_lines, 0) AS BIGINT) AS kept_lines,
+           coalesce(s.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN s ON t.doc_id = s.doc_id
+    """
+
+
+def _q_boilerplate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site boilerplate detection (CCNet/trafilatura-style): a
+    synthesized per-site NAV header + global footer line must flag as
+    boilerplate at frac=0.5 while body lines score by their real
+    per-site frequency — pipeline/lines.py:boilerplate_scores, keyed
+    by (site, line) so cross-site common lines never form a global
+    hot key."""
+    from neo4j_graph_algorithms_spark.pipeline.lines import (
+        boilerplate_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("NAV-"), F.col("source"), F.lit("\n"),
+            F.regexp_replace("text", _SYNTH_LINES_RE, "$1\n"),
+            F.lit("\nCopyright Footer"),
+        ).alias("text"))
+    return boilerplate_scores(d, frac=0.5, min_site_docs=2)
+
+
+def _boilerplate_sql() -> str:
+    return f"""
+    WITH u AS (SELECT doc_id, source,
+                      'NAV-' || source || chr(10) || {_SYNTH_LINES_SQL}
+                      || chr(10) || 'Copyright Footer' AS t
+               FROM documents),
+    l AS (SELECT doc_id, source, generate_subscripts(sl, 1) - 1 AS pos,
+                 unnest(sl) AS line
+          FROM (SELECT doc_id, source, string_split(t, chr(10)) AS sl
+                FROM u)),
+    pres AS (SELECT DISTINCT source, line, doc_id FROM l),
+    pl AS (SELECT source, line, count(*) AS n_docs FROM pres
+           GROUP BY source, line),
+    st AS (SELECT source, count(*) AS site_docs FROM u GROUP BY source),
+    fl AS (SELECT pl.source, pl.line,
+                  (pl.n_docs >= st.site_docs * 0.5 AND st.site_docs >= 2)
+                    AS is_bp
+           FROM pl JOIN st ON pl.source = st.source),
+    sc AS (SELECT l.doc_id, count(*) AS n_lines,
+                  sum(CASE WHEN fl.is_bp THEN 1 ELSE 0 END) AS bp_lines
+           FROM l JOIN fl ON l.source = fl.source AND l.line = fl.line
+           GROUP BY l.doc_id)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(bp_lines AS BIGINT) AS bp_lines,
+           round(CAST(bp_lines AS DOUBLE) / n_lines, 6) AS bp_frac
+    FROM sc
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -4774,6 +4873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_dedup": _q_ensemble_dedup,
         "canonical_urls": _q_canonical_urls,
         "url_dedup": _q_url_dedup,
+        "line_dedup": _q_line_dedup,
+        "boilerplate_scores": _q_boilerplate_scores,
     }
 
 
@@ -5186,6 +5287,8 @@ def oracle_sql() -> dict[str, str]:
     sql.update(pipeline_oracles())
     sql["canonical_urls"] = _canonical_urls_sql()
     sql["url_dedup"] = _url_dedup_sql()
+    sql["line_dedup"] = _line_dedup_sql()
+    sql["boilerplate_scores"] = _boilerplate_sql()
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

@@ -110,6 +110,8 @@ _REGISTRY: dict[str, str] = {
     "ext.graph.summary": f"{_P}.operators.graphstats:graph_summary",
     "ext.url.canonicalize": f"{_P}.pipeline.urlnorm:canonicalize_url",
     "ext.url.dedup": f"{_P}.pipeline.urlnorm:url_dedup",
+    "ext.dedup.lines": f"{_P}.pipeline.lines:line_dedup",
+    "ext.text.boilerplate": f"{_P}.pipeline.lines:boilerplate_scores",
     "ext.walks.skipgramPairs": f"{_P}.operators.traversal:walk_skipgram_pairs",
     "ext.salsa": f"{_P}.operators.centrality_variants:salsa",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
