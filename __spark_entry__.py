@@ -4715,6 +4715,54 @@ def _boilerplate_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# SimRank (operators/simrank.py)
+# ---------------------------------------------------------------------------
+
+def _q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank structural similarity on the induced id<40 subgraph,
+    3 supersteps at C=0.8 — operators/simrank.py:simrank, the pair-
+    lattice superstep loop (two edge joins + one pair-keyed agg per
+    step). Fixed iteration count + pure arithmetic = fully unrolled
+    SQL replay (_simrank_unrolled_sql)."""
+    from neo4j_graph_algorithms_spark.operators.simrank import simrank
+
+    e = _edges(spark, sf_dir).where(
+        (F.col("src") < 40) & (F.col("dst") < 40))
+    out = simrank(e, c=0.8, iterations=3)
+    return out.select(
+        "a", "b", F.round("similarity", 6).alias("similarity"))
+
+
+def _simrank_unrolled_sql(iters: int, c: float, n_sub: int) -> str:
+    parts = [
+        _EDGES_CTE,
+        f"sedges AS MATERIALIZED (SELECT src, dst FROM edges "
+        f"WHERE src < {n_sub} AND dst < {n_sub})",
+        "snodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM sedges "
+        "UNION ALL SELECT dst FROM sedges))",
+        "ind AS MATERIALIZED (SELECT dst, count(*) AS ind FROM sedges "
+        "GROUP BY dst)",
+        "s0 AS (SELECT id AS x, id AS y, CAST(1.0 AS DOUBLE) AS s "
+        "FROM snodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"m{i} AS (SELECT ea.dst AS a, eb.dst AS b, sum(p.s) AS t "
+            f"FROM s{i-1} p JOIN sedges ea ON ea.src = p.x "
+            f"JOIN sedges eb ON eb.src = p.y GROUP BY ea.dst, eb.dst)")
+        parts.append(
+            f"o{i} AS (SELECT m.a, m.b, {c!r} * m.t / (ia.ind * ib.ind) "
+            f"AS s FROM m{i} m JOIN ind ia ON ia.dst = m.a "
+            f"JOIN ind ib ON ib.dst = m.b WHERE m.a <> m.b)")
+        parts.append(
+            f"s{i} AS (SELECT id AS x, id AS y, CAST(1.0 AS DOUBLE) AS s "
+            f"FROM snodes UNION ALL SELECT a, b, s FROM o{i})")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT x AS a, y AS b, round(s, 6) AS similarity "
+            f"FROM s{iters} WHERE x < y AND s > 0")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -4875,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "line_dedup": _q_line_dedup,
         "boilerplate_scores": _q_boilerplate_scores,
+        "simrank": _q_simrank,
     }
 
 
@@ -5289,6 +5338,7 @@ def oracle_sql() -> dict[str, str]:
     sql["url_dedup"] = _url_dedup_sql()
     sql["line_dedup"] = _line_dedup_sql()
     sql["boilerplate_scores"] = _boilerplate_sql()
+    sql["simrank"] = _simrank_unrolled_sql(3, 0.8, 40)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

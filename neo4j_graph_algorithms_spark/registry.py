@@ -112,6 +112,7 @@ _REGISTRY: dict[str, str] = {
     "ext.url.dedup": f"{_P}.pipeline.urlnorm:url_dedup",
     "ext.dedup.lines": f"{_P}.pipeline.lines:line_dedup",
     "ext.text.boilerplate": f"{_P}.pipeline.lines:boilerplate_scores",
+    "ext.simRank": f"{_P}.operators.simrank:simrank",
     "ext.walks.skipgramPairs": f"{_P}.operators.traversal:walk_skipgram_pairs",
     "ext.salsa": f"{_P}.operators.centrality_variants:salsa",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
