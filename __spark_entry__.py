@@ -4763,6 +4763,56 @@ def _simrank_unrolled_sql(iters: int, c: float, n_sub: int) -> str:
             f"FROM s{iters} WHERE x < y AND s > 0")
 
 
+# ---------------------------------------------------------------------------
+# Random projection (pipeline/projection.py)
+# ---------------------------------------------------------------------------
+
+def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL Rademacher projection 64→8 dims, exploded to (vec_id, k,
+    value) — pipeline/projection.py:random_project, a map-only
+    codegen'd fold with the ±1 matrix folded into the plan as
+    constants. The oracle regenerates the IDENTICAL matrix from the
+    splitmix64(d·K + k ⊕ mix(seed)) arithmetic in SQL."""
+    from neo4j_graph_algorithms_spark.pipeline.projection import (
+        random_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_project(emb, out_dim=8, seed=42)
+    return (
+        out.select("vec_id", F.posexplode("projected").alias("k", "value"))
+        .select("vec_id", "k", F.round("value", 6).alias("value"))
+    )
+
+
+def _random_projection_sql(in_dim: int, out_dim: int, seed: int) -> str:
+    from neo4j_graph_algorithms_spark.pipeline.projection import _mix64
+    import numpy as np
+
+    seedmix = int(_mix64(np.uint64(seed) * np.ones(1, dtype=np.uint64))[0])
+    parts = [
+        f"pm0 AS (SELECT CAST(d.range AS UBIGINT) AS d, "
+        f"CAST(k.range AS UBIGINT) AS k, "
+        f"xor(CAST(d.range * {out_dim} + k.range AS UBIGINT), "
+        f"CAST({seedmix} AS UBIGINT)) AS x "
+        f"FROM range({in_dim}) d CROSS JOIN range({out_dim}) k)",
+    ]
+    parts += _mix64_chain("pm", "d, k")
+    parts += [
+        "proj AS MATERIALIZED (SELECT d, k, CASE WHEN x & 1 = 1 "
+        "THEN 1.0 ELSE -1.0 END AS sign FROM pm4)",
+        "e AS (SELECT vec_id, "
+        "CAST(generate_subscripts(embedding, 1) - 1 AS UBIGINT) AS d, "
+        "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) +
+        f"\nSELECT e.vec_id, CAST(p.k AS INT) AS k, "
+        f"round(sum(e.v * p.sign) / sqrt({out_dim}), 6) AS value "
+        f"FROM e JOIN proj p ON e.d = p.d GROUP BY e.vec_id, p.k"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -4783,23 +4833,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": _q_spam_mass,
         "k_core": _q_kcore,
         "k_truss": _q_k_truss,
+        "canonical_urls": _q_canonical_urls,
+        "url_dedup": _q_url_dedup,
+        "line_dedup": _q_line_dedup,
+        "boilerplate_scores": _q_boilerplate_scores,
+        "simrank": _q_simrank,
+        "random_projection": _q_random_projection,
         "densest_subgraph": _q_densest_subgraph,
         "pages_pagerank_e2e": _q_pages_pagerank,
         "anchor_stats": _q_anchor_stats,
         "wcc": _q_wcc,
         "streaming_wcc": _q_streaming_wcc,
         "label_propagation": _q_lpa,
-        "label_propagation_seeded": _q_lpa_seeded,
         "triangles_per_node": _q_triangles,
         "triangles_sampled": _q_triangles_sampled,
-        "modularity": _q_modularity,
         "curation_e2e": _q_curation_e2e,
         "random_walks": _q_random_walks,
         "node2vec_pairs": _q_node2vec_pairs,
         "hits": _q_hits,
         "salsa": _q_salsa,
         "link_prediction": _q_linkprediction,
-        "duplicate_span_scores": _q_duplicate_spans,
         "scalar_functions": _q_scalar_functions,
         "k_spanning_tree": _q_k_spanning_tree,
         "louvain_twolevel": _q_louvain_twolevel,
@@ -4813,12 +4866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "hyperball_balls": _q_hyperball,
         "bpe_token_stats": _q_bpe_token_stats,
-        "repetition_scores": _q_repetition,
         "ngram_lm_score": _q_ngram_lm,
         "vocab_top": _q_vocab,
-        "tfidf_top_terms": _q_tfidf,
         "resolve_redirects": _q_resolve_redirects,
-        "cooccurrence_pmi": _q_cooccurrence_pmi,
         "graph_summary": _q_graph_summary,
         "c4_filter": _q_c4_filter,
         "decontaminate": _q_decontaminate,
@@ -4919,11 +4969,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_importance": _q_opic,
         "bowtie_classes": _q_bowtie,
         "ensemble_dedup": _q_ensemble_dedup,
-        "canonical_urls": _q_canonical_urls,
-        "url_dedup": _q_url_dedup,
-        "line_dedup": _q_line_dedup,
-        "boilerplate_scores": _q_boilerplate_scores,
-        "simrank": _q_simrank,
+        "label_propagation_seeded": _q_lpa_seeded,
+        "modularity": _q_modularity,
+        "duplicate_span_scores": _q_duplicate_spans,
+        "repetition_scores": _q_repetition,
+        "tfidf_top_terms": _q_tfidf,
+        "cooccurrence_pmi": _q_cooccurrence_pmi,
     }
 
 
@@ -5339,6 +5390,7 @@ def oracle_sql() -> dict[str, str]:
     sql["line_dedup"] = _line_dedup_sql()
     sql["boilerplate_scores"] = _boilerplate_sql()
     sql["simrank"] = _simrank_unrolled_sql(3, 0.8, 40)
+    sql["random_projection"] = _random_projection_sql(64, 8, 42)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

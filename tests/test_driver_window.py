@@ -54,6 +54,10 @@ FAMILIES = {
     "packing": ["pack_sequences"],
     "sampling": ["sample_documents", "stratified_sample"],
     "events": ["events_window", "events_sessionize"],
+    "urlnorm": ["canonical_urls", "url_dedup"],
+    "lines": ["line_dedup", "boilerplate_scores"],
+    "simrank": ["simrank"],
+    "projection": ["random_projection"],
 }
 
 
