@@ -114,6 +114,7 @@ _REGISTRY: dict[str, str] = {
     "ext.text.boilerplate": f"{_P}.pipeline.lines:boilerplate_scores",
     "ext.simRank": f"{_P}.operators.simrank:simrank",
     "ext.project.random": f"{_P}.pipeline.projection:random_project",
+    "ext.community.refine": f"{_P}.operators.refinement:split_disconnected_communities",
     "ext.walks.skipgramPairs": f"{_P}.operators.traversal:walk_skipgram_pairs",
     "ext.salsa": f"{_P}.operators.centrality_variants:salsa",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",

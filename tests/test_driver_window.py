@@ -58,6 +58,7 @@ FAMILIES = {
     "lines": ["line_dedup", "boilerplate_scores"],
     "simrank": ["simrank"],
     "projection": ["random_projection"],
+    "refinement": ["louvain_refined"],
 }
 
 
