@@ -4864,6 +4864,56 @@ def _louvain_refined_sql(rounds: int) -> str:
                                  extra_ctes=extra)
 
 
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (pipeline/text.py:perplexity_buckets)
+# ---------------------------------------------------------------------------
+
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: per-language exact-percentile
+    thresholds over the 6-dp LM scores (model-sized agg + one broadcast
+    join — no per-language window sort). Self-trained model, the same
+    rounding contract as ngram_lm_score."""
+    from neo4j_graph_algorithms_spark.pipeline.text import (
+        perplexity_buckets,
+    )
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+_PERPLEXITY_BUCKETS_SQL = f"""
+    WITH grams AS (
+        SELECT doc_id, substr(text, i, 3) AS g
+        FROM documents,
+             UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+    ),
+    tric AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    ctxc AS (SELECT substr(g, 1, 2) AS ctx, sum(c) AS cc
+             FROM tric GROUP BY 1),
+    vv AS (SELECT count(DISTINCT substr(g, 3, 1)) AS v FROM tric),
+    sc AS (SELECT doc_id,
+                  round(-sum(ln((c + 1.0) /
+                                (cc + 1.0 * (SELECT v FROM vv))))
+                        / count(*), 6) AS cross_entropy
+           FROM grams
+           JOIN ctxc ON substr(g, 1, 2) = ctx
+           JOIN tric USING (g)
+           GROUP BY doc_id),
+    sl AS (SELECT d.doc_id, d.lang, s.cross_entropy
+           FROM documents d JOIN sc s USING (doc_id)),
+    th AS (SELECT lang,
+                  round(quantile_cont(cross_entropy,
+                                      {1.0 / 3.0!r}), 6) AS t1,
+                  round(quantile_cont(cross_entropy,
+                                      {2.0 / 3.0!r}), 6) AS t2
+           FROM sl GROUP BY lang)
+    SELECT sl.doc_id, sl.lang, sl.cross_entropy,
+           CASE WHEN cross_entropy <= t1 THEN 'head'
+                WHEN cross_entropy <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sl JOIN th USING (lang)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -4891,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank": _q_simrank,
         "random_projection": _q_random_projection,
         "louvain_refined": _q_louvain_refined,
+        "perplexity_buckets": _q_perplexity_buckets,
         "densest_subgraph": _q_densest_subgraph,
         "pages_pagerank_e2e": _q_pages_pagerank,
         "anchor_stats": _q_anchor_stats,
@@ -4917,7 +4968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "hyperball_balls": _q_hyperball,
         "bpe_token_stats": _q_bpe_token_stats,
-        "ngram_lm_score": _q_ngram_lm,
         "vocab_top": _q_vocab,
         "resolve_redirects": _q_resolve_redirects,
         "graph_summary": _q_graph_summary,
@@ -5027,6 +5077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "salsa": _q_salsa,
+        "ngram_lm_score": _q_ngram_lm,
     }
 
 
@@ -5444,6 +5495,7 @@ def oracle_sql() -> dict[str, str]:
     sql["simrank"] = _simrank_unrolled_sql(3, 0.8, 40)
     sql["random_projection"] = _random_projection_sql(64, 8, 42)
     sql["louvain_refined"] = _louvain_refined_sql(4)
+    sql["perplexity_buckets"] = _PERPLEXITY_BUCKETS_SQL
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

@@ -16,9 +16,9 @@ from neo4j_graph_algorithms_spark.pipeline.dedup import (
 )
 
 __all__ = ["token_stats", "bpe_token_stats", "quality_scores",
-           "repetition_scores", "ngram_lm_score", "language_id",
-           "fingerprints", "one_hot_lang", "LANGS", "STOPWORDS",
-           "LANG_PROFILES", "BPE_PATTERN"]
+           "repetition_scores", "ngram_lm_score", "perplexity_buckets",
+           "language_id", "fingerprints", "one_hot_lang", "LANGS",
+           "STOPWORDS", "LANG_PROFILES", "BPE_PATTERN"]
 
 # GPT-2-style pre-tokenizer shape: letter runs, digit runs, punctuation
 # runs, each absorbing one leading space. Restricted to a dialect with
@@ -230,6 +230,55 @@ def ngram_lm_score(
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_ngrams"),
         F.round(-F.sum(lp) / F.count(F.lit(1)), 6).alias("cross_entropy"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    lang_col: str = "lang",
+    n: int = 3,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    per language, documents below the ``cuts[0]`` perplexity quantile
+    are ``head`` (the cleanest third — what CCNet ships for LM
+    training), below ``cuts[1]`` ``middle``, else ``tail``. Scores come
+    from :func:`ngram_lm_score` (pass ``train`` to score the crawl
+    under a trusted reference corpus, the real CCNet setup).
+
+    Returns ``(doc_id, lang, cross_entropy, bucket)``.
+
+    100-TB shape: thresholds via an EXACT interpolated percentile
+    aggregation per language — output is languages×2 numbers
+    (model-sized), then ONE broadcast join labels every document.
+    Deliberately NOT ``ntile`` over a per-language window: the 'en'
+    partition of a crawl is a third of the corpus and a window would
+    sort it on one task; the percentile agg keeps map-side partial
+    state. Thresholds and scores are both 6-dp-rounded so the bucket
+    comparison is integer-exact cross-engine.
+    """
+    scores = ngram_lm_score(docs, n=n, alpha=alpha, text_col=text_col,
+                            train=train)
+    sl = (
+        docs.select("doc_id", F.col(lang_col).alias("lang"))
+        .join(scores.select("doc_id", "cross_entropy"), "doc_id")
+    )
+    th = sl.groupBy("lang").agg(
+        F.round(F.percentile("cross_entropy", F.lit(cuts[0])), 6)
+        .alias("_t1"),
+        F.round(F.percentile("cross_entropy", F.lit(cuts[1])), 6)
+        .alias("_t2"),
+    )
+    ce = F.col("cross_entropy")
+    return sl.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "cross_entropy",
+        F.when(ce <= F.col("_t1"), "head")
+        .when(ce <= F.col("_t2"), "middle")
+        .otherwise("tail").alias("bucket"),
     )
 
 

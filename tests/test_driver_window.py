@@ -59,6 +59,7 @@ FAMILIES = {
     "simrank": ["simrank"],
     "projection": ["random_projection"],
     "refinement": ["louvain_refined"],
+    "perplexity": ["perplexity_buckets"],
 }
 
 
