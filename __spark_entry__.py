@@ -4914,6 +4914,63 @@ _PERPLEXITY_BUCKETS_SQL = f"""
 """
 
 
+def _q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained canonical-URL dedup: the url_dedup
+    pages arrive as FOUR crawl-drop micro-batches
+    (streaming/dedup.py:run_url_dedup_maintenance — latest-wins
+    struct-max merge per batch, durable registry). Latest-wins is a
+    commutative monoid over (max struct, sum count), so the maintained
+    registry equals batch url_dedup in ANY drop order — the oracle is
+    _url_dedup_sql() verbatim."""
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.streaming.dedup import (
+        run_url_dedup_maintenance,
+    )
+
+    root = tempfile.mkdtemp(prefix="nga_stream_url_")
+    drops = os.path.join(root, "pages")
+    os.makedirs(drops)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    page = (F.col("doc_id") % 97).cast("long")
+    h = (page % 7).cast("string")
+    p = page.cast("string")
+    v = F.col("doc_id") % 6
+    s = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://h"), h, F.lit(".example.org/p/"), p)
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTPS://H"), h,
+                                F.lit(".Example.ORG/p/"), p,
+                                F.lit("/?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("https://h"), h,
+                               F.lit(".example.org:443/p/"), p,
+                               F.lit("?a=1&b=2&utm_source=x")))
+        .when(v == 2, F.concat(base, F.lit("/?b=2&a=1#frag-"), s))
+        .when(v == 3, F.concat(base, F.lit("?utm_campaign=y&a=1&b=2")))
+        .when(v == 4, F.concat(base, F.lit("?b=2&gclid=z&a=1")))
+        .otherwise(F.concat(base, F.lit("/?a=1&b=2")))
+    )
+    pages = d.select(
+        url.alias("url"),
+        ((F.col("doc_id") * 7919) % 100000).cast("long")
+        .alias("capture_ts"),
+        "doc_id")
+    for i in range(4):
+        stage = os.path.join(root, f"stage{i}")
+        (pages.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part),
+                  os.path.join(drops, f"drop{i}.parquet"))
+    out = run_url_dedup_maintenance(
+        spark, drops, os.path.join(root, "state"),
+        max_files_per_trigger=1)
+    return out.select(
+        "canonical_url", F.col("doc_id").alias("winner_doc_id"),
+        "n_variants")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -4946,7 +5003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pagerank_e2e": _q_pages_pagerank,
         "anchor_stats": _q_anchor_stats,
         "wcc": _q_wcc,
-        "streaming_wcc": _q_streaming_wcc,
+        "streaming_url_dedup": _q_streaming_url_dedup,
         "label_propagation": _q_lpa,
         "triangles_per_node": _q_triangles,
         "triangles_sampled": _q_triangles_sampled,
@@ -5078,6 +5135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "salsa": _q_salsa,
         "ngram_lm_score": _q_ngram_lm,
+        "streaming_wcc": _q_streaming_wcc,
     }
 
 
@@ -5496,6 +5554,7 @@ def oracle_sql() -> dict[str, str]:
     sql["random_projection"] = _random_projection_sql(64, 8, 42)
     sql["louvain_refined"] = _louvain_refined_sql(4)
     sql["perplexity_buckets"] = _PERPLEXITY_BUCKETS_SQL
+    sql["streaming_url_dedup"] = _url_dedup_sql()
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

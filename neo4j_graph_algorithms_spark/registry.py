@@ -102,6 +102,7 @@ _REGISTRY: dict[str, str] = {
     "ext.index.tfidf": f"{_P}.pipeline.index:tfidf_top_terms",
     "ext.index.inverted": f"{_P}.pipeline.index:inverted_index",
     "ext.stream.dedup": f"{_P}.streaming.dedup:run_dedup_maintenance",
+    "ext.stream.urlDedup": f"{_P}.streaming.dedup:run_url_dedup_maintenance",
     "ext.pca.covariance": f"{_P}.pipeline.pca:covariance_matrix",
     "ext.pca.fit": f"{_P}.pipeline.pca:pca_fit",
     "ext.pca.project": f"{_P}.pipeline.pca:pca_project",

@@ -38,11 +38,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..plans.checkpoint import CheckpointManager
 from .graph_maintenance import _drive
 
-__all__ = ["DOC_SCHEMA", "run_dedup_maintenance",
-           "run_near_dup_maintenance"]
+__all__ = ["DOC_SCHEMA", "PAGE_SCHEMA", "run_dedup_maintenance",
+           "run_near_dup_maintenance", "run_url_dedup_maintenance"]
 
 DOC_SCHEMA = ("doc_id long, text string, lang string, source string, "
               "n_chars long")
+PAGE_SCHEMA = "url string, capture_ts long, doc_id long"
 
 
 def run_dedup_maintenance(
@@ -202,3 +203,91 @@ def run_near_dup_maintenance(
     if final is None:  # empty stream
         return spark.createDataFrame([], "doc_a long, doc_b long")
     return final.select("doc_a", "doc_b")
+
+
+def run_url_dedup_maintenance(
+    spark: SparkSession,
+    pages_dir: str,
+    state_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuously-maintained canonical-URL dedup over a crawl stream;
+    returns the final ``(canonical_url, capture_ts, url, doc_id,
+    n_variants)`` — the latest capture per canonical URL (re-crawl
+    semantics of :func:`~...pipeline.urlnorm.url_dedup`, maintained
+    incrementally).
+
+    Unlike the first-seen-wins fingerprint registry, latest-wins is a
+    COMMUTATIVE merge: the winner is ``max(struct(capture_ts, url,
+    doc_id))`` and the variant count a sum — both fold in any drop
+    order, so the accumulated registry equals batch ``url_dedup`` on
+    the union of drops regardless of arrival order (pytest pins the
+    shuffled-drop case; contrast with exact-dedup's documented
+    order-sensitivity).
+
+    Scale shape per micro-batch: one batch-sized hash aggregation, one
+    canonical-url-keyed outer join against the registry (bucketed state
+    layout makes the registry side exchange-free — sources/bucketed.py),
+    same CheckpointManager commit protocol as the other folds.
+    """
+    from ..pipeline.urlnorm import canonicalize_url
+
+    mgr = CheckpointManager(spark, checkpoint_dir=os.path.join(
+        state_dir, "urldedup_state"), interval=1,
+        algorithm="urldedup_stream")
+    resumed = mgr.resume()
+    holder: dict[str, Any] = {
+        "state": resumed[1] if resumed else None,
+        "committed": resumed[0] if resumed else -1,
+    }
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= holder["committed"]:
+            return  # crash-replayed batch: state already reflects it
+        cand = (
+            batch.select(
+                canonicalize_url("url").alias("canonical_url"),
+                F.struct("capture_ts", "url", "doc_id").alias("_w"))
+            .groupBy("canonical_url")
+            .agg(F.max("_w").alias("_w"),
+                 F.count(F.lit(1)).alias("n_variants"))
+        )
+        n_batch = batch.count()
+        state = holder["state"]
+        if state is not None:
+            merged = (
+                state.withColumnsRenamed(
+                    {"_w": "_ws", "n_variants": "_ns"})
+                .join(cand, "canonical_url", "full_outer")
+                .select(
+                    "canonical_url",
+                    F.greatest("_ws", "_w").alias("_w"),
+                    (F.coalesce("_ns", F.lit(0))
+                     + F.coalesce("n_variants", F.lit(0)))
+                    .alias("n_variants"),
+                )
+            )
+        else:
+            merged = cand
+
+        def action(st: DataFrame) -> dict[str, Any]:
+            return {"registry_size": st.count(), "batch_pages": n_batch,
+                    "batch_id": int(batch_id)}
+
+        st, _ = mgr.maybe_checkpoint(merged, int(batch_id), action=action)
+        holder["state"] = st
+        holder["committed"] = int(batch_id)
+
+    _drive(spark, pages_dir, state_dir, fold,
+           max_files_per_trigger=max_files_per_trigger,
+           schema=PAGE_SCHEMA)
+    final = holder["state"]
+    if final is None:  # empty stream
+        return spark.createDataFrame(
+            [], "canonical_url string, capture_ts long, url string, "
+                "doc_id long, n_variants long")
+    return final.select(
+        "canonical_url", F.col("_w.capture_ts").alias("capture_ts"),
+        F.col("_w.url").alias("url"), F.col("_w.doc_id").alias("doc_id"),
+        F.col("n_variants").cast("long").alias("n_variants"))

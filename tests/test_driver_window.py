@@ -54,7 +54,7 @@ FAMILIES = {
     "packing": ["pack_sequences"],
     "sampling": ["sample_documents", "stratified_sample"],
     "events": ["events_window", "events_sessionize"],
-    "urlnorm": ["canonical_urls", "url_dedup"],
+    "urlnorm": ["canonical_urls", "url_dedup", "streaming_url_dedup"],
     "lines": ["line_dedup", "boilerplate_scores"],
     "simrank": ["simrank"],
     "projection": ["random_projection"],
