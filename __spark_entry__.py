@@ -4971,6 +4971,77 @@ def _q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_variants")
 
 
+# ---------------------------------------------------------------------------
+# BPE merge training (pipeline/bpe.py)
+# ---------------------------------------------------------------------------
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6 BPE merge rounds over documents — pipeline/bpe.py:bpe_train.
+    One corpus pass (word counts), then vocab-sized rounds: in-row pair
+    expansion → weighted argmax (count DESC, pair ASC) → left-to-right
+    non-overlapping merge as a codegen'd array fold. The oracle
+    restates the sweep NON-sequentially (candidate runs via
+    gaps-and-islands, even ranks selected, skip-next rebuild)."""
+    from neo4j_graph_algorithms_spark.pipeline.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    parts = [
+        "w0 AS MATERIALIZED (SELECT word, count(*) AS freq FROM ("
+        "SELECT replace(x, '|', '') AS word FROM ("
+        "SELECT unnest(string_split_regex(text, '\\s+')) AS x "
+        "FROM documents) WHERE x <> '') WHERE word <> '' GROUP BY word)",
+        "s0 AS MATERIALIZED (SELECT word AS w, "
+        "list_append(string_split(word, ''), '</w>') AS syms, freq "
+        "FROM w0)",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts += [
+            # adjacent pairs with their position
+            f"e{r} AS MATERIALIZED (SELECT w, freq, CAST(i AS INT) AS i, "
+            f"syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT)+1] AS b "
+            f"FROM s{p}, UNNEST(range(1, len(syms))) AS t(i))",
+            f"cnt{r} AS (SELECT a, b, sum(freq) AS c FROM e{r} "
+            f"GROUP BY a, b)",
+            f"t{r} AS MATERIALIZED (SELECT a, b, c FROM cnt{r} "
+            f"ORDER BY c DESC, a, b LIMIT 1)",
+            # greedy non-overlap: group consecutive candidate positions
+            # (gaps-and-islands), keep even ranks within each run
+            f"cand{r} AS (SELECT e.w, e.i FROM e{r} e "
+            f"JOIN t{r} ON e.a = t{r}.a AND e.b = t{r}.b)",
+            f"sel{r} AS (SELECT w, i, row_number() OVER "
+            f"(PARTITION BY w, i - rn ORDER BY i) AS rr FROM ("
+            f"SELECT w, i, row_number() OVER (PARTITION BY w ORDER BY i) "
+            f"AS rn FROM cand{r}))",
+            f"self{r} AS MATERIALIZED (SELECT w, i FROM sel{r} "
+            f"WHERE (rr - 1) % 2 = 0)",
+            # rebuild: selected position emits the merged symbol, the
+            # position after a selected one is skipped
+            f"pos{r} AS (SELECT w, freq, syms, CAST(j AS INT) AS j "
+            f"FROM s{p}, UNNEST(range(1, len(syms)+1)) AS t(j))",
+            f"reb{r} AS (SELECT p.w, p.freq, p.j, "
+            f"CASE WHEN sel.i IS NOT NULL THEN (SELECT a || b FROM t{r}) "
+            f"WHEN skp.i IS NOT NULL THEN NULL "
+            f"ELSE p.syms[p.j] END AS sym "
+            f"FROM pos{r} p "
+            f"LEFT JOIN self{r} sel ON sel.w = p.w AND sel.i = p.j "
+            f"LEFT JOIN self{r} skp ON skp.w = p.w AND skp.i = p.j - 1)",
+            f"s{r} AS MATERIALIZED (SELECT w, freq, "
+            f"list(sym ORDER BY j) FILTER (WHERE sym IS NOT NULL) "
+            f"AS syms FROM reb{r} GROUP BY w, freq)",
+        ]
+    outs = [
+        f"SELECT {r} AS merge_rank, a AS \"left\", b AS \"right\", "
+        f"a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return ("WITH " + ",\n".join(parts) + "\n" +
+            " UNION ALL ".join(outs))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -4999,6 +5070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": _q_random_projection,
         "louvain_refined": _q_louvain_refined,
         "perplexity_buckets": _q_perplexity_buckets,
+        "bpe_train": _q_bpe_train,
         "densest_subgraph": _q_densest_subgraph,
         "pages_pagerank_e2e": _q_pages_pagerank,
         "anchor_stats": _q_anchor_stats,
@@ -5021,7 +5093,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "maximal_independent_set": _q_mis,
         "kmeans_clusters": _q_kmeans_clusters,
-        "semantic_dedup": _q_semantic_dedup,
         "simhash_near_dup": _q_simhash_near_dup,
         "hyperball_balls": _q_hyperball,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -5136,6 +5207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": _q_salsa,
         "ngram_lm_score": _q_ngram_lm,
         "streaming_wcc": _q_streaming_wcc,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -5555,6 +5627,7 @@ def oracle_sql() -> dict[str, str]:
     sql["louvain_refined"] = _louvain_refined_sql(4)
     sql["perplexity_buckets"] = _PERPLEXITY_BUCKETS_SQL
     sql["streaming_url_dedup"] = _url_dedup_sql()
+    sql["bpe_train"] = _bpe_train_sql(6)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

@@ -60,6 +60,7 @@ FAMILIES = {
     "projection": ["random_projection"],
     "refinement": ["louvain_refined"],
     "perplexity": ["perplexity_buckets"],
+    "bpe": ["bpe_train"],
 }
 
 
