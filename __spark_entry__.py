@@ -759,61 +759,76 @@ def _hits_unrolled_sql(iters: int) -> str:
     )
 
 
+def _salsa_rounds_sql(iters: int, *, tag: str = "s",
+                      edges: str = "edges",
+                      nodes: str = "nodes") -> list[str]:
+    """CTE chain for unrolled SALSA on arbitrary edge/node CTEs —
+    final state is ``{tag}{iters}`` with (id, hub, auth). MATERIALIZED
+    for the same chain-inlining reason as _hits_unrolled_sql. Shared
+    by the full-graph oracle (_salsa_unrolled_sql) and the WTF
+    composition (bipartite circle subgraph)."""
+    t = tag
+    parts = [
+        f"{t}od AS MATERIALIZED (SELECT src AS id, count(*) AS outd "
+        f"FROM {edges} GROUP BY src)",
+        f"{t}id AS MATERIALIZED (SELECT dst AS id, count(*) AS ind "
+        f"FROM {edges} GROUP BY dst)",
+        f"{t}0 AS MATERIALIZED (SELECT id, "
+        f"1.0 / (SELECT count(*) FROM {nodes}) AS hub, "
+        f"1.0 / (SELECT count(*) FROM {nodes}) AS auth FROM {nodes})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"{t}hm{i} AS MATERIALIZED (SELECT e.src AS id, "
+            f"sum(s.auth / d.ind) AS hraw "
+            f"FROM {edges} e JOIN {t}{i-1} s ON s.id = e.dst "
+            f"JOIN {t}id d ON d.id = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"{t}hraw{i} AS MATERIALIZED (SELECT s.id, "
+            f"coalesce(h.hraw, 0.0) AS hraw, s.auth "
+            f"FROM {t}{i-1} s LEFT JOIN {t}hm{i} h ON s.id = h.id)"
+        )
+        parts.append(
+            f"{t}hl1_{i} AS MATERIALIZED (SELECT CASE "
+            f"WHEN sum(abs(hraw)) > 0 "
+            f"THEN sum(abs(hraw)) ELSE 1.0 END AS v FROM {t}hraw{i})"
+        )
+        parts.append(
+            f"{t}mid{i} AS MATERIALIZED (SELECT id, "
+            f"hraw / (SELECT v FROM {t}hl1_{i}) AS hub, auth "
+            f"FROM {t}hraw{i})"
+        )
+        parts.append(
+            f"{t}am{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"sum(m.hub / d.outd) AS araw "
+            f"FROM {edges} e JOIN {t}mid{i} m ON m.id = e.src "
+            f"JOIN {t}od d ON d.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"{t}araw{i} AS MATERIALIZED (SELECT m.id, m.hub, "
+            f"coalesce(a.araw, 0.0) AS araw "
+            f"FROM {t}mid{i} m LEFT JOIN {t}am{i} a ON m.id = a.id)"
+        )
+        parts.append(
+            f"{t}al1_{i} AS MATERIALIZED (SELECT CASE "
+            f"WHEN sum(abs(araw)) > 0 "
+            f"THEN sum(abs(araw)) ELSE 1.0 END AS v FROM {t}araw{i})"
+        )
+        parts.append(
+            f"{t}{i} AS MATERIALIZED (SELECT id, hub, "
+            f"araw / (SELECT v FROM {t}al1_{i}) AS auth FROM {t}araw{i})"
+        )
+    return parts
+
+
 def _salsa_unrolled_sql(iters: int) -> str:
     """Unrolled SALSA (Lempel & Moran): per iteration a degree-normalized
     hub half-step (hub = A·(auth/in_deg), L1-normalize) then authority
     half-step (auth = Aᵀ·(hub/out_deg), L1-normalize) — mirrors
-    operators/centrality_variants.py:salsa. MATERIALIZED for the same
-    chain-inlining reason as _hits_unrolled_sql."""
-    parts = [
-        _EDGES_CTE, _NODES_CTE,
-        "sod AS MATERIALIZED (SELECT src AS id, count(*) AS outd "
-        "FROM edges GROUP BY src)",
-        "sid AS MATERIALIZED (SELECT dst AS id, count(*) AS ind "
-        "FROM edges GROUP BY dst)",
-        "s0 AS MATERIALIZED (SELECT id, "
-        "1.0 / (SELECT count(*) FROM nodes) AS hub, "
-        "1.0 / (SELECT count(*) FROM nodes) AS auth FROM nodes)",
-    ]
-    for i in range(1, iters + 1):
-        parts.append(
-            f"hm{i} AS MATERIALIZED (SELECT e.src AS id, "
-            f"sum(s.auth / d.ind) AS hraw "
-            f"FROM edges e JOIN s{i-1} s ON s.id = e.dst "
-            f"JOIN sid d ON d.id = e.dst GROUP BY e.src)"
-        )
-        parts.append(
-            f"hraw{i} AS MATERIALIZED (SELECT s.id, "
-            f"coalesce(h.hraw, 0.0) AS hraw, s.auth "
-            f"FROM s{i-1} s LEFT JOIN hm{i} h ON s.id = h.id)"
-        )
-        parts.append(
-            f"hl1_{i} AS MATERIALIZED (SELECT CASE WHEN sum(abs(hraw)) > 0 "
-            f"THEN sum(abs(hraw)) ELSE 1.0 END AS v FROM hraw{i})"
-        )
-        parts.append(
-            f"mid{i} AS MATERIALIZED (SELECT id, "
-            f"hraw / (SELECT v FROM hl1_{i}) AS hub, auth FROM hraw{i})"
-        )
-        parts.append(
-            f"am{i} AS MATERIALIZED (SELECT e.dst AS id, "
-            f"sum(m.hub / d.outd) AS araw "
-            f"FROM edges e JOIN mid{i} m ON m.id = e.src "
-            f"JOIN sod d ON d.id = e.src GROUP BY e.dst)"
-        )
-        parts.append(
-            f"araw{i} AS MATERIALIZED (SELECT m.id, m.hub, "
-            f"coalesce(a.araw, 0.0) AS araw "
-            f"FROM mid{i} m LEFT JOIN am{i} a ON m.id = a.id)"
-        )
-        parts.append(
-            f"al1_{i} AS MATERIALIZED (SELECT CASE WHEN sum(abs(araw)) > 0 "
-            f"THEN sum(abs(araw)) ELSE 1.0 END AS v FROM araw{i})"
-        )
-        parts.append(
-            f"s{i} AS MATERIALIZED (SELECT id, hub, "
-            f"araw / (SELECT v FROM al1_{i}) AS auth FROM araw{i})"
-        )
+    operators/centrality_variants.py:salsa."""
+    parts = [_EDGES_CTE, _NODES_CTE]
+    parts += _salsa_rounds_sql(iters)
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT id, round(hub, 6) AS hub, round(auth, 6) AS authority "
@@ -5042,6 +5057,71 @@ def _bpe_train_sql(n_merges: int) -> str:
             " UNION ALL ".join(outs))
 
 
+# ---------------------------------------------------------------------------
+# Who-To-Follow (operators/wtf.py)
+# ---------------------------------------------------------------------------
+
+def _q_who_to_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WTF recommendations for user 0: PPR circle of trust (top-20 at
+    9-dp rounding, id tie-break) → SALSA on the circle-induced
+    bipartite subgraph → top-10 unfollowed authorities
+    (operators/wtf.py, Gupta et al. WWW'13). Pure composition of the
+    engine's personalized PageRank and SALSA — the oracle chains the
+    same two unrolled recurrences."""
+    from neo4j_graph_algorithms_spark.operators.wtf import who_to_follow
+
+    e = _edges(spark, sf_dir)
+    res = who_to_follow(_vertices(e), e, 0, circle_k=20,
+                        ppr_iterations=8, salsa_iterations=8, top_n=10)
+    return res.recommendations.select(
+        "id", F.round("score", 6).alias("score"))
+
+
+def _wtf_sql(ppr_iters: int, salsa_iters: int, user: int,
+             circle_k: int, top_n: int) -> str:
+    base = f"CASE WHEN id = {user} THEN 0.15 ELSE 0.0 END"
+    parts = [
+        _EDGES_CTE, _NODES_CTE,
+        "deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src)",
+        "fac AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / d.outd "
+        "AS factor FROM edges e JOIN deg d ON e.src = d.src)",
+        f"r0 AS MATERIALIZED (SELECT id, CAST({base} AS DOUBLE) AS rank "
+        f"FROM nodes)",
+    ]
+    for i in range(1, ppr_iters + 1):
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT f.dst AS id, "
+            f"sum(r.rank * f.factor) AS msg "
+            f"FROM fac f JOIN r{i-1} r ON f.src = r.id GROUP BY f.dst)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.id, "
+            f"{base.replace('id', 'n.id')} + 0.85 * coalesce(m.msg, 0.0) "
+            f"AS rank FROM nodes n LEFT JOIN m{i} m ON n.id = m.id)")
+    parts += [
+        f"circle AS MATERIALIZED (SELECT id FROM ("
+        f"SELECT id, round(rank, 9) AS rank9 FROM r{ppr_iters} "
+        f"WHERE id <> {user}) WHERE rank9 > 0 "
+        f"ORDER BY rank9 DESC, id LIMIT {circle_k})",
+        "bedges AS MATERIALIZED (SELECT e.src, e.dst FROM edges e "
+        "JOIN circle c ON e.src = c.id)",
+        "bnodes AS MATERIALIZED (SELECT DISTINCT id FROM ("
+        "SELECT src AS id FROM bedges UNION ALL SELECT dst FROM bedges))",
+    ]
+    parts += _salsa_rounds_sql(salsa_iters, tag="w", edges="bedges",
+                               nodes="bnodes")
+    parts.append(
+        f"followed AS (SELECT DISTINCT dst AS id FROM edges "
+        f"WHERE src = {user})")
+    return (
+        "WITH " + ",\n".join(parts) +
+        f"\nSELECT id, round(score9, 6) AS score FROM ("
+        f"SELECT s.id, round(s.auth, 9) AS score9 FROM w{salsa_iters} s "
+        f"LEFT JOIN followed f ON f.id = s.id "
+        f"WHERE f.id IS NULL AND s.id <> {user}) "
+        f"WHERE score9 > 0 ORDER BY score9 DESC, id LIMIT {top_n}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -5071,6 +5151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_refined": _q_louvain_refined,
         "perplexity_buckets": _q_perplexity_buckets,
         "bpe_train": _q_bpe_train,
+        "who_to_follow": _q_who_to_follow,
         "densest_subgraph": _q_densest_subgraph,
         "pages_pagerank_e2e": _q_pages_pagerank,
         "anchor_stats": _q_anchor_stats,
@@ -5088,12 +5169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_spanning_tree": _q_k_spanning_tree,
         "louvain_twolevel": _q_louvain_twolevel,
         "infomap_fixedmerges": _q_infomap_fixedmerges,
-        "cosine_knn": _q_cosine_knn,
         "cocitation_pairs": _q_cocitation,
         "dedup_clusters": _q_dedup_clusters,
+        "cosine_knn": _q_cosine_knn,
         "maximal_independent_set": _q_mis,
         "kmeans_clusters": _q_kmeans_clusters,
-        "simhash_near_dup": _q_simhash_near_dup,
         "hyperball_balls": _q_hyperball,
         "bpe_token_stats": _q_bpe_token_stats,
         "vocab_top": _q_vocab,
@@ -5208,6 +5288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": _q_ngram_lm,
         "streaming_wcc": _q_streaming_wcc,
         "semantic_dedup": _q_semantic_dedup,
+        "simhash_near_dup": _q_simhash_near_dup,
     }
 
 
@@ -5628,6 +5709,7 @@ def oracle_sql() -> dict[str, str]:
     sql["perplexity_buckets"] = _PERPLEXITY_BUCKETS_SQL
     sql["streaming_url_dedup"] = _url_dedup_sql()
     sql["bpe_train"] = _bpe_train_sql(6)
+    sql["who_to_follow"] = _wtf_sql(8, 8, 0, 20, 10)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

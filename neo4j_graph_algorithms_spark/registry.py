@@ -118,6 +118,7 @@ _REGISTRY: dict[str, str] = {
     "ext.community.refine": f"{_P}.operators.refinement:split_disconnected_communities",
     "ext.walks.skipgramPairs": f"{_P}.operators.traversal:walk_skipgram_pairs",
     "ext.salsa": f"{_P}.operators.centrality_variants:salsa",
+    "ext.whoToFollow": f"{_P}.operators.wtf:who_to_follow",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
     "ext.text.perplexityBuckets": f"{_P}.pipeline.text:perplexity_buckets",
     "ext.bpe.train": f"{_P}.pipeline.bpe:bpe_train",

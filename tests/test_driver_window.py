@@ -61,6 +61,7 @@ FAMILIES = {
     "refinement": ["louvain_refined"],
     "perplexity": ["perplexity_buckets"],
     "bpe": ["bpe_train"],
+    "wtf": ["who_to_follow"],
 }
 
 
