@@ -5057,6 +5057,30 @@ def _bpe_train_sql(n_merges: int) -> str:
             " UNION ALL ".join(outs))
 
 
+def _bpe_encode_sql(n_merges: int) -> str:
+    """Per-doc token counts under the trained merges: the training
+    chain's final vocab state s{n} IS the encoded spelling of every
+    word — join it back to the corpus words and aggregate."""
+    train = _bpe_train_sql(n_merges)
+    parts_blob = train.split("WITH ", 1)[1].rsplit("\n", 1)[0]
+    # strip the UNION ALL output tail; keep the CTE chain
+    parts_blob = parts_blob.rsplit("SELECT 1 AS merge_rank", 1)[0]
+    parts_blob = parts_blob.rstrip().rstrip(",")
+    extra = f""",
+    docw AS (SELECT doc_id, word FROM (
+        SELECT doc_id, replace(x, '|', '') AS word FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS x
+            FROM documents) WHERE x <> '') WHERE word <> ''),
+    enc AS (SELECT w, len(syms) AS ntok FROM s{n_merges}),
+    agg AS (SELECT doc_id, count(*) AS n_words, sum(ntok) AS n_tokens
+            FROM docw JOIN enc ON docw.word = enc.w GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    # note: the trailing SELECT replaces the training output
+    return "WITH " + parts_blob + extra
+
+
 # ---------------------------------------------------------------------------
 # Who-To-Follow (operators/wtf.py)
 # ---------------------------------------------------------------------------
@@ -5122,6 +5146,21 @@ def _wtf_sql(ppr_iters: int, salsa_iters: int, user: int,
     )
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize under the corpus's own 6-merge BPE table — train then
+    encode (pipeline/bpe.py:bpe_encode): merge folds on the distinct
+    word table, one word-keyed join back, one doc-keyed agg. Oracle
+    reuses the training CTE chain (its final vocab state IS the
+    encoding) + a corpus join."""
+    from neo4j_graph_algorithms_spark.pipeline.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_train(docs, n_merges=6))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -5151,6 +5190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_refined": _q_louvain_refined,
         "perplexity_buckets": _q_perplexity_buckets,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         "who_to_follow": _q_who_to_follow,
         "densest_subgraph": _q_densest_subgraph,
         "pages_pagerank_e2e": _q_pages_pagerank,
@@ -5159,7 +5199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_url_dedup": _q_streaming_url_dedup,
         "label_propagation": _q_lpa,
         "triangles_per_node": _q_triangles,
-        "triangles_sampled": _q_triangles_sampled,
         "curation_e2e": _q_curation_e2e,
         "random_walks": _q_random_walks,
         "node2vec_pairs": _q_node2vec_pairs,
@@ -5289,6 +5328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_wcc": _q_streaming_wcc,
         "semantic_dedup": _q_semantic_dedup,
         "simhash_near_dup": _q_simhash_near_dup,
+        "triangles_sampled": _q_triangles_sampled,
     }
 
 
@@ -5710,6 +5750,7 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_url_dedup"] = _url_dedup_sql()
     sql["bpe_train"] = _bpe_train_sql(6)
     sql["who_to_follow"] = _wtf_sql(8, 8, 0, 20, 10)
+    sql["bpe_encode"] = _bpe_encode_sql(6)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

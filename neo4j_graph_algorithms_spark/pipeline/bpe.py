@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-__all__ = ["bpe_train", "spell_expr", "END_OF_WORD"]
+__all__ = ["bpe_train", "bpe_encode", "spell_expr", "END_OF_WORD"]
 
 END_OF_WORD = "</w>"
 
@@ -145,4 +145,61 @@ def bpe_train(
         merges,
         "merge_rank int, left string, right string, merged string, "
         "pair_count long",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge table and count tokens per document:
+    ``(doc_id, n_words, n_tokens)``. ``merges`` is :func:`bpe_train`'s
+    DataFrame (applied in ``merge_rank`` order) or a list of
+    ``(left, right)`` pairs.
+
+    Same vocab trick as training: the merge folds run on the DISTINCT
+    word table (each merge is a chained codegen'd array fold — N plan-
+    constant rewrites, no shuffle), then ONE word-keyed join carries
+    per-word token counts back to the corpus and a doc-keyed
+    aggregation sums them. Documents with no words keep a row with
+    zero counts.
+    """
+    if isinstance(merges, DataFrame):
+        pairs = [(r.left, r.right) for r in
+                 merges.orderBy("merge_rank").collect()]
+    else:
+        pairs = list(merges)
+    doc_words = (
+        docs.select("doc_id",
+                    F.explode(F.split(F.col(text_col), r"\s+"))
+                    .alias("word"))
+        .where(F.col("word") != "")
+        .select("doc_id",
+                F.replace(F.col("word"), F.lit("|"), F.lit(""))
+                .alias("word"))
+        .where(F.col("word") != "")
+    )
+    syms = spell_expr(F.col("word"))
+    for left, right in pairs:
+        syms = _apply_merge(syms, left, right)
+    vocab = (
+        doc_words.select("word").distinct()
+        .select("word", F.size(syms).alias("_ntok"))
+    )
+    per_doc = (
+        doc_words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.sum("_ntok").alias("n_tokens"))
+    )
+    return (
+        docs.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long")
+            .alias("n_tokens"),
+        )
     )

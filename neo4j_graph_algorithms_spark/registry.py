@@ -122,6 +122,7 @@ _REGISTRY: dict[str, str] = {
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
     "ext.text.perplexityBuckets": f"{_P}.pipeline.text:perplexity_buckets",
     "ext.bpe.train": f"{_P}.pipeline.bpe:bpe_train",
+    "ext.bpe.encode": f"{_P}.pipeline.bpe:bpe_encode",
     "ext.sample.temperatureMix": f"{_P}.pipeline.sampling:temperature_mix",
     "ext.dedup.duplicateSpans": f"{_P}.pipeline.dedup:duplicate_span_scores",
     "ext.cocitation": f"{_P}.operators.cocitation:cocitation_pairs",

@@ -80,3 +80,51 @@ def test_sentinel_stripped(spark):
     got = _spark_bpe(spark, ["a|b a|b"], 1)
     # '|' removed -> word 'ab'
     assert got[0][1:3] == ("a", "b") and got[0][4] == 2
+
+
+def test_encode_matches_ref_token_counts(spark):
+    from neo4j_graph_algorithms_spark.pipeline.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = ["low lower lowest", "new newer newest", "low new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=5)
+    got = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in bpe_encode(docs, merges).collect()}
+
+    # reference: apply the same merges left-to-right per word
+    pairs = [(r.left, r.right) for r in
+             merges.orderBy("merge_rank").collect()]
+
+    def enc(word):
+        sym = list(word) + ["</w>"]
+        for l_, r_ in pairs:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l_ and sym[i + 1] == r_:
+                    out.append(l_ + r_)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        assert got[i] == (len(ws), sum(enc(w) for w in ws))
+
+
+def test_encode_empty_doc_and_list_merges(spark):
+    from neo4j_graph_algorithms_spark.pipeline.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, "")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in bpe_encode(docs, [("a", "b"), ("ab", "</w>")])
+           .collect()}
+    assert got[0] == (2, 2)   # 'ab' -> [ab</w>]
+    assert got[1] == (0, 0)

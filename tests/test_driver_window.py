@@ -60,7 +60,7 @@ FAMILIES = {
     "projection": ["random_projection"],
     "refinement": ["louvain_refined"],
     "perplexity": ["perplexity_buckets"],
-    "bpe": ["bpe_train"],
+    "bpe": ["bpe_train", "bpe_encode"],
     "wtf": ["who_to_follow"],
 }
 
