@@ -5161,6 +5161,93 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, bpe_train(docs, n_merges=6))
 
 
+# ---------------------------------------------------------------------------
+# Mirror hosts + crawl frontier (operators/hostgraph.py)
+# ---------------------------------------------------------------------------
+
+def _q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bharat-Broder mirror detection over documents sharded onto 10
+    synthetic hosts: the corpus's exact-duplicate texts land on
+    different hosts and must pair them; hot fingerprints are pruned
+    before the self-join (operators/hostgraph.py:mirror_hosts)."""
+    from neo4j_graph_algorithms_spark.operators.hostgraph import (
+        mirror_hosts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".example.org/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text")
+    return mirror_hosts(pages, min_shared=1, df_cutoff=1000)
+
+
+_MIRROR_HOSTS_SQL = f"""
+    WITH p AS (SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR)
+                      || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                      AS url, text FROM documents),
+    fp AS (SELECT DISTINCT
+               lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS host,
+               md5(text) AS fp FROM p),
+    hot AS (SELECT fp, count(*) AS nh FROM fp GROUP BY fp),
+    cool AS MATERIALIZED (SELECT f.host, f.fp FROM fp f
+                          JOIN hot h ON f.fp = h.fp AND h.nh <= 1000),
+    sz AS (SELECT host, count(*) AS s FROM cool GROUP BY host),
+    sh AS (SELECT a.host AS host_a, b.host AS host_b,
+                  count(*) AS shared
+           FROM cool a JOIN cool b ON a.fp = b.fp AND a.host < b.host
+           GROUP BY 1, 2 HAVING count(*) >= 1)
+    SELECT sh.host_a, sh.host_b, CAST(sh.shared AS BIGINT) AS shared,
+           round(CAST(sh.shared AS DOUBLE)
+                 / (sa.s + sb.s - sh.shared), 6) AS resemblance
+    FROM sh JOIN sz sa ON sa.host = sh.host_a
+    JOIN sz sb ON sb.host = sh.host_b
+"""
+
+
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier discovery on the 2000-page / 8-host synthetic crawl
+    with only the first 1500 pages crawled: uncrawled link targets
+    ranked by distinct in-links and distinct linking hosts
+    (operators/hostgraph.py:crawl_frontier)."""
+    from neo4j_graph_algorithms_spark.operators.hostgraph import (
+        crawl_frontier,
+    )
+    from neo4j_graph_algorithms_spark.sources import (
+        extract_edges,
+        generate_pages,
+    )
+    from neo4j_graph_algorithms_spark.sources.pages import page_url
+
+    pages = generate_pages(spark, 2000, n_hosts=8)
+    edges = extract_edges(pages)
+    crawled = spark.range(1500).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 8).cast("string"),
+                 F.lit(".example.org/p/"),
+                 F.col("id").cast("string")).alias("url"))
+    assert page_url(3, 8) == "https://h3.example.org/p/3"
+    return crawl_frontier(edges, crawled)
+
+
+def _crawl_frontier_sql(n: int, n_hosts: int, crawled_n: int) -> str:
+    parts = _pages_linklist_parts(n, n_hosts=n_hosts) + [
+        "uedges AS MATERIALIZED (SELECT DISTINCT src_url, dst_url "
+        "FROM plinks)",
+        f"crawled AS (SELECT {_sql_page_url('i', n_hosts)} AS url FROM "
+        f"(SELECT CAST(range AS UBIGINT) AS i FROM range({crawled_n})))",
+        "fresh AS (SELECT e.src_url, e.dst_url FROM uedges e "
+        "LEFT JOIN crawled c ON c.url = e.dst_url WHERE c.url IS NULL)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) +
+        f"\nSELECT dst_url AS url, count(*) AS n_inlinks, "
+        f"count(DISTINCT lower(regexp_extract(src_url, "
+        f"'{_HOST_RE_SQL}', 1))) AS n_src_hosts "
+        f"FROM fresh GROUP BY dst_url"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -5192,6 +5279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
         "who_to_follow": _q_who_to_follow,
+        "mirror_hosts": _q_mirror_hosts,
+        "crawl_frontier": _q_crawl_frontier,
         "densest_subgraph": _q_densest_subgraph,
         "pages_pagerank_e2e": _q_pages_pagerank,
         "anchor_stats": _q_anchor_stats,
@@ -5199,7 +5288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_url_dedup": _q_streaming_url_dedup,
         "label_propagation": _q_lpa,
         "triangles_per_node": _q_triangles,
-        "curation_e2e": _q_curation_e2e,
         "random_walks": _q_random_walks,
         "node2vec_pairs": _q_node2vec_pairs,
         "hits": _q_hits,
@@ -5223,7 +5311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": _q_sample_documents,
         "mix_corpus": _q_mix_corpus,
         "pca_covariance": _q_pca_covariance,
-        "embedding_near_dup": _q_embedding_near_dup,
         "ivf_knn": _q_ivf_knn,
         "pack_sequences": _q_pack_sequences,
         "events_window": _q_events_window,
@@ -5329,6 +5416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "simhash_near_dup": _q_simhash_near_dup,
         "triangles_sampled": _q_triangles_sampled,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "curation_e2e": _q_curation_e2e,
     }
 
 
@@ -5751,6 +5840,8 @@ def oracle_sql() -> dict[str, str]:
     sql["bpe_train"] = _bpe_train_sql(6)
     sql["who_to_follow"] = _wtf_sql(8, 8, 0, 20, 10)
     sql["bpe_encode"] = _bpe_encode_sql(6)
+    sql["mirror_hosts"] = _MIRROR_HOSTS_SQL
+    sql["crawl_frontier"] = _crawl_frontier_sql(2000, 8, 1500)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["url_host", "url_domain", "host_graph", "domain_graph",
-           "with_registrable_domain"]
+           "with_registrable_domain", "mirror_hosts", "crawl_frontier"]
 
 # scheme://host[:port]/... → capture group 1 = authority without
 # userinfo/path/query/fragment. Mirrored literally in the DuckDB oracle
@@ -179,4 +179,94 @@ def domain_graph(
         h = h.filter(F.col("src_domain") != F.col("dst_domain"))
     return h.groupBy("src_domain", "dst_domain").agg(
         F.count(F.lit(1)).alias("weight")
+    )
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_shared: int = 2,
+    df_cutoff: int = 1000,
+) -> DataFrame:
+    """Mirror-site detection (Bharat & Broder WWW'99): host pairs whose
+    page-content fingerprint sets overlap — the crawl-level dedup that
+    URL canonicalization cannot catch (same content, different site).
+
+    Returns ``(host_a, host_b, shared, resemblance)`` with
+    ``resemblance = |A∩B| / |A∪B|`` over each host's DISTINCT content
+    fingerprints, pairs with ``shared >= min_shared``, ``host_a <
+    host_b``.
+
+    Scale shape — the inverted-index self-join discipline of
+    ``pipeline/dedup.py:token_jaccard_pairs``: fingerprints occurring
+    on more than ``df_cutoff`` hosts (cross-web boilerplate like empty
+    pages) are pruned BEFORE the self-join, so the pair fan-out per
+    fingerprint is bounded; everything else is two hash aggregations
+    and one equality join.
+    """
+    fp = (
+        pages.select(url_host(url_col).alias("host"),
+                     F.md5(F.col(text_col)).alias("fp"))
+        .distinct()
+    )
+    hot = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_nh"))
+    fp_cool = fp.join(
+        hot.where(F.col("_nh") <= df_cutoff).select("fp"), "fp")
+    sizes = fp_cool.groupBy("host").agg(F.count(F.lit(1)).alias("_sz"))
+    a = fp_cool.select(F.col("host").alias("host_a"), "fp")
+    b = fp_cool.select(F.col("host").alias("host_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("host").alias("host_a"),
+                      F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col("host").alias("host_b"),
+                      F.col("_sz").alias("_sb"))
+    return (
+        shared.join(sa, "host_a").join(sb, "host_b")
+        .select(
+            "host_a", "host_b", "shared",
+            F.round(F.col("shared").cast("double")
+                    / (F.col("_sa") + F.col("_sb") - F.col("shared")), 6)
+            .alias("resemblance"),
+        )
+    )
+
+
+def crawl_frontier(
+    url_edges: DataFrame,
+    crawled: DataFrame,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    crawled_col: str = "url",
+) -> DataFrame:
+    """Frontier discovery: link targets NOT yet crawled, with the
+    in-link evidence a scheduler prioritizes by (the OPIC/indegree
+    signal feeding a Nutch-style fetch queue).
+
+    Returns ``(url, n_inlinks, n_src_hosts)`` — distinct-edge in-link
+    count and the number of distinct linking hosts (cross-host
+    endorsements rank higher than one site's internal fan-out).
+
+    Scale shape: one distinct on the edge list, one anti-join against
+    the crawled set (both sides keyed by URL — bucketed layouts make
+    the crawled side exchange-free), one dst-keyed aggregation with
+    map-side combine.
+    """
+    e = url_edges.select(F.col(src_col).alias("src_url"),
+                         F.col(dst_col).alias("dst_url")).distinct()
+    fresh = e.join(
+        crawled.select(F.col(crawled_col).alias("dst_url")).distinct(),
+        "dst_url", "left_anti")
+    return (
+        fresh.groupBy(F.col("dst_url").alias("url"))
+        .agg(F.count(F.lit(1)).alias("n_inlinks"),
+             F.countDistinct(url_host("src_url")).alias("n_src_hosts"))
     )

@@ -71,6 +71,8 @@ _REGISTRY: dict[str, str] = {
     "ext.hostGraph": f"{_P}.operators.hostgraph:host_graph",
     "ext.triangleCount.incremental": f"{_P}.operators.triangles:triangle_count_incremental",
     "ext.domainGraph": f"{_P}.operators.hostgraph:domain_graph",
+    "ext.mirrorHosts": f"{_P}.operators.hostgraph:mirror_hosts",
+    "ext.crawlFrontier": f"{_P}.operators.hostgraph:crawl_frontier",
     "ext.stream.wcc": f"{_P}.streaming.graph_maintenance:run_component_maintenance",
     "ext.stream.pageRank": f"{_P}.streaming.graph_maintenance:run_pagerank_maintenance",
     "ext.stream.triangleCount": f"{_P}.streaming.graph_maintenance:run_triangle_maintenance",

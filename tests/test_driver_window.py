@@ -62,6 +62,7 @@ FAMILIES = {
     "perplexity": ["perplexity_buckets"],
     "bpe": ["bpe_train", "bpe_encode"],
     "wtf": ["who_to_follow"],
+    "hostextra": ["mirror_hosts", "crawl_frontier"],
 }
 
 
