@@ -257,9 +257,15 @@ def perplexity_buckets(
     (model-sized), then ONE broadcast join labels every document.
     Deliberately NOT ``ntile`` over a per-language window: the 'en'
     partition of a crawl is a third of the corpus and a window would
-    sort it on one task; the percentile agg keeps map-side partial
-    state. Thresholds and scores are both 6-dp-rounded so the bucket
-    comparison is integer-exact cross-engine.
+    sort it on one task. Spark's exact ``percentile`` buffers
+    (value → count) pairs, so its state is bounded by DISTINCT score
+    values, not rows — and the scores are 6-dp-rounded doubles in a
+    few-nats range, capping distinct values in the low millions
+    regardless of corpus size. (``approx_percentile`` is rejected on
+    determinism grounds: its sketch merge is partition-order-dependent,
+    which would break the oracle and idempotent re-runs.) Thresholds
+    and scores are both 6-dp-rounded so the bucket comparison is
+    integer-exact cross-engine.
     """
     scores = ngram_lm_score(docs, n=n, alpha=alpha, text_col=text_col,
                             train=train)
