@@ -5248,6 +5248,58 @@ def _crawl_frontier_sql(n: int, n_hosts: int, crawled_n: int) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Maximal matching (operators/matching.py)
+# ---------------------------------------------------------------------------
+
+def _q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locally-minimal-edge maximal matching, 6 deterministic rounds
+    (md5 total-order priorities, the mis.py contract) —
+    operators/matching.py. Fixed rounds → fully unrolled SQL replay."""
+    from neo4j_graph_algorithms_spark.operators.matching import (
+        maximal_matching,
+    )
+
+    e = _edges(spark, sf_dir)
+    return maximal_matching(e, seed=42, max_rounds=6).matching
+
+
+def _matching_unrolled_sql(rounds: int, seed: int) -> str:
+    parts = [
+        _EDGES_CTE,
+        "le0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, "
+        "greatest(src, dst) AS hi FROM edges WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        pri = (f"md5('{seed}|{r}|' || CAST(lo AS VARCHAR) || '|' || "
+               f"CAST(hi AS VARCHAR)) || '-' || "
+               f"lpad(CAST(lo AS VARCHAR), 12, '0') || '-' || "
+               f"lpad(CAST(hi AS VARCHAR), 12, '0')")
+        parts += [
+            f"pr{r} AS MATERIALIZED (SELECT lo, hi, {pri} AS p "
+            f"FROM le{r-1})",
+            f"inc{r} AS (SELECT lo AS v, p FROM pr{r} "
+            f"UNION ALL SELECT hi, p FROM pr{r})",
+            f"vm{r} AS MATERIALIZED (SELECT v, min(p) AS m FROM inc{r} "
+            f"GROUP BY v)",
+            f"sel{r} AS MATERIALIZED (SELECT e.lo, e.hi FROM pr{r} e "
+            f"JOIN vm{r} a ON a.v = e.lo AND e.p = a.m "
+            f"JOIN vm{r} b ON b.v = e.hi AND e.p = b.m)",
+            f"mv{r} AS (SELECT lo AS v FROM sel{r} "
+            f"UNION SELECT hi FROM sel{r})",
+            f"le{r} AS MATERIALIZED (SELECT l.lo, l.hi FROM le{r-1} l "
+            f"LEFT JOIN mv{r} a ON a.v = l.lo "
+            f"LEFT JOIN mv{r} b ON b.v = l.hi "
+            f"WHERE a.v IS NULL AND b.v IS NULL)",
+        ]
+    outs = [
+        f"SELECT lo AS u, hi AS v, CAST({r} AS INT) AS round FROM sel{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return ("WITH " + ",\n".join(parts) + "\n" +
+            " UNION ALL ".join(outs))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -5268,7 +5320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": _q_spam_mass,
         "k_core": _q_kcore,
         "k_truss": _q_k_truss,
-        "canonical_urls": _q_canonical_urls,
         "url_dedup": _q_url_dedup,
         "line_dedup": _q_line_dedup,
         "boilerplate_scores": _q_boilerplate_scores,
@@ -5281,6 +5332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "who_to_follow": _q_who_to_follow,
         "mirror_hosts": _q_mirror_hosts,
         "crawl_frontier": _q_crawl_frontier,
+        "maximal_matching": _q_maximal_matching,
         "densest_subgraph": _q_densest_subgraph,
         "pages_pagerank_e2e": _q_pages_pagerank,
         "anchor_stats": _q_anchor_stats,
@@ -5418,6 +5470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled": _q_triangles_sampled,
         "embedding_near_dup": _q_embedding_near_dup,
         "curation_e2e": _q_curation_e2e,
+        "canonical_urls": _q_canonical_urls,
     }
 
 
@@ -5842,6 +5895,7 @@ def oracle_sql() -> dict[str, str]:
     sql["bpe_encode"] = _bpe_encode_sql(6)
     sql["mirror_hosts"] = _MIRROR_HOSTS_SQL
     sql["crawl_frontier"] = _crawl_frontier_sql(2000, 8, 1500)
+    sql["maximal_matching"] = _matching_unrolled_sql(6, 42)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

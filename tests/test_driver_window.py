@@ -48,6 +48,7 @@ FAMILIES = {
     "cocitation": ["cocitation_pairs"],
     "ktruss": ["k_truss"],
     "mis": ["maximal_independent_set", "greedy_coloring"],
+    "matching": ["maximal_matching"],
     "redirects": ["resolve_redirects"],
     "embedding_prep": ["node2vec_pairs"],
     "mixing": ["mix_corpus", "temperature_mix"],
