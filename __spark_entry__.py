@@ -5300,6 +5300,45 @@ def _matching_unrolled_sql(rounds: int, seed: int) -> str:
             " UNION ALL ".join(outs))
 
 
+def _q_coarsen_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METIS-style coarsening step: contract the 6-round matching's
+    pairs to min-endpoint supervertices, re-aggregate edges
+    (operators/matching.py:coarsen_graph — vertex-sized broadcast
+    remap, one hash aggregation)."""
+    from neo4j_graph_algorithms_spark.operators.matching import (
+        coarsen_graph,
+        maximal_matching,
+    )
+
+    e = _edges(spark, sf_dir)
+    m = maximal_matching(e, seed=42, max_rounds=6).matching
+    return coarsen_graph(e, m)
+
+
+def _coarsen_matching_sql(rounds: int, seed: int) -> str:
+    base = _matching_unrolled_sql(rounds, seed)
+    chain = base.split("\n" + "SELECT lo AS u")[0]
+    # strip the matching output tail, keep the CTE chain
+    chain = chain.rsplit("SELECT lo AS u, hi AS v", 1)[0]
+    chain = chain.rstrip().rstrip(",").rstrip()
+    if chain.endswith(")") is False:
+        chain = base[: base.rindex(")") + 1]  # defensive — keep CTEs
+    m_union = " UNION ALL ".join(
+        f"SELECT lo AS u, hi AS v FROM sel{r}"
+        for r in range(1, rounds + 1))
+    return (
+        chain + ",\n"
+        f"mm AS ({m_union}),\n"
+        "remap AS MATERIALIZED (SELECT u AS id, least(u, v) AS super "
+        "FROM mm UNION ALL SELECT v, least(u, v) FROM mm),\n"
+        "rl AS (SELECT coalesce(a.super, e.src) AS src, "
+        "coalesce(b.super, e.dst) AS dst FROM edges e "
+        "LEFT JOIN remap a ON a.id = e.src "
+        "LEFT JOIN remap b ON b.id = e.dst)\n"
+        "SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM rl "
+        "WHERE src <> dst GROUP BY src, dst")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -5471,6 +5510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "curation_e2e": _q_curation_e2e,
         "canonical_urls": _q_canonical_urls,
+        "coarsen_matching": _q_coarsen_matching,
     }
 
 
@@ -5896,6 +5936,7 @@ def oracle_sql() -> dict[str, str]:
     sql["mirror_hosts"] = _MIRROR_HOSTS_SQL
     sql["crawl_frontier"] = _crawl_frontier_sql(2000, 8, 1500)
     sql["maximal_matching"] = _matching_unrolled_sql(6, 42)
+    sql["coarsen_matching"] = _coarsen_matching_sql(6, 42)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

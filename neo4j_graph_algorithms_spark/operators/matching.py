@@ -37,7 +37,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["maximal_matching", "MatchingResult"]
+__all__ = ["maximal_matching", "coarsen_graph", "MatchingResult"]
 
 
 @dataclass
@@ -133,3 +133,45 @@ def maximal_matching(
                          "round")
     return MatchingResult(matching=out, rounds=rounds,
                           converged=converged, metrics=metrics)
+
+
+def coarsen_graph(
+    edges: DataFrame,
+    matching: DataFrame,
+) -> DataFrame:
+    """One multilevel-coarsening step (METIS-style): contract every
+    matched pair to its min endpoint and re-aggregate edges.
+
+    ``matching`` is :func:`maximal_matching`'s ``(u, v, ...)`` output
+    (vertex-disjoint). Returns the coarse multigraph ``(src, dst,
+    weight)`` — endpoints relabeled to their supervertex (matched →
+    min(u, v), unmatched → self), self-loops dropped (intra-supervertex
+    edges), parallel edges summed into ``weight`` (unit input weights;
+    a weighted input would sum its weight column the same way).
+
+    Scale shape: the matching table is a vertex-sized (at most |V|/2
+    rows) relabel map — two broadcastable left joins onto the edge
+    list, then ONE hash aggregation with map-side combine. Iterating
+    (match → coarsen → match …) halves the graph per level at matching
+    ratio 1, the standard multilevel pipeline.
+    """
+    remap = (
+        matching.select(F.col("u").alias("id"),
+                        F.least("u", "v").alias("super"))
+        .unionByName(matching.select(F.col("v").alias("id"),
+                                     F.least("u", "v").alias("super")))
+    )
+    e = edges.select("src", "dst")
+    relabeled = (
+        e.join(F.broadcast(remap.withColumnsRenamed(
+            {"id": "src", "super": "_ss"})), "src", "left")
+        .join(F.broadcast(remap.withColumnsRenamed(
+            {"id": "dst", "super": "_ds"})), "dst", "left")
+        .select(F.coalesce("_ss", F.col("src")).alias("src"),
+                F.coalesce("_ds", F.col("dst")).alias("dst"))
+    )
+    return (
+        relabeled.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )

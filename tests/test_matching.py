@@ -2,6 +2,8 @@
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 import numpy as np
 
 from neo4j_graph_algorithms_spark.operators.matching import (
@@ -77,3 +79,52 @@ def test_self_loops_and_parallel(spark):
     res, got = _spark(spark, edges)
     assert got == [(1, 2, 1)]
     assert res.converged
+
+
+def test_coarsen_contracts_matched_pairs(spark):
+    from neo4j_graph_algorithms_spark.operators.matching import (
+        coarsen_graph,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "src long, dst long")
+    matching = spark.createDataFrame(
+        [(0, 1, 1), (2, 3, 1)], "u long, v long, round int")
+    got = {(r.src, r.dst): r.weight
+           for r in coarsen_graph(edges, matching).collect()}
+    # supervertices: {0,1}->0, {2,3}->2; edges 1-2,0-2 -> (0,2) x2;
+    # 2-3 and 0-1 become loops and vanish; 3-0 -> (2,0)
+    assert got == {(0, 2): 2, (2, 0): 1}
+
+
+def test_coarsen_unmatched_pass_through(spark):
+    from neo4j_graph_algorithms_spark.operators.matching import (
+        coarsen_graph,
+    )
+
+    edges = spark.createDataFrame([(5, 6), (6, 7)], "src long, dst long")
+    matching = spark.createDataFrame([(5, 6, 1)],
+                                     "u long, v long, round int")
+    got = {(r.src, r.dst): r.weight
+           for r in coarsen_graph(edges, matching).collect()}
+    assert got == {(5, 7): 1}
+
+
+def test_match_coarsen_shrinks(spark):
+    import numpy as np
+    from neo4j_graph_algorithms_spark.operators.matching import (
+        coarsen_graph,
+        maximal_matching,
+    )
+
+    rng = np.random.default_rng(3)
+    edges = [(int(rng.integers(40)), int(rng.integers(40)))
+             for _ in range(150)]
+    edges = [(s, d) for s, d in edges if s != d]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    res = maximal_matching(e)
+    coarse = coarsen_graph(e, res.matching)
+    n0 = len({v for t in edges for v in t})
+    n1 = coarse.select(F.col("src").alias("id")).union(
+        coarse.select(F.col("dst").alias("id"))).distinct().count()
+    assert n1 < n0
