@@ -192,3 +192,50 @@ def test_pagerank_prelayout_matches_default(spark, bucketed_edges):
     b = {r["id"]: r["rank"] for r in pre.ranks.collect()}
     assert a.keys() == b.keys()
     assert all(math.isclose(a[k], b[k], rel_tol=1e-12) for k in a)
+
+
+def test_bucketed_registry_antijoin_state_side_no_exchange(spark):
+    """The streaming-dedup scale claim (streaming/dedup.py): a
+    fingerprint-bucketed registry anti-joins each micro-batch with NO
+    exchange of the registry (big) side — only the batch side is
+    repartitioned to the bucket layout. Auto-broadcast is disabled to
+    force the at-scale plan (in production the registry is the big
+    side and never broadcasts)."""
+    import tempfile as _tf
+    import shutil as _sh
+
+    tmp = _tf.mkdtemp(prefix="nga_bucketed_reg_")
+    name = "t_registry_bucketed_test"
+    reg = spark.createDataFrame(
+        [(f"fp{i:04d}", i) for i in range(300)],
+        "fingerprint string, survivor_doc_id long")
+    write_edges_bucketed(reg, name, n_buckets=4, key="fingerprint",
+                         path=f"{tmp}/reg")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        state = read_edges_bucketed(spark, name)
+        batch = spark.createDataFrame(
+            [(f"fp{i:04d}", 1000 + i) for i in range(50)],
+            "fingerprint string, survivor_doc_id long")
+        fresh = batch.join(state.select("fingerprint"),
+                           "fingerprint", "left_anti")
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # exactly ONE exchange: the batch side adopting the bucket
+        # partitioning; the state FileScan rides its buckets bare
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # every Exchange line sits on the LEFT (batch) branch — tree
+        # lines of the SMJ's left child are ':'-prefixed
+        for ln in plan.splitlines():
+            if "Exchange" in ln:
+                assert ln.lstrip().startswith(":"), plan
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _sh.rmtree(tmp, ignore_errors=True)
