@@ -5339,6 +5339,28 @@ def _coarsen_matching_sql(rounds: int, seed: int) -> str:
         "WHERE src <> dst GROUP BY src, dst")
 
 
+def _q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approx vertex cover = matched endpoints of the 6-round
+    matching (operators/matching.py:vertex_cover_2approx)."""
+    from neo4j_graph_algorithms_spark.operators.matching import (
+        vertex_cover_2approx,
+    )
+
+    return vertex_cover_2approx(_edges(spark, sf_dir), seed=42,
+                                max_rounds=6)
+
+
+def _vertex_cover_sql(rounds: int, seed: int) -> str:
+    base = _matching_unrolled_sql(rounds, seed)
+    chain = base.split("\nSELECT lo AS u")[0]
+    m_union = " UNION ALL ".join(
+        f"SELECT lo AS u, hi AS v FROM sel{r}"
+        for r in range(1, rounds + 1))
+    return (chain + f",\nmm AS ({m_union})\n"
+            "SELECT DISTINCT id FROM (SELECT u AS id FROM mm "
+            "UNION ALL SELECT v FROM mm)")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -5511,6 +5533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_e2e": _q_curation_e2e,
         "canonical_urls": _q_canonical_urls,
         "coarsen_matching": _q_coarsen_matching,
+        "vertex_cover": _q_vertex_cover,
     }
 
 
@@ -5937,6 +5960,7 @@ def oracle_sql() -> dict[str, str]:
     sql["crawl_frontier"] = _crawl_frontier_sql(2000, 8, 1500)
     sql["maximal_matching"] = _matching_unrolled_sql(6, 42)
     sql["coarsen_matching"] = _coarsen_matching_sql(6, 42)
+    sql["vertex_cover"] = _vertex_cover_sql(6, 42)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

@@ -37,7 +37,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["maximal_matching", "coarsen_graph", "MatchingResult"]
+__all__ = ["maximal_matching", "coarsen_graph",
+           "vertex_cover_2approx", "MatchingResult"]
 
 
 @dataclass
@@ -174,4 +175,27 @@ def coarsen_graph(
         relabeled.where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def vertex_cover_2approx(
+    edges: DataFrame,
+    *,
+    seed: int = 42,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """2-approximate minimum vertex cover: BOTH endpoints of a maximal
+    matching (Gavril/Yannakakis — any maximal matching's endpoint set
+    covers every edge, and no cover can take fewer than one endpoint
+    per matched edge, hence factor 2). Returns ``(id)``.
+
+    The classic dual use of :func:`maximal_matching`; at crawl scale
+    this is the "monitor set" trick — a vertex set guaranteed to touch
+    every link with at most 2× the optimal number of monitored hosts.
+    """
+    m = maximal_matching(edges, seed=seed, max_rounds=max_rounds).matching
+    return (
+        m.select(F.col("u").alias("id"))
+        .unionByName(m.select(F.col("v").alias("id")))
+        .distinct()
     )

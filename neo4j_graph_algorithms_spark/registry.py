@@ -123,6 +123,7 @@ _REGISTRY: dict[str, str] = {
     "ext.whoToFollow": f"{_P}.operators.wtf:who_to_follow",
     "ext.maximalMatching": f"{_P}.operators.matching:maximal_matching",
     "ext.coarsen": f"{_P}.operators.matching:coarsen_graph",
+    "ext.vertexCover": f"{_P}.operators.matching:vertex_cover_2approx",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
     "ext.text.perplexityBuckets": f"{_P}.pipeline.text:perplexity_buckets",
     "ext.bpe.train": f"{_P}.pipeline.bpe:bpe_train",

@@ -128,3 +128,22 @@ def test_match_coarsen_shrinks(spark):
     n1 = coarse.select(F.col("src").alias("id")).union(
         coarse.select(F.col("dst").alias("id"))).distinct().count()
     assert n1 < n0
+
+
+def test_vertex_cover_covers_every_edge(spark):
+    import numpy as np
+    from neo4j_graph_algorithms_spark.operators.matching import (
+        vertex_cover_2approx,
+    )
+
+    rng = np.random.default_rng(21)
+    edges = [(int(rng.integers(30)), int(rng.integers(30)))
+             for _ in range(90)]
+    edges = [(s, d) for s, d in edges if s != d]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    cover = {r.id for r in vertex_cover_2approx(e).collect()}
+    for s, d in edges:
+        assert s in cover or d in cover
+    # factor-2 witness: |cover| = 2 * |matching| and a matching needs
+    # one endpoint per edge, so |cover| <= 2 * OPT
+    assert len(cover) % 2 == 0
