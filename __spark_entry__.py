@@ -5264,34 +5264,49 @@ def _q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(e, seed=42, max_rounds=6).matching
 
 
-def _matching_unrolled_sql(rounds: int, seed: int) -> str:
-    parts = [
-        _EDGES_CTE,
-        "le0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, "
-        "greatest(src, dst) AS hi FROM edges WHERE src <> dst)",
-    ]
+def _matching_round_parts(rounds: int, seed: int, *, tag: str,
+                          src_cte: str) -> list[str]:
+    """CTE chain for ``rounds`` locally-minimal-edge matching rounds
+    over canonical edge CTE ``src_cte`` (columns lo, hi). Final
+    selections are ``{tag}sel{r}``, live set ``{tag}le{r}`` — shared
+    by the matching/coarsen/cover/bisection oracles."""
+    t = tag
+    parts = [f"{t}le0 AS MATERIALIZED (SELECT lo, hi FROM {src_cte})"]
     for r in range(1, rounds + 1):
         pri = (f"md5('{seed}|{r}|' || CAST(lo AS VARCHAR) || '|' || "
                f"CAST(hi AS VARCHAR)) || '-' || "
                f"lpad(CAST(lo AS VARCHAR), 12, '0') || '-' || "
                f"lpad(CAST(hi AS VARCHAR), 12, '0')")
         parts += [
-            f"pr{r} AS MATERIALIZED (SELECT lo, hi, {pri} AS p "
-            f"FROM le{r-1})",
-            f"inc{r} AS (SELECT lo AS v, p FROM pr{r} "
-            f"UNION ALL SELECT hi, p FROM pr{r})",
-            f"vm{r} AS MATERIALIZED (SELECT v, min(p) AS m FROM inc{r} "
-            f"GROUP BY v)",
-            f"sel{r} AS MATERIALIZED (SELECT e.lo, e.hi FROM pr{r} e "
-            f"JOIN vm{r} a ON a.v = e.lo AND e.p = a.m "
-            f"JOIN vm{r} b ON b.v = e.hi AND e.p = b.m)",
-            f"mv{r} AS (SELECT lo AS v FROM sel{r} "
-            f"UNION SELECT hi FROM sel{r})",
-            f"le{r} AS MATERIALIZED (SELECT l.lo, l.hi FROM le{r-1} l "
-            f"LEFT JOIN mv{r} a ON a.v = l.lo "
-            f"LEFT JOIN mv{r} b ON b.v = l.hi "
+            f"{t}pr{r} AS MATERIALIZED (SELECT lo, hi, {pri} AS p "
+            f"FROM {t}le{r-1})",
+            f"{t}inc{r} AS (SELECT lo AS v, p FROM {t}pr{r} "
+            f"UNION ALL SELECT hi, p FROM {t}pr{r})",
+            f"{t}vm{r} AS MATERIALIZED (SELECT v, min(p) AS m "
+            f"FROM {t}inc{r} GROUP BY v)",
+            f"{t}sel{r} AS MATERIALIZED (SELECT e.lo, e.hi "
+            f"FROM {t}pr{r} e "
+            f"JOIN {t}vm{r} a ON a.v = e.lo AND e.p = a.m "
+            f"JOIN {t}vm{r} b ON b.v = e.hi AND e.p = b.m)",
+            f"{t}mv{r} AS (SELECT lo AS v FROM {t}sel{r} "
+            f"UNION SELECT hi FROM {t}sel{r})",
+            f"{t}le{r} AS MATERIALIZED (SELECT l.lo, l.hi "
+            f"FROM {t}le{r-1} l "
+            f"LEFT JOIN {t}mv{r} a ON a.v = l.lo "
+            f"LEFT JOIN {t}mv{r} b ON b.v = l.hi "
             f"WHERE a.v IS NULL AND b.v IS NULL)",
         ]
+    return parts
+
+
+_CANON_EDGES_CTE = (
+    "ce0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, "
+    "greatest(src, dst) AS hi FROM edges WHERE src <> dst)")
+
+
+def _matching_unrolled_sql(rounds: int, seed: int) -> str:
+    parts = [_EDGES_CTE, _CANON_EDGES_CTE]
+    parts += _matching_round_parts(rounds, seed, tag="", src_cte="ce0")
     outs = [
         f"SELECT lo AS u, hi AS v, CAST({r} AS INT) AS round FROM sel{r}"
         for r in range(1, rounds + 1)
@@ -5316,27 +5331,23 @@ def _q_coarsen_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _coarsen_matching_sql(rounds: int, seed: int) -> str:
-    base = _matching_unrolled_sql(rounds, seed)
-    chain = base.split("\n" + "SELECT lo AS u")[0]
-    # strip the matching output tail, keep the CTE chain
-    chain = chain.rsplit("SELECT lo AS u, hi AS v", 1)[0]
-    chain = chain.rstrip().rstrip(",").rstrip()
-    if chain.endswith(")") is False:
-        chain = base[: base.rindex(")") + 1]  # defensive — keep CTEs
+    parts = [_EDGES_CTE, _CANON_EDGES_CTE]
+    parts += _matching_round_parts(rounds, seed, tag="", src_cte="ce0")
     m_union = " UNION ALL ".join(
         f"SELECT lo AS u, hi AS v FROM sel{r}"
         for r in range(1, rounds + 1))
-    return (
-        chain + ",\n"
-        f"mm AS ({m_union}),\n"
+    parts += [
+        f"mm AS ({m_union})",
         "remap AS MATERIALIZED (SELECT u AS id, least(u, v) AS super "
-        "FROM mm UNION ALL SELECT v, least(u, v) FROM mm),\n"
+        "FROM mm UNION ALL SELECT v, least(u, v) FROM mm)",
         "rl AS (SELECT coalesce(a.super, e.src) AS src, "
         "coalesce(b.super, e.dst) AS dst FROM edges e "
         "LEFT JOIN remap a ON a.id = e.src "
-        "LEFT JOIN remap b ON b.id = e.dst)\n"
-        "SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM rl "
-        "WHERE src <> dst GROUP BY src, dst")
+        "LEFT JOIN remap b ON b.id = e.dst)",
+    ]
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT src, dst, CAST(count(*) AS BIGINT) AS weight "
+            "FROM rl WHERE src <> dst GROUP BY src, dst")
 
 
 def _q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5351,14 +5362,83 @@ def _q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _vertex_cover_sql(rounds: int, seed: int) -> str:
-    base = _matching_unrolled_sql(rounds, seed)
-    chain = base.split("\nSELECT lo AS u")[0]
+    parts = [_EDGES_CTE, _CANON_EDGES_CTE]
+    parts += _matching_round_parts(rounds, seed, tag="", src_cte="ce0")
     m_union = " UNION ALL ".join(
         f"SELECT lo AS u, hi AS v FROM sel{r}"
         for r in range(1, rounds + 1))
-    return (chain + f",\nmm AS ({m_union})\n"
-            "SELECT DISTINCT id FROM (SELECT u AS id FROM mm "
+    parts.append(f"mm AS ({m_union})")
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT DISTINCT id FROM (SELECT u AS id FROM mm "
             "UNION ALL SELECT v FROM mm)")
+
+
+# ---------------------------------------------------------------------------
+# Multilevel bisection (operators/partitioning.py)
+# ---------------------------------------------------------------------------
+
+def _q_multilevel_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METIS-style V-cycle on the engine's own primitives: 2 levels of
+    (6-round matching → contraction), rank-parity split of the
+    coarsest supervertices, labels projected back through the remap
+    chain (operators/partitioning.py). Fully deterministic → the
+    oracle chains two tagged matching/coarsen CTE levels + a
+    row_number parity."""
+    from neo4j_graph_algorithms_spark.operators.partitioning import (
+        multilevel_bisect,
+    )
+
+    e = _edges(spark, sf_dir)
+    res = multilevel_bisect(e, levels=2, rounds_per_level=6, seed=42)
+    return res.labels.select("id", F.col("part").cast("int").alias("part"))
+
+
+def _bisect_sql(levels: int, rounds: int, seed: int) -> str:
+    parts = [_EDGES_CTE, _CANON_EDGES_CTE]
+    tags = "abcdefgh"
+    prev_edges = "ce0"
+    remaps = []
+    for lvl in range(1, levels + 1):
+        t = tags[lvl - 1]
+        parts += _matching_round_parts(rounds, seed + lvl, tag=t,
+                                       src_cte=prev_edges)
+        m_union = " UNION ALL ".join(
+            f"SELECT lo AS u, hi AS v FROM {t}sel{r}"
+            for r in range(1, rounds + 1))
+        parts += [
+            f"{t}mm AS ({m_union})",
+            f"remap{lvl} AS MATERIALIZED (SELECT u AS id, "
+            f"least(u, v) AS super FROM {t}mm "
+            f"UNION ALL SELECT v, least(u, v) FROM {t}mm)",
+            f"cc{lvl} AS (SELECT coalesce(ra.super, e.lo) AS src, "
+            f"coalesce(rb.super, e.hi) AS dst FROM {prev_edges} e "
+            f"LEFT JOIN remap{lvl} ra ON ra.id = e.lo "
+            f"LEFT JOIN remap{lvl} rb ON rb.id = e.hi)",
+            f"ce{lvl} AS MATERIALIZED (SELECT DISTINCT "
+            f"least(src, dst) AS lo, greatest(src, dst) AS hi "
+            f"FROM cc{lvl} WHERE src <> dst)",
+        ]
+        remaps.append(f"remap{lvl}")
+        prev_edges = f"ce{lvl}"
+    parts.append("v0 AS (SELECT lo AS id FROM ce0 "
+                 "UNION SELECT hi FROM ce0)")
+    prev_cur = None
+    for lvl in range(1, levels + 1):
+        src = ("v0 v" if prev_cur is None else f"{prev_cur} v")
+        rep_in = "v.id" if prev_cur is None else "v.rep"
+        parts.append(
+            f"cur{lvl} AS MATERIALIZED (SELECT v.id, "
+            f"coalesce(r.super, {rep_in}) AS rep FROM {src} "
+            f"LEFT JOIN remap{lvl} r ON r.id = {rep_in})")
+        prev_cur = f"cur{lvl}"
+    parts += [
+        f"reps AS (SELECT DISTINCT rep AS id FROM {prev_cur})",
+        "pt AS MATERIALIZED (SELECT id, "
+        "(row_number() OVER (ORDER BY id) - 1) % 2 AS part FROM reps)",
+    ]
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT c.id, CAST(p.part AS INT) AS part "
+            f"FROM {prev_cur} c JOIN pt p ON p.id = c.rep")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5534,6 +5614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _q_canonical_urls,
         "coarsen_matching": _q_coarsen_matching,
         "vertex_cover": _q_vertex_cover,
+        "multilevel_bisect": _q_multilevel_bisect,
     }
 
 
@@ -5961,6 +6042,7 @@ def oracle_sql() -> dict[str, str]:
     sql["maximal_matching"] = _matching_unrolled_sql(6, 42)
     sql["coarsen_matching"] = _coarsen_matching_sql(6, 42)
     sql["vertex_cover"] = _vertex_cover_sql(6, 42)
+    sql["multilevel_bisect"] = _bisect_sql(2, 6, 42)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

@@ -1,0 +1,131 @@
+"""Multilevel graph bisection — the METIS recipe on the engine's own
+matching/coarsening primitives.
+
+Multilevel partitioning (Karypis & Kumar 1998) is THE way large graphs
+are split for distribution: (1) COARSEN — contract a maximal matching
+per level until the graph is small; (2) PARTITION the coarsest graph;
+(3) UNCOARSEN — project labels back through the contraction maps.
+A web-graph warehouse uses exactly this to assign vertices to
+executors/shards so that most edges stay shard-local.
+
+This module composes :func:`~...operators.matching.maximal_matching`
+and :func:`~...operators.matching.coarsen_graph` for the V-cycle and
+keeps the coarsest-level split DETERMINISTIC — supervertices are
+ranked by id and split by rank parity (even/odd → part 0/1) — so a
+fixed-level fixed-round run is exactly SQL-replayable (the driver
+oracle chains the matching/coarsening CTEs and a row_number parity).
+Rank-parity splitting balances COUNTS by construction; it is the
+baseline initial partition (METIS would refine it — a KL/FM boundary
+pass is a documented extension point, deliberately not fused in so the
+oracle row stays a pure function of the chain).
+
+Scale shape: each level is the matching loop (vertex-keyed min aggs +
+anti-joins) plus one broadcast-remap contraction; label projection
+back is L vertex-sized left joins (the remap chain), one rank of the
+COARSEST vertex set (tiny by construction — plans/ranking.py-style
+concerns don't arise), and one final edge join for the cut metric.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["multilevel_bisect", "BisectResult"]
+
+
+@dataclass
+class BisectResult:
+    labels: DataFrame        # (id, part) — part ∈ {0, 1}
+    edge_cut: int            # edges crossing the parts (distinct pairs)
+    part_sizes: dict         # part -> vertex count
+    levels: int
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+def multilevel_bisect(
+    edges: DataFrame,
+    *,
+    levels: int = 2,
+    rounds_per_level: int = 6,
+    seed: int = 42,
+) -> BisectResult:
+    """Bisect the undirected view of ``edges`` (see module docstring).
+
+    ``levels`` matching+contraction levels (level l uses ``seed + l``
+    so the per-level priorities are independent), then the rank-parity
+    split of the coarsest supervertices, projected back through the
+    contraction maps. Vertices isolated at any level keep riding the
+    chain (they map to themselves) and receive a part from their
+    coarsest representative's rank like everyone else.
+    """
+    from neo4j_graph_algorithms_spark.operators.matching import (
+        coarsen_graph,
+        maximal_matching,
+    )
+
+    e = (
+        edges.select(F.least("src", "dst").alias("src"),
+                     F.greatest("src", "dst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    v0 = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # cur: (id, rep) — current coarsest representative of each vertex
+    cur = v0.select("id", F.col("id").alias("rep"))
+    level_edges = e
+    metrics: list[dict[str, Any]] = []
+    for lvl in range(1, levels + 1):
+        m = maximal_matching(level_edges, seed=seed + lvl,
+                             max_rounds=rounds_per_level).matching
+        remap = (
+            m.select(F.col("u").alias("rep"),
+                     F.least("u", "v").alias("_super"))
+            .unionByName(m.select(F.col("v").alias("rep"),
+                                  F.least("u", "v").alias("_super")))
+        )
+        cur = (
+            cur.join(F.broadcast(remap), "rep", "left")
+            .select("id", F.coalesce("_super", F.col("rep")).alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        coarse = coarsen_graph(level_edges, m)
+        level_edges = (
+            coarse.select(F.least("src", "dst").alias("src"),
+                          F.greatest("src", "dst").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        metrics.append({"level": lvl,
+                        "coarse_edges": level_edges.count()})
+
+    reps = cur.select(F.col("rep").alias("id")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id")
+    part = reps.select(
+        "id", ((F.row_number().over(w) - 1) % 2).alias("part"))
+    labels = (
+        cur.join(part.select(F.col("id").alias("rep"), "part"), "rep")
+        .select("id", "part")
+        .localCheckpoint(eager=True)
+    )
+    la = labels.select(F.col("id").alias("src"), F.col("part").alias("_pa"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("part").alias("_pb"))
+    edge_cut = (
+        e.join(la, "src").join(lb, "dst")
+        .where(F.col("_pa") != F.col("_pb"))
+        .count()
+    )
+    sizes = {r.part: r.n for r in
+             labels.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    return BisectResult(labels=labels, edge_cut=int(edge_cut),
+                        part_sizes=sizes, levels=levels, metrics=metrics)
