@@ -33,7 +33,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["multilevel_bisect", "BisectResult"]
+__all__ = ["multilevel_bisect", "refine_bisection", "BisectResult"]
 
 
 @dataclass
@@ -129,3 +129,100 @@ def multilevel_bisect(
              .collect()}
     return BisectResult(labels=labels, edge_cut=int(edge_cut),
                         part_sizes=sizes, levels=levels, metrics=metrics)
+
+
+def refine_bisection(
+    labels: DataFrame,
+    edges: DataFrame,
+    *,
+    rounds: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """KL/FM-flavored boundary refinement, distributed and MONOTONE.
+
+    Kernighan-Lin moves vertices one at a time — inherently sequential.
+    This pass flips an INDEPENDENT SET of positive-gain vertices per
+    round instead: a vertex's gain (external − internal neighbors) is
+    exact when none of its neighbors flips in the same round, so
+    selecting flips that are locally maximal by a strict priority
+    (gain DESC, then the md5 total-order key) guarantees every realized
+    gain equals its computed gain and the edge cut STRICTLY DECREASES
+    by the round's gain sum — no oscillation, no stale-gain hazard
+    (test-pinned). Balance control: only vertices in the LARGER part
+    may flip (ties: part 1), at most ``max(1, gap // 2)`` per round
+    (best priorities first), so the size gap never exceeds
+    ``max(initial_gap, 2)`` — the one-flip tolerance FM-style
+    refinement needs to escape a perfectly balanced local optimum.
+
+    Returns refined ``(id, part)``. Deterministic at fixed ``rounds``.
+
+    Scale shape per round: one degree-style neighbor aggregation
+    (vertex-keyed, map-side combine), one symmetric-edge join among
+    candidates for the local-max selection, vertex-sized joins
+    elsewhere — the mis.py discipline applied to boundary moves.
+    """
+    sym = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sym = (
+        sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(sym.select(F.col("b").alias("u"),
+                                F.col("a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    lab = labels.select("id", "part").localCheckpoint(eager=True)
+    for rnd in range(1, rounds + 1):
+        sizes = {r.part: r.n for r in
+                 lab.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        big = 1 if sizes.get(1, 0) >= sizes.get(0, 0) else 0
+        lu = lab.select(F.col("id").alias("u"), F.col("part").alias("_pu"))
+        lv = lab.select(F.col("id").alias("v"), F.col("part").alias("_pv"))
+        gains = (
+            sym.join(lu, "u").join(lv, "v")
+            .groupBy("u", "_pu")
+            .agg((F.sum(F.when(F.col("_pv") != F.col("_pu"), 1)
+                        .otherwise(-1))).alias("gain"))
+        )
+        pri = F.concat_ws(
+            "-",
+            F.lpad((F.lit(1_000_000) - F.col("gain")).cast("string"),
+                   9, "0"),
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.lit(str(rnd)),
+                              F.col("u").cast("string"))),
+            F.lpad(F.col("u").cast("string"), 12, "0"),
+        )
+        cand = (
+            gains.where((F.col("gain") > 0) & (F.col("_pu") == big))
+            .select("u", pri.alias("_pr"))
+            .localCheckpoint(eager=True)
+        )
+        # locally minimal priority (= locally maximal gain) among
+        # candidate neighbors -> flips form an independent set
+        nbr_best = (
+            sym.join(cand.select(F.col("u").alias("v"),
+                                 F.col("_pr").alias("_nb")), "v")
+            .groupBy("u").agg(F.min("_nb").alias("_bestnb"))
+        )
+        gap = abs(sizes.get(1, 0) - sizes.get(0, 0))
+        k_cap = max(1, gap // 2)
+        flips = (
+            cand.join(nbr_best, "u", "left")
+            .where(F.col("_bestnb").isNull()
+                   | (F.col("_pr") < F.col("_bestnb")))
+            .orderBy("_pr")
+            .limit(k_cap)
+            .select(F.col("u").alias("id"))
+        )
+        lab = (
+            lab.join(flips.withColumn("_f", F.lit(1)), "id", "left")
+            .select("id",
+                    F.when(F.col("_f").isNotNull(),
+                           F.lit(1) - F.col("part"))
+                    .otherwise(F.col("part")).alias("part"))
+            .localCheckpoint(eager=True)
+        )
+    return lab

@@ -74,3 +74,58 @@ def test_balance_within_one(spark):
     res = _run(spark, edges, levels=1)
     sizes = sorted(res.part_sizes.values())
     assert sizes == [10, 10]  # pairs contract; 10 supers split 5/5
+
+
+def _cut(edges, labs):
+    canon = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    return sum(1 for a, b in canon if labs[a] != labs[b])
+
+
+def test_refinement_monotone_cut_and_balance(spark):
+    from neo4j_graph_algorithms_spark.operators.partitioning import (
+        refine_bisection,
+    )
+
+    rng = np.random.default_rng(6)
+    edges = sorted({(int(rng.integers(30)), int(rng.integers(30)))
+                    for _ in range(120)})
+    edges = [(s, d) for s, d in edges if s != d]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    res = _run(spark, edges)
+    labs0 = {r.id: r.part for r in res.labels.collect()}
+    cut0 = _cut(edges, labs0)
+    gap0 = abs(sum(1 for p in labs0.values() if p == 1)
+               - sum(1 for p in labs0.values() if p == 0))
+    prev_labs, prev_cut = labs0, cut0
+    for rounds in (1, 2, 4):
+        labs = {r.id: r.part for r in
+                refine_bisection(res.labels, e, rounds=rounds).collect()}
+        cut = _cut(edges, labs)
+        assert cut <= prev_cut          # monotone non-increasing
+        gap = abs(sum(1 for p in labs.values() if p == 1)
+                  - sum(1 for p in labs.values() if p == 0))
+        assert gap <= max(gap0, 2)      # one-flip tolerance bound
+        prev_cut = cut
+    # refinement actually helps on this graph
+    assert prev_cut < cut0
+
+
+def test_refinement_no_adjacent_flips(spark):
+    """Flipped vertices form an independent set per round — realized
+    gain equals computed gain (the monotonicity argument)."""
+    from neo4j_graph_algorithms_spark.operators.partitioning import (
+        refine_bisection,
+    )
+
+    rng = np.random.default_rng(15)
+    edges = sorted({(int(rng.integers(20)), int(rng.integers(20)))
+                    for _ in range(60)})
+    edges = [(s, d) for s, d in edges if s != d]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    res = _run(spark, edges)
+    labs0 = {r.id: r.part for r in res.labels.collect()}
+    labs1 = {r.id: r.part for r in
+             refine_bisection(res.labels, e, rounds=1).collect()}
+    flipped = {v for v in labs0 if labs0[v] != labs1[v]}
+    for s, d in edges:
+        assert not (s in flipped and d in flipped)
