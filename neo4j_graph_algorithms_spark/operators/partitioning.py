@@ -33,7 +33,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["multilevel_bisect", "refine_bisection", "BisectResult"]
+__all__ = ["multilevel_bisect", "refine_bisection",
+           "partition_kway", "BisectResult"]
 
 
 @dataclass
@@ -226,3 +227,80 @@ def refine_bisection(
             .localCheckpoint(eager=True)
         )
     return lab
+
+
+def partition_kway(
+    edges: DataFrame,
+    k: int,
+    *,
+    levels: int = 2,
+    rounds_per_level: int = 6,
+    seed: int = 42,
+    refine_rounds: int = 0,
+) -> DataFrame:
+    """k-way partition by recursive bisection (METIS's k-way recipe for
+    power-of-two k; other k get the nearest balanced split tree).
+    Returns ``(id, part)`` with ``part ∈ [0, k)``.
+
+    Each recursion level bisects every current part's INDUCED subgraph
+    (optionally refining with :func:`refine_bisection`), relabeling
+    ``part → 2·part + side``; recursion depth is ``ceil(log2 k)`` and
+    parts beyond ``k`` are folded back onto ``part − k`` (the standard
+    uneven-k trick, keeping sizes within one split of each other).
+
+    The driver loop is over PARTS (≤ k iterations total across the
+    tree) — each induced-subgraph bisection is the distributed
+    :func:`multilevel_bisect`; no per-vertex driver state.
+    """
+    import math
+
+    depth = max(1, math.ceil(math.log2(k)))
+    labels = None
+    v_all = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = v_all.select("id", F.lit(0).alias("part"))
+    for d in range(depth):
+        n_parts = labels.select("part").distinct().count()
+        new_labels = None
+        for p in [r.part for r in
+                  labels.select("part").distinct().orderBy("part")
+                  .collect()]:
+            members = labels.where(F.col("part") == p).select("id")
+            sub = (
+                edges.join(members.withColumnRenamed("id", "src"), "src")
+                .join(members.withColumnRenamed("id", "dst"), "dst")
+                .select("src", "dst")
+            )
+            if sub.limit(1).count() == 0:
+                side = members.select(
+                    "id", F.lit(2 * p).alias("part"))
+            else:
+                res = multilevel_bisect(
+                    sub, levels=levels,
+                    rounds_per_level=rounds_per_level,
+                    seed=seed + d * 131 + p)
+                lab = res.labels
+                if refine_rounds > 0:
+                    lab = refine_bisection(lab, sub,
+                                           rounds=refine_rounds,
+                                           seed=seed + d * 131 + p)
+                # vertices isolated inside the part keep side 0
+                side = (
+                    members.join(lab, "id", "left")
+                    .select("id",
+                            (F.lit(2 * p)
+                             + F.coalesce(F.col("part"), F.lit(0)))
+                            .alias("part"))
+                )
+            new_labels = (side if new_labels is None
+                          else new_labels.unionByName(side))
+        labels = new_labels.localCheckpoint(eager=True)
+        _ = n_parts
+    # fold surplus parts of an uneven k back into range
+    return labels.select(
+        "id",
+        F.when(F.col("part") >= k, F.col("part") - k)
+        .otherwise(F.col("part")).cast("int").alias("part"))

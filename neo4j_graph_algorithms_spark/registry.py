@@ -126,6 +126,7 @@ _REGISTRY: dict[str, str] = {
     "ext.vertexCover": f"{_P}.operators.matching:vertex_cover_2approx",
     "ext.partition.bisect": f"{_P}.operators.partitioning:multilevel_bisect",
     "ext.partition.refine": f"{_P}.operators.partitioning:refine_bisection",
+    "ext.partition.kway": f"{_P}.operators.partitioning:partition_kway",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
     "ext.text.perplexityBuckets": f"{_P}.pipeline.text:perplexity_buckets",
     "ext.bpe.train": f"{_P}.pipeline.bpe:bpe_train",

@@ -129,3 +129,36 @@ def test_refinement_no_adjacent_flips(spark):
     flipped = {v for v in labs0 if labs0[v] != labs1[v]}
     for s, d in edges:
         assert not (s in flipped and d in flipped)
+
+
+def test_kway_partition(spark):
+    from neo4j_graph_algorithms_spark.operators.partitioning import (
+        partition_kway,
+    )
+
+    rng = np.random.default_rng(2)
+    edges = sorted({(int(rng.integers(32)), int(rng.integers(32)))
+                    for _ in range(140)})
+    edges = [(s, d) for s, d in edges if s != d]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labs = {r.id: r.part for r in
+            partition_kway(e, 4, levels=1, rounds_per_level=4)
+            .collect()}
+    verts = {v for t in edges for v in t}
+    assert set(labs) == verts
+    assert set(labs.values()) <= {0, 1, 2, 3}
+    # all four parts populated on a 32-vertex graph
+    assert len(set(labs.values())) == 4
+
+
+def test_kway_uneven_k_folds(spark):
+    from neo4j_graph_algorithms_spark.operators.partitioning import (
+        partition_kway,
+    )
+
+    edges = [(i, (i + 1) % 24) for i in range(24)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labs = {r.id: r.part for r in
+            partition_kway(e, 3, levels=1, rounds_per_level=4)
+            .collect()}
+    assert set(labs.values()) <= {0, 1, 2}
