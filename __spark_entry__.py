@@ -5441,6 +5441,49 @@ def _bisect_sql(levels: int, rounds: int, seed: int) -> str:
             f"FROM {prev_cur} c JOIN pt p ON p.id = c.rep")
 
 
+# ---------------------------------------------------------------------------
+# HLL sketch tables (pipeline/sketches.py)
+# ---------------------------------------------------------------------------
+
+def _q_hll_source_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-sketch primitive: per-source HLL registers over document
+    texts (one max aggregation, m=64 int columns) → bias-corrected
+    estimate via the SAME expression text the oracle evaluates
+    (pipeline/sketches.py + operators/hyperball.py:hll_estimate_sql)."""
+    from neo4j_graph_algorithms_spark.pipeline.sketches import (
+        hll_cardinality,
+        hll_group_sketches,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sk = hll_group_sketches(d, ["source"], "text", b=6)
+    return hll_cardinality(sk, ["source"], b=6)
+
+
+def _hll_source_distinct_sql(b: int) -> str:
+    from neo4j_graph_algorithms_spark.operators.hyperball import (
+        hll_estimate_sql,
+    )
+
+    m = 1 << b
+    cap = 60 - b + 1
+    regs = ", ".join(
+        f"CAST(max(CASE WHEN j = {j} THEN rho ELSE 0 END) AS INT) AS r{j}"
+        for j in range(m))
+    return f"""
+    WITH v AS (SELECT source,
+                 CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS u
+               FROM documents),
+    jr AS (SELECT source, CAST(u % {m} AS INT) AS j,
+             CASE WHEN u // {m} = 0 THEN {cap}
+                  ELSE CAST(log2((u // {m}) & (-(u // {m}))) AS INT) + 1
+             END AS rho FROM v),
+    regs AS (SELECT source, {regs} FROM jr GROUP BY source)
+    SELECT source, round({hll_estimate_sql(m)}, 6) AS distinct_est
+    FROM regs
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -5615,6 +5658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_matching": _q_coarsen_matching,
         "vertex_cover": _q_vertex_cover,
         "multilevel_bisect": _q_multilevel_bisect,
+        "hll_source_distinct": _q_hll_source_distinct,
     }
 
 
@@ -6043,6 +6087,7 @@ def oracle_sql() -> dict[str, str]:
     sql["coarsen_matching"] = _coarsen_matching_sql(6, 42)
     sql["vertex_cover"] = _vertex_cover_sql(6, 42)
     sql["multilevel_bisect"] = _bisect_sql(2, 6, 42)
+    sql["hll_source_distinct"] = _hll_source_distinct_sql(6)
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

@@ -127,6 +127,9 @@ _REGISTRY: dict[str, str] = {
     "ext.partition.bisect": f"{_P}.operators.partitioning:multilevel_bisect",
     "ext.partition.refine": f"{_P}.operators.partitioning:refine_bisection",
     "ext.partition.kway": f"{_P}.operators.partitioning:partition_kway",
+    "ext.sketch.hll": f"{_P}.pipeline.sketches:hll_group_sketches",
+    "ext.sketch.hllMerge": f"{_P}.pipeline.sketches:hll_merge_sketches",
+    "ext.sketch.hllCardinality": f"{_P}.pipeline.sketches:hll_cardinality",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
     "ext.text.perplexityBuckets": f"{_P}.pipeline.text:perplexity_buckets",
     "ext.bpe.train": f"{_P}.pipeline.bpe:bpe_train",
