@@ -130,6 +130,7 @@ _REGISTRY: dict[str, str] = {
     "ext.sketch.hll": f"{_P}.pipeline.sketches:hll_group_sketches",
     "ext.sketch.hllMerge": f"{_P}.pipeline.sketches:hll_merge_sketches",
     "ext.sketch.hllCardinality": f"{_P}.pipeline.sketches:hll_cardinality",
+    "ext.stream.sketch": f"{_P}.streaming.dedup:run_sketch_maintenance",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
     "ext.text.perplexityBuckets": f"{_P}.pipeline.text:perplexity_buckets",
     "ext.bpe.train": f"{_P}.pipeline.bpe:bpe_train",

@@ -39,7 +39,8 @@ from ..plans.checkpoint import CheckpointManager
 from .graph_maintenance import _drive
 
 __all__ = ["DOC_SCHEMA", "PAGE_SCHEMA", "run_dedup_maintenance",
-           "run_near_dup_maintenance", "run_url_dedup_maintenance"]
+           "run_near_dup_maintenance", "run_url_dedup_maintenance",
+           "run_sketch_maintenance"]
 
 DOC_SCHEMA = ("doc_id long, text string, lang string, source string, "
               "n_chars long")
@@ -291,3 +292,70 @@ def run_url_dedup_maintenance(
         "canonical_url", F.col("_w.capture_ts").alias("capture_ts"),
         F.col("_w.url").alias("url"), F.col("_w.doc_id").alias("doc_id"),
         F.col("n_variants").cast("long").alias("n_variants"))
+
+
+def run_sketch_maintenance(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    *,
+    keys: list[str] | None = None,
+    value_col: str = "text",
+    b: int = 6,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuously-maintained per-key HLL distinct-count sketches
+    (pipeline/sketches.py) over a document stream; returns the final
+    register table ``(keys..., r0..r{m-1})``.
+
+    HLL registers are a commutative monoid under elementwise max, so
+    folding each micro-batch's group sketches into the durable table
+    with :func:`~...pipeline.sketches.hll_merge_sketches` yields a
+    registry REGISTER-EXACTLY equal to the batch sketch of the union,
+    in any drop order (pytest pins shuffled drops + restart). The
+    at-scale answer to "distinct URLs per host, updated per crawl
+    drop" without recounting history.
+
+    Per micro-batch: one batch-sized max aggregation + one keyed outer
+    join against the |keys|-sized state. Same CheckpointManager commit
+    protocol as the other folds.
+    """
+    from ..pipeline.sketches import hll_group_sketches, hll_merge_sketches
+
+    keys = keys or ["source"]
+    mgr = CheckpointManager(spark, checkpoint_dir=os.path.join(
+        state_dir, "sketch_state"), interval=1,
+        algorithm="sketch_stream")
+    resumed = mgr.resume()
+    holder: dict[str, Any] = {
+        "state": resumed[1] if resumed else None,
+        "committed": resumed[0] if resumed else -1,
+    }
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= holder["committed"]:
+            return  # crash-replayed batch: state already reflects it
+        cand = hll_group_sketches(batch, keys, value_col, b=b)
+        n_batch = batch.count()
+        state = holder["state"]
+        merged = (cand if state is None
+                  else hll_merge_sketches(state, cand, keys, b=b))
+
+        def action(st: DataFrame) -> dict[str, Any]:
+            return {"sketch_keys": st.count(), "batch_docs": n_batch,
+                    "batch_id": int(batch_id)}
+
+        st, _ = mgr.maybe_checkpoint(merged, int(batch_id), action=action)
+        holder["state"] = st
+        holder["committed"] = int(batch_id)
+
+    _drive(spark, docs_dir, state_dir, fold,
+           max_files_per_trigger=max_files_per_trigger,
+           schema=DOC_SCHEMA)
+    final = holder["state"]
+    if final is None:  # empty stream
+        m = 1 << b
+        cols = ", ".join(f"r{j} int" for j in range(m))
+        return spark.createDataFrame(
+            [], ", ".join(f"{k} string" for k in keys) + ", " + cols)
+    return final

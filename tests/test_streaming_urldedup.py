@@ -102,3 +102,54 @@ def test_empty_stream(spark, tmp_path):
     assert out.count() == 0
     assert out.columns == ["canonical_url", "capture_ts", "url",
                            "doc_id", "n_variants"]
+
+
+def test_sketch_maintenance_register_exact_any_order(spark, tmp_path):
+    """HLL registers are a max-monoid: the streamed registry equals
+    the batch union sketch REGISTER-EXACTLY, in any drop order."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neo4j_graph_algorithms_spark.pipeline.sketches import (
+        hll_group_sketches,
+    )
+    from neo4j_graph_algorithms_spark.streaming.dedup import (
+        run_sketch_maintenance,
+    )
+
+    batches = [
+        [(i, f"text-{i % 37}", "en", f"s{i % 2}") for i in range(0, 40)],
+        [(i, f"text-{i % 37}", "en", f"s{i % 2}") for i in range(40, 70)],
+        [(i, f"other-{i}", "en", f"s{i % 2}") for i in range(70, 90)],
+    ]
+
+    def write(docs_dir, bs):
+        _os.makedirs(docs_dir, exist_ok=True)
+        for i, rows in enumerate(bs):
+            tbl = pa.table({
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": [len(r[1]) for r in rows],
+            })
+            fp = _os.path.join(docs_dir, f"drop{i:03d}.parquet")
+            pq.write_table(tbl, fp)
+            _stamp(fp, i)
+
+    all_rows = [r for b in batches for r in b]
+    want_df = spark.createDataFrame(
+        all_rows, "doc_id long, text string, lang string, source string")
+    want = sorted(tuple(r) for r in
+                  hll_group_sketches(want_df, ["source"], "text", b=4)
+                  .collect())
+    for perm, tag in ((batches, "fwd"), (batches[::-1], "rev")):
+        docs = str(tmp_path / f"docs_{tag}")
+        write(docs, perm)
+        got = sorted(tuple(r) for r in
+                     run_sketch_maintenance(
+                         spark, docs, str(tmp_path / f"state_{tag}"),
+                         keys=["source"], b=4).collect())
+        assert got == want
