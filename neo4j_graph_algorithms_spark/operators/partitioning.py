@@ -160,7 +160,11 @@ def refine_bisection(
     Scale shape per round: one degree-style neighbor aggregation
     (vertex-keyed, map-side combine), one symmetric-edge join among
     candidates for the local-max selection, vertex-sized joins
-    elsewhere — the mis.py discipline applied to boundary moves.
+    elsewhere — the mis.py discipline applied to boundary moves. The
+    ``limit(k_cap)`` is a TakeOrdered over the CANDIDATE set (positive-
+    gain locally-max boundary vertices — boundary-sized, not |V|); on a
+    pathologically unbalanced input raise ``rounds`` rather than
+    expecting one huge capped round.
     """
     sym = (
         edges.select(F.least("src", "dst").alias("a"),
@@ -263,7 +267,6 @@ def partition_kway(
     )
     labels = v_all.select("id", F.lit(0).alias("part"))
     for d in range(depth):
-        n_parts = labels.select("part").distinct().count()
         new_labels = None
         for p in [r.part for r in
                   labels.select("part").distinct().orderBy("part")
@@ -298,7 +301,6 @@ def partition_kway(
             new_labels = (side if new_labels is None
                           else new_labels.unionByName(side))
         labels = new_labels.localCheckpoint(eager=True)
-        _ = n_parts
     # fold surplus parts of an uneven k back into range
     return labels.select(
         "id",
