@@ -5484,6 +5484,54 @@ def _hll_source_distinct_sql(b: int) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# LSH tuning harness (pipeline/dedup.py:lsh_recall_eval)
+# ---------------------------------------------------------------------------
+
+def _q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the 4-hash/2-band LSH against exact token-
+    Jaccard ground truth at 0.8 on the same corpus — the (bands, rows)
+    tuning signal (pipeline/dedup.py:lsh_recall_eval). The oracle
+    nests the two existing pair oracles as scoped sub-WITH fragments
+    and recomputes the three counts."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        lsh_recall_eval,
+    )
+
+    return lsh_recall_eval(
+        _t(spark, sf_dir, "documents"), threshold=0.8,
+        n_hashes=4, bands=2)
+
+
+def _lsh_eval_sql() -> str:
+    from neo4j_graph_algorithms_spark.pipeline.oracles import (
+        pipeline_oracles,
+    )
+
+    orc = pipeline_oracles()
+    truth = orc["token_jaccard_pairs"].strip()
+    cand = orc["minhash_lsh_candidates"].strip()
+    return f"""
+    WITH truth AS ({truth}),
+    cand AS ({cand}),
+    hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+            JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+    n AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+                 (SELECT count(*) FROM cand) AS n_candidates,
+                 (SELECT count(*) FROM hit) AS n_hit)
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CASE WHEN n_true = 0 THEN 1.0
+                ELSE round(CAST(n_hit AS DOUBLE) / n_true, 6)
+           END AS recall,
+           CASE WHEN n_candidates = 0 THEN 1.0
+                ELSE round(CAST(n_hit AS DOUBLE) / n_candidates, 6)
+           END AS candidate_precision
+    FROM n
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -5659,6 +5707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_cover": _q_vertex_cover,
         "multilevel_bisect": _q_multilevel_bisect,
         "hll_source_distinct": _q_hll_source_distinct,
+        "lsh_eval": _q_lsh_eval,
     }
 
 
@@ -6088,6 +6137,7 @@ def oracle_sql() -> dict[str, str]:
     sql["vertex_cover"] = _vertex_cover_sql(6, 42)
     sql["multilevel_bisect"] = _bisect_sql(2, 6, 42)
     sql["hll_source_distinct"] = _hll_source_distinct_sql(6)
+    sql["lsh_eval"] = _lsh_eval_sql()
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

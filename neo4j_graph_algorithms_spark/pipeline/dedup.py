@@ -50,6 +50,7 @@ __all__ = [
     "token_jaccard_pairs",
     "dedup_clusters",
     "duplicate_span_scores",
+    "lsh_recall_eval",
 ]
 
 N_MINHASH = 128
@@ -621,3 +622,45 @@ def ensemble_dedup_clusters(
         simhash_bands=simhash_bands,
     ).select("doc_a", "doc_b")
     return dedup_clusters(docs, pairs, quality_col=quality_col)
+
+
+def lsh_recall_eval(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    bands: int = 16,
+    df_cutoff: int | None = TOKEN_DF_CUTOFF,
+    text_col: str = "text",
+    spark=None,
+) -> DataFrame:
+    """Tuning harness for the (n_hashes, bands) choice: compare the
+    LSH candidate pairs against ground truth (exact token-Jaccard at
+    ``threshold``) on the SAME corpus. One summary row:
+
+        (n_true, n_candidates, n_hit, recall, candidate_precision)
+
+    ``recall`` is the metric LSH theory bounds (1 − (1 − s^r)^b at
+    similarity s); ``candidate_precision`` tells you what the verify
+    stage downstream will pay per candidate. Both defined as 1.0 when
+    their denominator is empty. Run on a SAMPLE at 100 TB — ground
+    truth is the quadratic exact join this harness exists to avoid;
+    recall estimated on a deterministic-hash sample transfers because
+    LSH candidacy is per-pair, independent of the rest of the corpus.
+    """
+    spark = spark or docs.sparkSession
+    truth = token_jaccard_pairs(docs, threshold=threshold,
+                                df_cutoff=df_cutoff, text_col=text_col)
+    cand = minhash_lsh_candidates(docs, text_col=text_col,
+                                  n_hashes=n_hashes, bands=bands)
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_hit = truth.select("doc_a", "doc_b").join(
+        cand, ["doc_a", "doc_b"]).count()
+    recall = 1.0 if n_true == 0 else round(n_hit / n_true, 6)
+    prec = 1.0 if n_cand == 0 else round(n_hit / n_cand, 6)
+    return spark.createDataFrame(
+        [(int(n_true), int(n_cand), int(n_hit), float(recall),
+          float(prec))],
+        "n_true long, n_candidates long, n_hit long, recall double, "
+        "candidate_precision double")

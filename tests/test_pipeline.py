@@ -805,3 +805,43 @@ def test_containment_catches_nested_doc_jaccard_misses(spark):
     assert cont == {(1, 2): 1.0}  # short fully nested in long
     jac = token_jaccard_pairs(docs, threshold=0.5).collect()
     assert jac == []              # Jaccard 4/44 — invisible to it
+
+
+def test_lsh_recall_eval(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        lsh_recall_eval,
+        minhash_lsh_candidates,
+        token_jaccard_pairs,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+        + [(10 + i, f"unique text number {i} with words w{i} x{i}")
+           for i in range(6)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lsh_recall_eval(docs, threshold=0.8, n_hashes=4,
+                          bands=2).collect()[0]
+    truth = token_jaccard_pairs(docs, threshold=0.8)
+    cand = minhash_lsh_candidates(docs, n_hashes=4, bands=2)
+    nt, nc = truth.count(), cand.count()
+    nh = truth.select("doc_a", "doc_b").join(
+        cand, ["doc_a", "doc_b"]).count()
+    assert (out.n_true, out.n_candidates, out.n_hit) == (nt, nc, nh)
+    # the 4 identical docs: all 6 pairs are true AND candidates
+    assert out.n_true >= 6 and out.n_hit >= 6
+    assert out.recall == (1.0 if nt == 0 else round(nh / nt, 6))
+    assert 0.0 <= out.candidate_precision <= 1.0
+
+
+def test_lsh_recall_eval_empty_truth(spark):
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        lsh_recall_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"totally distinct {i} {i*7} {i*13}") for i in range(5)],
+        "doc_id long, text string")
+    out = lsh_recall_eval(docs, threshold=0.9, n_hashes=4,
+                          bands=2).collect()[0]
+    assert out.n_true == 0 and out.recall == 1.0
