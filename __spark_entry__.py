@@ -5532,6 +5532,33 @@ def _lsh_eval_sql() -> str:
     """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus selection: A-ES top-50 by priority
+    round(ln(u)/n_chars, 12), deterministic u from (doc_id, seed) —
+    pipeline/sampling.py:weighted_sample_exact. 12-dp rounding grids
+    both engines' ln kernels."""
+    from neo4j_graph_algorithms_spark.pipeline.sampling import (
+        weighted_sample_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_exact(d, 50, weight_col="n_chars", seed=0)
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+    WITH p AS (SELECT doc_id, n_chars,
+        round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                  || '#wsmp0'), 1, 15)) AS BIGINT) + 1)
+                 / {float(1 << 60)!r})
+              / CAST(n_chars AS DOUBLE), 12) AS pri
+        FROM documents WHERE n_chars > 0),
+    r AS (SELECT doc_id, n_chars,
+                 row_number() OVER (ORDER BY pri DESC, doc_id) AS rk
+          FROM p)
+    SELECT doc_id, n_chars FROM r WHERE rk <= 50
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001 link graph."""
     return _q_pagerank(spark, "/root/testdata/sf0.001")
@@ -5708,6 +5735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilevel_bisect": _q_multilevel_bisect,
         "hll_source_distinct": _q_hll_source_distinct,
         "lsh_eval": _q_lsh_eval,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -6138,6 +6166,7 @@ def oracle_sql() -> dict[str, str]:
     sql["multilevel_bisect"] = _bisect_sql(2, 6, 42)
     sql["hll_source_distinct"] = _hll_source_distinct_sql(6)
     sql["lsh_eval"] = _lsh_eval_sql()
+    sql["weighted_sample"] = _WEIGHTED_SAMPLE_SQL
     # intentionally no oracle (data-dependent iteration counts over
     # non-deterministic tie-broken moves): infomap, louvain
     # → driver records rows-only checks

@@ -25,9 +25,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from neo4j_graph_algorithms_spark.pipeline.dedup import _h8
+from neo4j_graph_algorithms_spark.pipeline.dedup import _h8, _h15
 
-__all__ = ["sample_documents", "stratified_sample_exact", "mix_corpus",
+__all__ = ["sample_documents", "stratified_sample_exact",
+           "weighted_sample_exact", "mix_corpus",
            "temperature_mix"]
 
 # hash threshold resolution: fraction is quantized to 1/2^20 — the
@@ -199,3 +200,50 @@ def temperature_mix(
         z = sum(props.values())
         props = {s: w / z for s, w in props.items()}
     return mix_corpus(docs, props, by=by, seed=seed, total=total)
+
+
+def weighted_sample_exact(
+    docs: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    by: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``min(k, n)`` rows sampled WITHOUT replacement with
+    inclusion probability increasing in ``weight_col`` — the
+    Efraimidis-Spirakis A-ES scheme (IPL 2006): each row draws a
+    deterministic uniform ``u ∈ (0, 1]`` from (doc_id, seed) and the k
+    LARGEST priorities ``u^(1/w)`` win. One pass, one shuffle; exactly
+    the weighted analogue of :func:`stratified_sample_exact` (``by``
+    restricts the top-k to each stratum).
+
+    Length-weighted corpus selection (w = n_chars or a host-rank join)
+    is the standard web-pipeline use: sampling documents proportional
+    to their token budget rather than per-document.
+
+    Determinism contract: priorities are compared as
+    ``round(ln(u)/w, 12)`` (monotone in ``u^(1/w)``) with a doc_id
+    tie-break — ln/pow kernels differ across engines by ulps, and the
+    12-dp rounding puts both engines' values on the same grid (the
+    house contract of tfidf's 9-dp scores, tighter here because
+    priorities cluster near 0). Rows with ``w <= 0`` are excluded
+    (zero-weight items have inclusion probability 0 in A-ES).
+    """
+    u = (_h15(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(f"#wsmp{seed}"))) + 1).cast("double") \
+        / float(1 << 60)
+    w = F.col(weight_col).cast("double")
+    pri = F.round(F.log(u) / w, 12)
+    base = (
+        docs.where(w > 0)
+        .withColumn("_pri", pri)
+    )
+    part = [by] if by else []
+    win = Window.partitionBy(*part).orderBy(
+        F.desc("_pri"), F.asc("doc_id"))
+    return (
+        base.withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= k)
+        .drop("_pri", "_rk")
+    )

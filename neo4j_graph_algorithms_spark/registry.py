@@ -132,6 +132,7 @@ _REGISTRY: dict[str, str] = {
     "ext.sketch.hllCardinality": f"{_P}.pipeline.sketches:hll_cardinality",
     "ext.stream.sketch": f"{_P}.streaming.dedup:run_sketch_maintenance",
     "ext.dedup.lshEval": f"{_P}.pipeline.dedup:lsh_recall_eval",
+    "ext.sample.weighted": f"{_P}.pipeline.sampling:weighted_sample_exact",
     "ext.text.lmScore": f"{_P}.pipeline.text:ngram_lm_score",
     "ext.text.perplexityBuckets": f"{_P}.pipeline.text:perplexity_buckets",
     "ext.bpe.train": f"{_P}.pipeline.bpe:bpe_train",

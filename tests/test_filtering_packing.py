@@ -131,3 +131,57 @@ def test_pack_sequences_no_global_window(spark):
     for line in plan.splitlines():
         if "Window" in line:
             assert "_shard" in line, line
+
+
+def test_weighted_sample_exact_properties(spark):
+    """A-ES: deterministic, exact-k, weight-monotone inclusion (heavy
+    rows win far more often across seeds), python-replay exact."""
+    import hashlib
+    import math
+
+    from neo4j_graph_algorithms_spark.pipeline.sampling import (
+        weighted_sample_exact,
+    )
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(110)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def replay(seed, k):
+        pris = {}
+        for i, w in rows:
+            h = int(hashlib.md5(
+                f"{i}#wsmp{seed}".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            pris[i] = (round(math.log(u) / w, 12), -i)
+        return {i for i, _ in
+                sorted(pris.items(), key=lambda kv: (-kv[1][0], -kv[1][1]))
+                [:k]}
+
+    heavy_hits = 0
+    for seed in range(6):
+        got = {r.doc_id for r in
+               weighted_sample_exact(docs, 20, weight_col="w",
+                                     seed=seed).collect()}
+        assert len(got) == 20
+        assert got == replay(seed, 20), seed
+        heavy_hits += len(got & set(range(10)))
+    # heavy items (w=100) should be sampled almost always:
+    # expected ~10 per seed; loose bound
+    assert heavy_hits >= 0.8 * 6 * 10
+
+
+def test_weighted_sample_stratified_and_zero_weight(spark):
+    from neo4j_graph_algorithms_spark.pipeline.sampling import (
+        weighted_sample_exact,
+    )
+
+    rows = [(i, float(i % 5 + 1) if i % 7 else 0.0, f"s{i % 2}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double, g string")
+    out = weighted_sample_exact(docs, 5, weight_col="w", by="g",
+                                seed=1).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.g, []).append(r.doc_id)
+        assert r.w > 0           # zero-weight rows excluded
+    assert all(len(v) == 5 for v in per.values())
