@@ -2367,17 +2367,22 @@ def _hyperball_oracle_sql(radius: int = 3, b: int = 4,
 
 
 def _q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperBall ball-size estimates (id, r, ball_est) for r=0..3 at
+    """HyperBall ball-size estimates (id, r, ball_micro) for r=0..3 at
     m=16 registers — the HLL-sketch scale path for the closeness family
     (exact MS-BFS is O(V*reach); see operators/hyperball.py docstring).
-    The oracle replays registers and estimate bit-for-bit."""
+    The oracle replays registers and estimate bit-for-bit, then BOTH
+    sides quantize to integer micro-units (round(est*1e6)) — raw double
+    estimates proved 1-ulp fragile across engines/scales (VERDICT r3
+    "what's wrong" #1), and the quantized compare is the same trick
+    effective_diameter/hyperball_anf already use."""
     from neo4j_graph_algorithms_spark.operators.hyperball import hyperball
 
     e = _edges(spark, sf_dir)
     v = _vertices(e)
     res = hyperball(v, e, radius=3, b=4)
-    return res.balls.select("id", F.col("r").cast("int").alias("r"),
-                            "ball_est")
+    return res.balls.select(
+        "id", F.col("r").cast("int").alias("r"),
+        F.round(F.col("ball_est") * 1e6).cast("long").alias("ball_micro"))
 
 
 def _q_approx_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4504,7 +4509,7 @@ def _canon_url_cte_parts(keep: str) -> list[str]:
             AS rawpath,
           -- DuckDB regexp_extract is NULL (not '') on no match — Spark
           -- returns ''; coalesce keeps the twin expressions aligned
-          coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS qraw
+          coalesce(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1), '') AS qraw
           FROM u)""",
         f"""cq AS (SELECT {keep}, url, scheme, host,
           CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
@@ -5871,7 +5876,9 @@ def oracle_sql() -> dict[str, str]:
         "louvain_twolevel": _louvain_twolevel_sql(4, 4),
         "random_walks": _random_walks_oracle_sql(),
         "node2vec_pairs": _node2vec_pairs_oracle_sql(2),
-        "hyperball_balls": _hyperball_oracle_sql(radius=3, b=4),
+        "hyperball_balls": (
+            "SELECT id, r, CAST(ROUND(ball_est * 1e6) AS BIGINT) AS "
+            f"ball_micro FROM ({_hyperball_oracle_sql(radius=3, b=4)})"),
         "hyperball_anf": _hyperball_anf_oracle_sql(radius=3, b=4),
         "effective_diameter": _effective_diameter_oracle_sql(radius=3, b=4),
         "approx_eccentricity": _hyperball_oracle_sql(

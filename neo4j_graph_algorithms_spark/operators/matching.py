@@ -129,7 +129,10 @@ def maximal_matching(
         converged = live.count() == 0
 
     if matched is None:
-        matched = spark.createDataFrame([], "lo long, hi long, round int")
+        # derive lo/hi types from the input so the empty result's schema
+        # matches the non-empty path for int/string vertex ids too
+        matched = spark.createDataFrame(
+            [], live.schema.add("round", "int", nullable=False))
     out = matched.select(F.col("lo").alias("u"), F.col("hi").alias("v"),
                          "round")
     return MatchingResult(matching=out, rounds=rounds,

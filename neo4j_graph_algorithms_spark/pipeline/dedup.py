@@ -643,7 +643,17 @@ def lsh_recall_eval(
     ``recall`` is the metric LSH theory bounds (1 − (1 − s^r)^b at
     similarity s); ``candidate_precision`` tells you what the verify
     stage downstream will pay per candidate. Both defined as 1.0 when
-    their denominator is empty. Run on a SAMPLE at 100 TB — ground
+    their denominator is empty.
+
+    Known asymmetry: ground truth is Jaccard over the ``df_cutoff``-
+    PRUNED token sets, while the LSH side hashes the full token set
+    (MinHash has no df prune). A candidate pair whose similarity lives
+    in tokens above the cutoff counts against precision even though the
+    banding behaved correctly on the full sets — so at aggressive
+    cutoffs ``candidate_precision`` is a (slight) UNDER-estimate of the
+    banding choice alone. Pass ``df_cutoff=None`` to measure pure
+    banding; the default keeps the cutoff because that pruned truth is
+    what the verify stage downstream actually computes. Run on a SAMPLE at 100 TB — ground
     truth is the quadratic exact join this harness exists to avoid;
     recall estimated on a deterministic-hash sample transfers because
     LSH candidacy is per-pair, independent of the rest of the corpus.

@@ -53,7 +53,10 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)"
 _PORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored before any '#': a fragment containing '?' (http://h/p#a?b=1)
+# must NOT leak into the query — the non-greedy [^#]*? prefix guarantees
+# the matched '?' precedes the first '#'. Mirrored in the DuckDB oracle.
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def canonicalize_url(url: Column | str) -> Column:

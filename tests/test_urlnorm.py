@@ -24,6 +24,16 @@ def test_scheme_host_lowercase_fragment(spark):
     assert out == ["https://example.org/A/b", "http://example.org/x?a=1"]
 
 
+def test_fragment_containing_question_mark_not_query(spark):
+    # a '?' AFTER the '#' belongs to the fragment — it must not leak
+    # into the canonical query (ADVICE r3: _QUERY_RE anchoring)
+    out = _canon(spark, [
+        "http://h.org/p#a?b=1",
+        "http://h.org/p?x=2#a?b=1",
+    ])
+    assert out == ["http://h.org/p", "http://h.org/p?x=2"]
+
+
 def test_default_port_dropped_other_kept(spark):
     out = _canon(spark, [
         "http://example.org:80/a",
