@@ -2715,6 +2715,58 @@ def _betweenness_oracle_sql(levels: int = 10, n_sub: int = 120) -> str:
     )
 
 
+def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RA-Brandes with the reference's degree-proportional source
+    selection (RandomDegreeSelectionStrategy.java: keep v with
+    probability deg(v)/maxDeg, scale by f = n/|sample|) — selection
+    made deterministic via an md5 Bernoulli so the DuckDB oracle
+    replays it exactly (operators/betweenness.py:betweenness_centrality
+    strategy='degree')."""
+    from neo4j_graph_algorithms_spark.operators.betweenness import (
+        betweenness_centrality,
+    )
+
+    e = _sub_edges(spark, sf_dir, 120)
+    return betweenness_centrality(
+        _vertices(e), e, strategy="degree", seed=42
+    ).select("id", F.round("centrality", 4).alias("centrality"))
+
+
+def _betweenness_sampled_oracle_sql(levels: int = 10, n_sub: int = 120,
+                                    seed: int = 42) -> str:
+    """The exact-betweenness triple-sum oracle restricted to the
+    degree-sampled source set and scaled by n/|sample| — the same md5
+    Bernoulli (h % 2^20)·maxDeg < deg·2^20 as the Spark operator, all
+    integer arithmetic so the selection is bit-identical."""
+    base = _betweenness_oracle_sql(levels, n_sub)
+    head, tail = base.rsplit("\nSELECT", 1)
+    assert tail.startswith(" n.id"), tail[:30]
+    extra = (
+        ",\ndegs AS (SELECT src AS id, count(*) AS deg FROM sub "
+        "WHERE src <> dst GROUP BY src),\n"
+        "sdeg AS (SELECT n.id, coalesce(d.deg, 0) AS deg "
+        "FROM snodes n LEFT JOIN degs d ON d.id = n.id),\n"
+        "mx AS (SELECT max(deg) AS m FROM sdeg),\n"
+        "srcs AS (SELECT s.id FROM sdeg s, mx WHERE "
+        "(CAST(('0x' || substr(md5(CAST(s.id AS VARCHAR) "
+        f"|| '#btwdeg{seed}'), 1, 8)) AS BIGINT) % 1048576) * mx.m "
+        "< s.deg * 1048576),\n"
+        "fsc AS (SELECT CAST((SELECT count(*) FROM snodes) AS DOUBLE) "
+        "/ (SELECT count(*) FROM srcs) AS f),\n"
+        "sbc AS (SELECT a.v AS id, sum(a.sig * b.sig / c.sig) AS cent "
+        "FROM sg a JOIN srcs ss ON ss.id = a.s "
+        "JOIN sg b ON b.s = a.v AND a.d > 0 AND b.d > 0 "
+        "JOIN sg c ON c.s = a.s AND c.v = b.v AND c.d = a.d + b.d "
+        "GROUP BY a.v)"
+    )
+    return (
+        head + extra
+        + "\nSELECT n.id, round(coalesce(sbc.cent, 0.0) * fsc.f, 4) "
+        "AS centrality FROM snodes n CROSS JOIN fsc "
+        "LEFT JOIN sbc ON n.id = sbc.id"
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core membership after 8 peel rounds (operators/kcore.py — the
     peel converges on this graph well before round 8, and a fixpoint is
@@ -5649,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_batch_ppr": _q_pagerank_batch_ppr,
         "shortest_path": _q_shortest_path,
         "betweenness": _q_betweenness,
+        "betweenness_sampled": _q_betweenness_sampled,
         "minhash_lsh_candidates": _q_minhash_candidates,
         "streaming_near_dup": _q_streaming_near_dup,
         "pages_host_pagerank": _q_pages_host_pagerank,
@@ -5916,6 +5969,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic": _HARMONIC_SQL,
         "dangalchev": _DANGALCHEV_SQL,
         "betweenness": _betweenness_oracle_sql(),
+        "betweenness_sampled": _betweenness_sampled_oracle_sql(),
         "spanning_tree": _spanning_oracle_sql(),
         "k_spanning_tree": _k_spanning_oracle_sql(5),
         "scc": _SCC_SQL,

@@ -108,10 +108,20 @@ def brandes_batch(
     src_sorted: np.ndarray,
     dst_sorted: np.ndarray,
     scale: float,
+    max_depth: int | None = None,
 ) -> dict[int, float]:
     """Exact Brandes accumulation from ``sources`` (dense ids) —
     vectorized level-synchronous forward BFS + reverse dependency sweep
-    (≡ BetweennessCentrality.java:120-168)."""
+    (≡ BetweennessCentrality.java:120-168).
+
+    ``max_depth`` truncates each BFS at that depth
+    (MaxDepthBetweennessCentrality.java:152-156): the reference breaks
+    on the first dequeue past ``maxDepth``, so nodes at depth
+    ``maxDepth+1`` are never stack-pushed and contribute nothing to any
+    dependency — equivalent to Brandes over the BFS-truncated level
+    sets 0..maxDepth, which is exactly what not expanding the
+    depth-``maxDepth`` frontier computes (deeper nodes keep dist=-1 so
+    the reverse sweep's child mask excludes them)."""
     n = len(node_ids)
     # dense remap
     s_dense = np.searchsorted(node_ids, src_sorted)
@@ -129,7 +139,7 @@ def brandes_batch(
         frontier = np.array([s], dtype=np.int64)
         levels = [frontier]
         d = 0
-        while len(frontier):
+        while len(frontier) and (max_depth is None or d < max_depth):
             # gather all out-edges of the frontier at once
             starts = indptr[frontier]
             ends = indptr[frontier + 1]
@@ -184,24 +194,79 @@ def betweenness_centrality(
     *,
     direction: str = "out",
     sample_fraction: float | None = None,
+    strategy: str = "uniform",
+    max_depth: int | None = None,
     seed: int = 42,
     artifact_dir: str | None = None,
 ) -> DataFrame:
-    """(id, centrality). Exact when ``sample_fraction`` is None;
+    """(id, centrality). Exact when no sampling is requested;
     RA-Brandes otherwise (contributions scaled by n/|sample|,
     RABrandesBetweennessCentrality.java:269).
 
+    ``strategy`` picks the RA-Brandes source-selection strategy, the
+    reference's two shipped options:
+
+    - ``'uniform'`` (RandomSelectionStrategy.java): Bernoulli at
+      ``sample_fraction``.
+    - ``'degree'`` (RandomDegreeSelectionStrategy.java:59-63): each
+      vertex selected with probability ``deg(v)/maxDeg`` — the
+      published-better estimator on power-law graphs, where sampling
+      hubs first covers far more shortest paths per sweep.
+      ``sample_fraction`` is ignored (the reference strategy has no
+      rate knob; the degree ratio IS the rate). The Bernoulli draw is
+      a deterministic md5 hash of ``(id, seed)`` compared in pure
+      integer arithmetic (``h·maxDeg < deg·2^20``) so runs — and the
+      driver's DuckDB oracle — reproduce exactly, unlike the
+      reference's SecureRandom. Scaling stays the reference's uniform
+      ``f = n/|sample|`` (:269), preserving output parity; an
+      inverse-inclusion-probability estimator would be unbiased but is
+      not what the reference computes.
+
+    ``max_depth`` truncates every BFS at that depth
+    (MaxDepthBetweennessCentrality.java) — composes with either
+    strategy or with the exact path.
+
     Raises ``ValueError`` when an exact run would sweep more than
-    ``MAX_EXACT_SOURCES`` sources — pass ``sample_fraction`` explicitly
-    for large graphs. ``artifact_dir``: shared-filesystem root for the
-    edge artifact on multi-node clusters (temp dir in local mode)."""
+    ``MAX_EXACT_SOURCES`` sources — sample explicitly for large
+    graphs. ``artifact_dir``: shared-filesystem root for the edge
+    artifact on multi-node clusters (temp dir in local mode)."""
+    if strategy not in ("uniform", "degree"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = vertices.sparkSession
     divisor = 2.0 if direction == "both" else 1.0
     n_vertices = vertices.count()
 
     sources_df = vertices.select("id")
     scale = 1.0 / divisor
-    if sample_fraction is not None and sample_fraction < 1.0:
+    if strategy == "degree":
+        e = edges.select("src", "dst")
+        if direction == "both":
+            e = e.union(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+        deg = (
+            e.where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        max_deg = deg.agg(F.max("_deg")).collect()[0][0] or 0
+        if max_deg == 0:
+            return vertices.select("id", F.lit(0.0).alias("centrality"))
+        from ..pipeline.dedup import _h8
+
+        h = _h8(F.concat(F.col("id").cast("string"),
+                         F.lit(f"#btwdeg{seed}"))) % F.lit(1 << 20)
+        sources_df = (
+            sources_df.join(deg, "id", "left")
+            .withColumn("_deg", F.coalesce("_deg", F.lit(0)))
+            .where(h * F.lit(int(max_deg)) < F.col("_deg") * F.lit(1 << 20))
+            .select("id")
+        )
+        n_sample = sources_df.count()
+        if n_sample == 0:
+            return vertices.select("id", F.lit(0.0).alias("centrality"))
+        scale = (n_vertices / n_sample) / divisor
+    elif sample_fraction is not None and sample_fraction < 1.0:
         sources_df = sources_df.sample(
             withReplacement=False, fraction=sample_fraction, seed=seed
         )
@@ -221,7 +286,7 @@ def betweenness_centrality(
         nids, ss, ds = _load_artifact(path)
         for pdf in batches:
             srcs_dense = np.searchsorted(nids, pdf["id"].to_numpy(dtype=np.int64))
-            acc = brandes_batch(srcs_dense, nids, ss, ds, scale)
+            acc = brandes_batch(srcs_dense, nids, ss, ds, scale, max_depth)
             if acc:
                 yield pd.DataFrame(
                     {"id": list(acc.keys()), "part": list(acc.values())}

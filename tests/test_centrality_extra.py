@@ -193,6 +193,125 @@ def test_betweenness_sampled_scales(spark):
     assert all(v >= 0.0 for v in got.values())
 
 
+def _python_brandes(n, edges, sources=None, max_depth=None, scale=1.0):
+    """Plain-python directed Brandes with optional source subset, depth
+    cap (MaxDepthBetweennessCentrality.java semantics: levels past the
+    cap contribute nothing) and RA-Brandes scaling."""
+    adj = {u: [] for u in range(n)}
+    for a, b in edges:
+        adj[a].append(b)
+    cb = [0.0] * n
+    for s in (range(n) if sources is None else sources):
+        sigma = [0.0] * n
+        dist = [-1] * n
+        preds = [[] for _ in range(n)]
+        sigma[s] = 1.0
+        dist[s] = 0
+        stack, queue = [], [s]
+        while queue:
+            u = queue.pop(0)
+            stack.append(u)
+            # depth-maxDepth nodes stay on the stack (they credit their
+            # predecessors in the reverse sweep) but are not expanded —
+            # in the reference their expansions only write dead state
+            # into never-popped depth-maxDepth+1 nodes
+            if max_depth is not None and dist[u] >= max_depth:
+                continue
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    queue.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = [0.0] * n
+        for w in reversed(stack):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                cb[w] += delta[w] * scale
+    return cb
+
+
+def test_betweenness_max_depth_vs_python(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    n = 25
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, n, size=(100, 2)) if a != b})
+    for depth in (0, 1, 2, 4):
+        cb = _python_brandes(n, edges, max_depth=depth)
+        res = betweenness_centrality(
+            _v(spark, n), make_edges(spark, [(a, b, 1.0) for a, b in edges]),
+            max_depth=depth,
+        )
+        got = {r["id"]: r["centrality"] for r in res.collect()}
+        for i in range(n):
+            assert got[i] == pytest.approx(cb[i], abs=1e-9), \
+                f"depth {depth} node {i}"
+
+
+def test_betweenness_max_depth_large_cap_equals_exact(spark):
+    # a cap beyond the diameter must be a no-op
+    exact = betweenness_centrality(
+        _v(spark, 7), make_edges(spark, BETW_EDGES))
+    capped = betweenness_centrality(
+        _v(spark, 7), make_edges(spark, BETW_EDGES), max_depth=50)
+    a = {r["id"]: r["centrality"] for r in exact.collect()}
+    b = {r["id"]: r["centrality"] for r in capped.collect()}
+    assert a == b
+
+
+def test_betweenness_degree_strategy_vs_python(spark):
+    """strategy='degree' (RandomDegreeSelectionStrategy.java): replay
+    the deterministic md5 Bernoulli p=deg/maxDeg selection and the
+    uniform f=n/|sample| scaling in plain python."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 40
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.randint(0, n, size=(200, 2)) if a != b})
+    deg = [0] * n
+    for a, _ in edges:
+        deg[a] += 1
+    maxdeg = max(deg)
+    seed = 42
+
+    def h8(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    sources = [v for v in range(n)
+               if (h8(f"{v}#btwdeg{seed}") % (1 << 20)) * maxdeg
+               < deg[v] * (1 << 20)]
+    assert sources, "selection must be non-empty on this fixture"
+    cb = _python_brandes(n, edges, sources=sources, scale=n / len(sources))
+
+    res = betweenness_centrality(
+        _v(spark, n), make_edges(spark, [(a, b, 1.0) for a, b in edges]),
+        strategy="degree", seed=seed,
+    )
+    got = {r["id"]: r["centrality"] for r in res.collect()}
+    for i in range(n):
+        assert got[i] == pytest.approx(cb[i], abs=1e-9), f"node {i}"
+
+
+def test_betweenness_degree_strategy_empty_graph(spark):
+    res = betweenness_centrality(
+        _v(spark, 5), make_edges(spark, []), strategy="degree")
+    got = {r["id"]: r["centrality"] for r in res.collect()}
+    assert got == {i: 0.0 for i in range(5)}
+
+
+def test_betweenness_unknown_strategy_rejected(spark):
+    with pytest.raises(ValueError):
+        betweenness_centrality(
+            _v(spark, 3), make_edges(spark, BETW_EDGES), strategy="best")
+
+
 # ---- HITS (engine extension) -------------------------------------------
 
 HITS_EDGES = [(0, 3, 1.0), (0, 4, 1.0), (1, 3, 1.0), (1, 4, 1.0),
