@@ -121,6 +121,59 @@ def test_walk_step_join_is_rank_equi_join(spark):
                          plan, re.S), plan
 
 
+def test_weighted_walk_step_is_packed_equi_join(spark):
+    """random_walks_weighted's step join must hit the PACKED adjacency
+    (one array row per node) on the single key ``node`` and resolve
+    the interval pick in-row — no per-candidate-edge fan-out rows, no
+    Window, no post-join interval range filter (the r3 shape joined
+    every adjacency row then filtered _cum ranges: a degree-10^6 hub
+    walker materialized 10^6 rows per step)."""
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        _pack_weighted_adjacency,
+        _weighted_walk_step,
+    )
+
+    wedges = spark.createDataFrame(
+        [(i % 20, (i * 3) % 20, 1 + i % 4) for i in range(60)],
+        "src long, dst long, _w long").dropDuplicates(["src", "dst"])
+    packed = _pack_weighted_adjacency(wedges)
+    cur = spark.createDataFrame(
+        [(i, 0, i) for i in range(20)], "walk_id long, step int, node long")
+    step = _weighted_walk_step(cur, packed, 1, 42)
+    plan = _explain(step)
+    assert re.search(r"keys \[1\]: \[node#\d+", plan), plan
+    assert "Window" not in plan, plan
+    # the pick resolves via in-row array ops on the packed columns
+    assert "element_at" in plan and "_cums" in plan, plan
+    # and one row per walker comes out (every walker has out-edges here)
+    assert step.count() == 20
+
+
+def test_node2vec_step_is_packed_equi_join(spark):
+    """node2vec's second-order step: two vertex-keyed equi-joins
+    (current node + prev node packed rows), bias/cum/pick in-row —
+    no Window over per-candidate rows (the r3 shape), one row per
+    surviving walker."""
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        _node2vec_step,
+    )
+
+    e = spark.createDataFrame(
+        [(i % 20, (i * 3) % 20) for i in range(60)],
+        "src long, dst long").dropDuplicates()
+    packed = e.groupBy(F.col("src").alias("node")).agg(
+        F.sort_array(F.collect_list("dst")).alias("_dsts"))
+    cur = spark.createDataFrame(
+        [(i, 1, i, (i + 1) % 20) for i in range(20)],
+        "walk_id long, step int, node long, prev long")
+    step = _node2vec_step(cur, packed, 2, 42, 2.0, 0.5)
+    plan = _explain(step)
+    assert "Window" not in plan, plan
+    assert re.search(r"keys \[1\]: \[node#\d+", plan), plan
+    assert re.search(r"keys \[1\]: \[prev#\d+", plan), plan
+    assert step.count() == 20
+
+
 def test_hub_split_expansion_broadcasts_not_shuffles(spark):
     """The hub-split superstep (pagerank hub_threshold path): hot-vertex
     rank rows expand to replicas via a BROADCAST join, and the big edge
