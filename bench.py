@@ -54,6 +54,15 @@ SCALING_CPUS = tuple(
     int(x) for x in os.environ.get("SCALING_CPUS", "2,8").split(",")
 )
 
+# scale-stress section (VERDICT r3 next-round #8): ~5M pages / ~67M
+# edges — an order of magnitude over the headline graph — exercising
+# the two scale paths the standard rows never do: hub splitting
+# (power-law skew defense) and the bucketed zero-shuffle edge source.
+# BENCH_STRESS=0 skips it (local quick iterations).
+STRESS_PAGES = int(os.environ.get("STRESS_PAGES", "5000000"))
+STRESS_ITERS = int(os.environ.get("STRESS_ITERS", "12"))
+STRESS_CACHE = f"/tmp/spark_graft_stress_{STRESS_PAGES}"
+
 
 def _spark():
     from neo4j_graph_algorithms_spark.session import get_spark
@@ -325,6 +334,10 @@ def run_bench() -> dict:
     queries["simhash_near_dup64"] = round(t, 3)
     steal["simhash_near_dup64"] = st
 
+    stress = None
+    if os.environ.get("BENCH_STRESS", "1") != "0":
+        stress = _run_stress(spark, queries, steal)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "edges_per_sec_per_pagerank_superstep_tol1e-6",
@@ -342,8 +355,160 @@ def run_bench() -> dict:
         "steal_pct": steal,
         "host_speed_sec": {"start": speed0, "end": _host_speed_sec()},
     }
+    if stress is not None:
+        result["stress"] = stress
     spark.stop()
     return result
+
+
+def _stress_graph(spark):
+    """5M-page edge table, disk-cached across runs (same mechanism as
+    the scaling cache): generate → extract → id-map once, then read
+    parquet. Returns (v, e, n_nodes, n_edges)."""
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(os.path.join(STRESS_CACHE, "edges", "_SUCCESS")):
+        from neo4j_graph_algorithms_spark.graph import id_map
+        from neo4j_graph_algorithms_spark.sources import (
+            extract_edges,
+            generate_pages,
+        )
+
+        _log(f"building stress graph: {STRESS_PAGES} pages → {STRESS_CACHE}")
+        pages = generate_pages(spark, STRESS_PAGES, num_partitions=128)
+        raw = extract_edges(pages, dedup=True).persist()
+        raw.count()
+        ids = id_map(
+            raw.select(F.col("src_url").alias("src"),
+                       F.col("dst_url").alias("dst")),
+            node_col="url",
+        ).persist()
+        e = (
+            raw.join(ids.withColumnRenamed("url", "src_url"), "src_url")
+            .withColumnRenamed("id", "src")
+            .join(ids.withColumnRenamed("url", "dst_url"), "dst_url")
+            .withColumnRenamed("id", "dst")
+            .select("src", "dst")
+        )
+        e.write.mode("overwrite").parquet(os.path.join(STRESS_CACHE, "edges"))
+        ids.select("id").write.mode("overwrite").parquet(
+            os.path.join(STRESS_CACHE, "nodes"))
+        raw.unpersist()
+        ids.unpersist()
+    e = spark.read.parquet(os.path.join(STRESS_CACHE, "edges"))
+    v = spark.read.parquet(os.path.join(STRESS_CACHE, "nodes"))
+    return v, e, v.count(), e.count()
+
+
+def _run_stress(spark, queries, steal) -> dict:
+    """Scale-stress rows (VERDICT r3 next-round #8): pagerank + wcc +
+    triangles at ~10x the headline graph, driven through the two scale
+    paths the standard rows never exercise —
+
+    - the bucketed PRELAYOUT edge source (sources/bucketed.py): edge
+      rows never shuffle, not even once at startup;
+    - HUB SPLITTING (plans/skew.py): the same graph augmented with 16
+      synthetic degree-500k hubs (the Zipf tail the generator's
+      max_degree=64 truncates away), run with and without
+      hub_threshold so the defense's effect is measured, not assumed.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+    from neo4j_graph_algorithms_spark.operators.triangles import triangle_count
+    from neo4j_graph_algorithms_spark.operators.wcc import connected_components
+    from neo4j_graph_algorithms_spark.sources.bucketed import (
+        read_edges_bucketed,
+        write_edges_bucketed,
+    )
+
+    t, st, (v, e, n_nodes, n_edges) = _timed(
+        lambda: _stress_graph(spark), "stress_build")
+    _log(f"stress graph: {n_nodes} nodes, {n_edges} edges")
+    queries["stress_build"] = round(t, 3)
+    steal["stress_build"] = st
+
+    lay = tempfile.mkdtemp(prefix="bench_stress_layout_")
+    t, st, _ = _timed(lambda: write_edges_bucketed(
+        e, "stress_edges_src", n_buckets=CPUS, path=f"{lay}/src"),
+        "stress_prelayout_write_src")
+    queries["stress_prelayout_write_src"] = round(t, 3)
+    steal["stress_prelayout_write_src"] = st
+    eb = read_edges_bucketed(spark, "stress_edges_src")
+    t, st, res = _timed(lambda: pagerank(
+        v, eb, max_iterations=STRESS_ITERS, tol=0.0, unroll=6,
+        edges_prelayout=True), "stress_pagerank_prelayout")
+    queries["stress_pagerank_prelayout"] = round(t, 3)
+    steal["stress_pagerank_prelayout"] = st
+    stress_eps = n_edges * res.iterations / t
+    _log(f"stress_pagerank_prelayout: {t:.1f}s, {res.iterations} ss, "
+         f"{stress_eps:.0f} e/s/ss")
+
+    t, st, _ = _timed(lambda: write_edges_bucketed(
+        e, "stress_edges_sym", n_buckets=CPUS, path=f"{lay}/sym",
+        symmetrize=True), "stress_prelayout_write_sym")
+    queries["stress_prelayout_write_sym"] = round(t, 3)
+    steal["stress_prelayout_write_sym"] = st
+    es = read_edges_bucketed(spark, "stress_edges_sym")
+    t, st, _ = _timed(lambda: connected_components(
+        v, es, edges_prelayout=True), "stress_wcc_prelayout")
+    queries["stress_wcc_prelayout"] = round(t, 3)
+    steal["stress_wcc_prelayout"] = st
+
+    t, st, _ = _timed(lambda: triangle_count(v, e),
+                      "stress_triangle_count")
+    queries["stress_triangle_count"] = round(t, 3)
+    steal["stress_triangle_count"] = st
+
+    # skew A/B: 16 synthetic hubs x 500k out-edges on top of the graph
+    n_hubs, hub_deg = 16, 500_000
+    hub_e = (
+        spark.range(n_hubs * hub_deg)
+        .select(
+            (F.lit(int(n_nodes)) + F.col("id") % n_hubs).alias("src"),
+            F.pmod(F.hash(F.col("id"), F.lit(7)),
+                   F.lit(int(n_nodes))).cast("long").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    ev = e.union(hub_e).persist()
+    vv = v.union(
+        spark.range(int(n_nodes), int(n_nodes) + n_hubs)
+        .select(F.col("id"))).persist()
+    n_skew_edges = ev.count()
+    _log(f"skew graph: +{n_hubs} hubs x {hub_deg} -> {n_skew_edges} edges")
+    t, st, r1 = _timed(lambda: pagerank(
+        vv, ev, max_iterations=8, tol=0.0, unroll=4,
+        hub_threshold=10_000, hub_replicas=8),
+        "stress_pagerank_hubsplit")
+    queries["stress_pagerank_hubsplit"] = round(t, 3)
+    steal["stress_pagerank_hubsplit"] = st
+    t, st, r2 = _timed(lambda: pagerank(
+        vv, ev, max_iterations=8, tol=0.0, unroll=4),
+        "stress_pagerank_skew_nosplit")
+    queries["stress_pagerank_skew_nosplit"] = round(t, 3)
+    steal["stress_pagerank_skew_nosplit"] = st
+    ev.unpersist()
+    vv.unpersist()
+
+    for tbl in ("stress_edges_src", "stress_edges_sym"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(lay, ignore_errors=True)
+    spark.catalog.clearCache()
+
+    return {
+        "nodes": n_nodes,
+        "edges": n_edges,
+        "skew_edges": n_skew_edges,
+        "pagerank_supersteps": STRESS_ITERS,
+        "edges_per_sec_per_superstep_prelayout": round(stress_eps, 1),
+        "hubsplit_vs_nosplit_sec": [
+            queries["stress_pagerank_hubsplit"],
+            queries["stress_pagerank_skew_nosplit"],
+        ],
+    }
 
 
 def _build_scaling_graph() -> None:
