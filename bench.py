@@ -192,8 +192,9 @@ def run_bench() -> dict:
     t_pr, st, res = _timed(
         lambda: pagerank(v, e, max_iterations=150, tol=PR_TOL, unroll=8))
     supersteps = res.iterations
+    pr_converged, pr_max_delta = res.converged, res.max_delta
     _log(f"pagerank_conv: {t_pr:.1f}s, {supersteps} supersteps, "
-         f"converged={res.converged}, steal {st}%")
+         f"converged={pr_converged}, steal {st}%")
     queries["pagerank_conv"] = round(t_pr, 3)
     steal["pagerank_conv"] = st
     edges_per_sec_per_superstep = n_edges * supersteps / t_pr
@@ -301,6 +302,15 @@ def run_bench() -> dict:
         queries[f"tpch_{name}"] = round(t, 3)
         steal[f"tpch_{name}"] = st
 
+    # release the superstep checkpoint blocks still pinned by the result
+    # handles above, then nudge the JVM ContextCleaner: measured on this
+    # box, leaving them in the block manager inflates the pipeline rows
+    # below up to ~3x (same residue mechanism as the r2 tpch regression,
+    # BASELINE.md §4.7) — fresh-session A/B: minhash 24s vs 30s in-bench
+    res = wres = tres = None  # noqa: F841 — drop py4j refs
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
     # training-data pipeline at PRODUCTION parameters (the driver's
     # correctness queries use the small oracle-matched configs; the
     # bench shows the real-scale shapes): 128-perm/16-band MinHash LSH
@@ -348,8 +358,8 @@ def run_bench() -> dict:
         "total_sec": total,
         "graph": {"nodes": n_nodes, "edges": n_edges,
                   "pagerank_supersteps": supersteps,
-                  "pagerank_converged": res.converged,
-                  "max_delta": res.max_delta},
+                  "pagerank_converged": pr_converged,
+                  "max_delta": pr_max_delta},
         "cpus": CPUS,
         "host_steal_pct": _steal_pct(cpu0, _cpu_sample()),
         "steal_pct": steal,
@@ -407,10 +417,12 @@ def _run_stress(spark, queries, steal) -> dict:
 
     - the bucketed PRELAYOUT edge source (sources/bucketed.py): edge
       rows never shuffle, not even once at startup;
-    - HUB SPLITTING (plans/skew.py): the same graph augmented with 16
-      synthetic degree-500k hubs (the Zipf tail the generator's
-      max_degree=64 truncates away), run with and without
-      hub_threshold so the defense's effect is measured, not assumed.
+    - HUB SPLITTING (plans/skew.py): the same graph augmented with 8
+      synthetic multi-million-degree hubs whose ids hash-collide into
+      one shuffle partition (see the inline comment for why collision,
+      not degree alone, is the honest adversarial shape at this |V|),
+      run with and without hub_threshold so the defense's effect is
+      measured, not assumed.
     """
     import tempfile
 
@@ -462,26 +474,41 @@ def _run_stress(spark, queries, steal) -> dict:
     queries["stress_triangle_count"] = round(t, 3)
     steal["stress_triangle_count"] = st
 
-    # skew A/B: 16 synthetic hubs x 500k out-edges on top of the graph
-    n_hubs, hub_deg = 16, 500_000
-    hub_e = (
-        spark.range(n_hubs * hub_deg)
-        .select(
-            (F.lit(int(n_nodes)) + F.col("id") % n_hubs).alias("src"),
-            F.pmod(F.hash(F.col("id"), F.lit(7)),
-                   F.lit(int(n_nodes))).cast("long").alias("dst"),
+    # skew A/B. A single hub cannot exceed |V| distinct out-links
+    # (~2 partitions' worth here), so the adversarial shape this
+    # sandbox CAN reproduce honestly is several hot sources whose ids
+    # HASH-COLLIDE into one shuffle partition — at production scale
+    # (10^5 partitions) some partition always draws multiple hubs, and
+    # hash partitioning cannot avoid it; degree-aware splitting can.
+    # 8 colliding hubs x ~4.3M edges land ~11x the average rows in one
+    # partition of the src-partitioned superstep cache.
+    n_hubs, hub_draws = 8, 6_000_000
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    hub_ids = [
+        r["id"] for r in (
+            spark.range(int(n_nodes), int(n_nodes) + 3000)
+            .select("id", F.pmod(F.hash("id"), F.lit(n_shuf)).alias("p"))
+            .filter(F.col("p") == 0).limit(n_hubs).collect())
+    ]
+    hub_e = None
+    for h in hub_ids:
+        he = (
+            spark.range(hub_draws)
+            .select(F.lit(int(h)).alias("src"),
+                    F.pmod(F.hash(F.col("id"), F.lit(int(h))),
+                           F.lit(int(n_nodes))).cast("long").alias("dst"))
+            .dropDuplicates(["src", "dst"])
         )
-        .dropDuplicates(["src", "dst"])
-    )
+        hub_e = he if hub_e is None else hub_e.union(he)
     ev = e.union(hub_e).persist()
     vv = v.union(
-        spark.range(int(n_nodes), int(n_nodes) + n_hubs)
-        .select(F.col("id"))).persist()
+        spark.createDataFrame([(int(h),) for h in hub_ids], "id long")
+    ).persist()
     n_skew_edges = ev.count()
-    _log(f"skew graph: +{n_hubs} hubs x {hub_deg} -> {n_skew_edges} edges")
+    _log(f"skew graph: +{n_hubs} colliding hubs -> {n_skew_edges} edges")
     t, st, r1 = _timed(lambda: pagerank(
         vv, ev, max_iterations=8, tol=0.0, unroll=4,
-        hub_threshold=10_000, hub_replicas=8),
+        hub_threshold=100_000, hub_replicas=16),
         "stress_pagerank_hubsplit")
     queries["stress_pagerank_hubsplit"] = round(t, 3)
     steal["stress_pagerank_hubsplit"] = st
