@@ -86,6 +86,29 @@ AUDIT = {
         "Model-sized percentile aggregation (state bounded by distinct "
         "6-dp scores) + ONE broadcast join labeling every document — "
         "no per-language window sort."),
+    "random_walks_weighted": (
+        "r4 packed-interval rewrite: each step is a single-key equi-"
+        "join against the one-row-per-node packed adjacency (look for "
+        "the collect_list/aggregate fold building _dsts/_cums and "
+        "element_at picks); NO Window and NO per-candidate-edge join "
+        "anywhere in the step chain — a degree-10^6 hub is one wide "
+        "row, not 10^6 shuffled rows."),
+    "node2vec_pairs": (
+        "r4 packed second-order step: two vertex-keyed equi-joins "
+        "(current node's _dsts + prev's _pnbrs), bias/cumulative/pick "
+        "in-row via higher-order functions; NO Window over candidate "
+        "rows. The skip-gram pair expansion downstream is the in-row "
+        "nested-transform shape with one pair-keyed count aggregation."),
+    "betweenness_sampled": (
+        "Degree-proportional RA-Brandes: selection is a codegen'd "
+        "integer-hash filter over the degree aggregate (no sampling "
+        "exchange), sources flow into mapInPandas over the CSR "
+        "artifact, one final per-node sum aggregation; the only "
+        "Python in the plan is the Arrow-batched Brandes kernel."),
+    "warc_roundtrip": (
+        "binaryFile scan of the synthesized segment -> ONE mapInPandas "
+        "(Arrow) parse -> codegen'd projection (md5/length); no per-"
+        "row Python, no exchange before the final projection."),
 }
 
 
