@@ -5772,6 +5772,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Families whose every member is absent here are all driver-proven in a
 # prior round's CORRECTNESS_r0{1,2,3}.json (pinned by
 # tests/test_driver_window.py, which loads those artifacts).
+# Still never-driver-checked after r4 (rotate these in next round):
+# ngram_jaccard_pairs, label_propagation_seeded, duplicate_span_scores,
+# repetition_scores, tfidf_top_terms, cooccurrence_pmi, ngram_lm_score,
+# semantic_dedup, simhash_near_dup, embedding_near_dup, vertex_cover,
+# greedy_coloring, weighted_sample, rewire_null_model — all replayed
+# green vs their oracles every pytest run meanwhile.
 _WINDOW = [
     # anchors
     "pagerank", "wcc", "label_propagation", "triangles_per_node",
