@@ -279,6 +279,16 @@ def approx_eccentricity(balls: DataFrame) -> DataFrame:
     Returns ``(id, ecc, reach)``; ``reach`` = final ball estimate
     rounded to 6 decimals. Radius = ``min(ecc)``, diameter ≈
     ``max(ecc)`` over any strongly-reachable vertex set.
+
+    Plan note: when the caller feeds ``balls`` lazily (estimate column
+    still the inlined m-term HLL expression), the hash-agg stage here
+    can exceed Janino's 64 KB per-method limit at m ≥ 16 and Spark
+    falls back to interpreted evaluation for that ONE stage (logged as
+    ``ERROR CodeGenerator`` + a clean fallback) — correctness is
+    unaffected and the stage is vertex-sized (one pass over |V|·R
+    rows), so the ~2x interpreted penalty is noise next to the gather
+    rounds. Materializing ``balls`` first restores codegen if that
+    pass ever matters.
     """
     from pyspark.sql.window import Window
 
