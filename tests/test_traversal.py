@@ -375,6 +375,68 @@ def test_weighted_walks_equal_uniform_when_weights_one(spark):
     assert uni == wtd
 
 
+def test_weighted_walks_match_python_interval_replay(spark):
+    """Property check of the r4 packed-interval rewrite on a random
+    weighted digraph: replay the walk in plain python from (a) the
+    same Murmur3 draws (evaluated once via a tiny Spark expression —
+    the only shared primitive) and (b) an independent implementation
+    of the cumulative-interval rule over the dst-ordered adjacency.
+    Every (walk_id, step, node) must match exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_algorithms_spark.operators.traversal import (
+        random_walks_weighted,
+    )
+
+    rng = np.random.RandomState(5)
+    n, wpn, length, seed = 30, 2, 5, 9
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, n, size=(150, 2)) if a != b})
+    weights = {p: int(rng.randint(1, 6)) for p in edges}
+    e = make_edges(spark, [(a, b, float(weights[(a, b)]))
+                           for a, b in edges])
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {(r.walk_id, r.step): r.node
+           for r in random_walks_weighted(
+               v, e, walks_per_node=wpn, walk_length=length,
+               seed=seed).collect()}
+
+    # the Murmur3 draws, evaluated by Spark once for every (walk, step)
+    draws = {}
+    wdf = spark.range(n * wpn).select(F.col("id").alias("walk_id"))
+    for s in range(1, length + 1):
+        for r in wdf.select(
+                "walk_id",
+                F.hash(F.col("walk_id"), F.lit(s), F.lit(seed))
+                .alias("h")).collect():
+            draws[(r["walk_id"], s)] = r["h"]
+
+    adj = {}
+    for (a, b) in edges:
+        adj.setdefault(a, []).append((b, weights[(a, b)]))
+    for a in adj:
+        adj[a].sort()
+    exp = {}
+    for wid in range(n * wpn):
+        node = wid // wpn
+        exp[(wid, 0)] = node
+        for s in range(1, length + 1):
+            cand = adj.get(node)
+            if not cand:
+                break
+            total = sum(w for _, w in cand)
+            pick = ((draws[(wid, s)] % total) + total) % total
+            acc = 0
+            for dst, w in cand:
+                acc += w
+                if pick < acc:
+                    node = dst
+                    break
+            exp[(wid, s)] = node
+    assert got == exp
+
+
 def test_weighted_walks_follow_weights_and_stop_at_dead_ends(spark):
     from neo4j_graph_algorithms_spark.operators.traversal import (
         random_walks_weighted,
