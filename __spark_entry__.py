@@ -4662,6 +4662,46 @@ def _canon_url_cte_parts(keep: str) -> list[str]:
     ]
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: linear classifier inference over
+    hashed bag-of-words features, map-only (pipeline/classifier.py).
+    Deterministic pseudo-weights (integer multiply-add-mod of the
+    md5-hashed feature index); the margin numerator is an exact
+    integer sum so the oracle compare is addition-order-free, the
+    sigmoid input is one division of exact integers, and keep is a
+    pure integer decision."""
+    from neo4j_graph_algorithms_spark.pipeline.classifier import (
+        quality_classifier_score,
+    )
+
+    return quality_classifier_score(_t(spark, sf_dir, "documents"))
+
+
+def _quality_classifier_sql(n_features: int = 1 << 18,
+                            wscale: int = 1 << 20) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents),
+    feat AS (
+      SELECT doc_id, len(ts) AS n,
+        CASE WHEN len(ts) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(
+          list_sum(list_transform(ts, t ->
+            ((((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                % {n_features}) * 2654435761 + 1013904223)
+              % {2 * wscale}) - {wscale}))) AS BIGINT)
+        END AS margin_num
+      FROM toks)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, margin_num,
+           round(1.0 / (1.0 + exp(-(CASE WHEN n = 0 THEN 0.0
+                 ELSE CAST(margin_num AS DOUBLE) / (n * {wscale}.0)
+                 END))), 9) AS score,
+           margin_num >= 0 AS keep
+    FROM feat
+    """
+
+
 def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source driver row (VERDICT r3 next-round #10): synthesize a
     deterministic gzipped WARC segment from the first 100 documents
@@ -5776,8 +5816,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ngram_jaccard_pairs, label_propagation_seeded, duplicate_span_scores,
 # repetition_scores, tfidf_top_terms, cooccurrence_pmi, ngram_lm_score,
 # semantic_dedup, simhash_near_dup, embedding_near_dup, vertex_cover,
-# greedy_coloring, weighted_sample, rewire_null_model — all replayed
-# green vs their oracles every pytest run meanwhile.
+# greedy_coloring, weighted_sample, rewire_null_model, events_latest —
+# all replayed green vs their oracles every pytest run meanwhile.
 _WINDOW = [
     # anchors
     "pagerank", "wcc", "label_propagation", "triangles_per_node",
@@ -5787,7 +5827,7 @@ _WINDOW = [
     "lsh_eval", "coarsen_matching",
     # new this round
     "betweenness_sampled", "louvain_invariants", "infomap_invariants",
-    "warc_roundtrip",
+    "warc_roundtrip", "quality_classifier",
     # never-driver-checked until now (r3 verdict list + the rest)
     "opic_importance", "bowtie_classes", "salsa", "katz",
     "anti_trust_rank", "butterfly_count", "multilevel_bisect",
@@ -5799,7 +5839,7 @@ _WINDOW = [
     "temperature_mix", "pii_scrub", "streaming_near_dup",
     "streaming_wcc", "hyperball_anf", "effective_diameter",
     "approx_eccentricity", "wcc_stats", "stratified_sample",
-    "events_latest", "containment_pairs",
+    "containment_pairs",
     "hll_source_distinct", "inverted_index",
 ]
 
@@ -5972,6 +6012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "curation_e2e": _q_curation_e2e,
         "canonical_urls": _q_canonical_urls,
+        "quality_classifier": _q_quality_classifier,
         "warc_roundtrip": _q_warc_roundtrip,
         "coarsen_matching": _q_coarsen_matching,
         "vertex_cover": _q_vertex_cover,
@@ -6118,6 +6159,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_invariants": _louvain_invariants_oracle_sql(2),
         "infomap_invariants": _infomap_invariants_oracle_sql(),
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "quality_classifier": _quality_classifier_sql(),
         "random_walks": _random_walks_oracle_sql(),
         "node2vec_pairs": _node2vec_pairs_oracle_sql(2),
         "hyperball_balls": (

@@ -92,6 +92,7 @@ FAMILIES = {
     "hostextra": ["mirror_hosts", "crawl_frontier"],
     "sketches": ["hll_source_distinct"],
     "warc": ["warc_roundtrip"],
+    "classifier": ["quality_classifier"],
 }
 
 # Registry as of the end of round 4. Anything added after this point
