@@ -4662,6 +4662,56 @@ def _canon_url_cte_parts(keep: str) -> list[str]:
     ]
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency table over document tokens
+    (pipeline/cms.py): build the 4×1024 counter table, then estimate
+    the 20 true-most-frequent tokens through it — (tok, true_cnt,
+    est_cnt), CMS guarantee est ≥ true. Every counter is an exact
+    integer, so the DuckDB oracle replays the sketch bit-for-bit."""
+    from neo4j_graph_algorithms_spark.pipeline.cms import (
+        cms_build,
+        cms_estimate,
+    )
+    from neo4j_graph_algorithms_spark.pipeline.dedup import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_expr(F.col("text"))).alias("tok"))
+    cms = cms_build(toks, "tok", depth=4, width=1024)
+    top = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("tok")).limit(20)
+    )
+    return cms_estimate(cms, top, "tok", depth=4, width=1024)
+
+
+def _cms_heavy_hitters_sql(depth: int = 4, width: int = 1024) -> str:
+    def idx(d: int) -> str:
+        return (f"CAST(('0x' || substr(md5(tok || '#cms{d}'), 1, 8)) "
+                f"AS BIGINT) % {width}")
+
+    cms_parts = " UNION ALL ".join(
+        f"SELECT {d} AS d, {idx(d)} AS idx, count(*) AS cnt "
+        f"FROM toks GROUP BY idx" for d in range(depth))
+    probe_parts = " UNION ALL ".join(
+        f"SELECT tok, true_cnt, {d} AS d, {idx(d)} AS idx FROM top"
+        for d in range(depth))
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    top AS (
+      SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok
+      ORDER BY true_cnt DESC, tok LIMIT 20),
+    cms AS ({cms_parts}),
+    probes AS ({probe_parts})
+    SELECT p.tok, p.true_cnt,
+           min(coalesce(c.cnt, 0)) AS est_cnt
+    FROM probes p LEFT JOIN cms c ON c.d = p.d AND c.idx = p.idx
+    GROUP BY p.tok, p.true_cnt
+    """
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering: linear classifier inference over
     hashed bag-of-words features, map-only (pipeline/classifier.py).
@@ -5816,8 +5866,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ngram_jaccard_pairs, label_propagation_seeded, duplicate_span_scores,
 # repetition_scores, tfidf_top_terms, cooccurrence_pmi, ngram_lm_score,
 # semantic_dedup, simhash_near_dup, embedding_near_dup, vertex_cover,
-# greedy_coloring, weighted_sample, rewire_null_model, events_latest —
-# all replayed green vs their oracles every pytest run meanwhile.
+# greedy_coloring, weighted_sample, rewire_null_model, events_latest,
+# containment_pairs — all replayed green vs their oracles every pytest
+# run meanwhile.
 _WINDOW = [
     # anchors
     "pagerank", "wcc", "label_propagation", "triangles_per_node",
@@ -5827,7 +5878,7 @@ _WINDOW = [
     "lsh_eval", "coarsen_matching",
     # new this round
     "betweenness_sampled", "louvain_invariants", "infomap_invariants",
-    "warc_roundtrip", "quality_classifier",
+    "warc_roundtrip", "quality_classifier", "cms_heavy_hitters",
     # never-driver-checked until now (r3 verdict list + the rest)
     "opic_importance", "bowtie_classes", "salsa", "katz",
     "anti_trust_rank", "butterfly_count", "multilevel_bisect",
@@ -5839,7 +5890,6 @@ _WINDOW = [
     "temperature_mix", "pii_scrub", "streaming_near_dup",
     "streaming_wcc", "hyperball_anf", "effective_diameter",
     "approx_eccentricity", "wcc_stats", "stratified_sample",
-    "containment_pairs",
     "hll_source_distinct", "inverted_index",
 ]
 
@@ -6013,6 +6063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_e2e": _q_curation_e2e,
         "canonical_urls": _q_canonical_urls,
         "quality_classifier": _q_quality_classifier,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "warc_roundtrip": _q_warc_roundtrip,
         "coarsen_matching": _q_coarsen_matching,
         "vertex_cover": _q_vertex_cover,
@@ -6160,6 +6211,7 @@ def oracle_sql() -> dict[str, str]:
         "infomap_invariants": _infomap_invariants_oracle_sql(),
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "quality_classifier": _quality_classifier_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "random_walks": _random_walks_oracle_sql(),
         "node2vec_pairs": _node2vec_pairs_oracle_sql(2),
         "hyperball_balls": (

@@ -90,7 +90,7 @@ FAMILIES = {
     "bpe": ["bpe_train", "bpe_encode"],
     "wtf": ["who_to_follow"],
     "hostextra": ["mirror_hosts", "crawl_frontier"],
-    "sketches": ["hll_source_distinct"],
+    "sketches": ["hll_source_distinct", "cms_heavy_hitters"],
     "warc": ["warc_roundtrip"],
     "classifier": ["quality_classifier"],
 }
