@@ -359,3 +359,69 @@ def run_sketch_maintenance(
         return spark.createDataFrame(
             [], ", ".join(f"{k} string" for k in keys) + ", " + cols)
     return final
+
+
+def run_cms_maintenance(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    *,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuously-maintained Count-Min token-frequency sketch
+    (pipeline/cms.py) over a document stream; returns the final
+    ``(d, idx, cnt)`` counter table.
+
+    CMS counters are a commutative monoid under cell-wise ADDITION, so
+    folding each micro-batch's sketch into the durable table with
+    :func:`~...pipeline.cms.cms_merge` yields counters EXACTLY equal
+    to the batch sketch of the union, in any drop order (pytest pins
+    shuffled drops) — "how often is every token, updated per crawl
+    drop" without recounting history, the frequency twin of the HLL
+    registry above.
+
+    Per micro-batch: one token expansion + one (d, idx)-keyed count
+    aggregation (map-side combine), then one outer join against the
+    ≤ D·W-row state. Same CheckpointManager commit protocol as the
+    other folds.
+    """
+    from ..pipeline.cms import cms_build, cms_merge
+    from ..pipeline.dedup import tokens_expr
+
+    mgr = CheckpointManager(spark, checkpoint_dir=os.path.join(
+        state_dir, "cms_state"), interval=1,
+        algorithm="cms_stream")
+    resumed = mgr.resume()
+    holder: dict[str, Any] = {
+        "state": resumed[1] if resumed else None,
+        "committed": resumed[0] if resumed else -1,
+    }
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= holder["committed"]:
+            return  # crash-replayed batch: state already reflects it
+        toks = batch.select(
+            F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+        cand = cms_build(toks, "tok", depth=depth, width=width)
+        n_batch = batch.count()
+        state = holder["state"]
+        merged = cand if state is None else cms_merge(state, cand)
+
+        def action(st: DataFrame) -> dict[str, Any]:
+            return {"cells": st.count(), "batch_docs": n_batch,
+                    "batch_id": int(batch_id)}
+
+        st, _ = mgr.maybe_checkpoint(merged, int(batch_id), action=action)
+        holder["state"] = st
+        holder["committed"] = int(batch_id)
+
+    _drive(spark, docs_dir, state_dir, fold,
+           max_files_per_trigger=max_files_per_trigger,
+           schema=DOC_SCHEMA)
+    final = holder["state"]
+    if final is None:  # empty stream
+        return spark.createDataFrame([], "d int, idx bigint, cnt bigint")
+    return final

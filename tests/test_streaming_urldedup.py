@@ -95,6 +95,69 @@ def test_restart_resumes_and_folds_new_drop(spark, tmp_path):
     assert len(got) == 3
 
 
+def test_cms_maintenance_counter_exact_any_order(spark, tmp_path):
+    """CMS counters are an addition-monoid: the streamed table equals
+    the batch union sketch COUNTER-EXACTLY, in any drop order."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from neo4j_graph_algorithms_spark.pipeline.cms import cms_build
+    from neo4j_graph_algorithms_spark.pipeline.dedup import tokens_expr
+    from neo4j_graph_algorithms_spark.streaming.dedup import (
+        run_cms_maintenance,
+    )
+
+    batches = [
+        [(i, f"tok{i % 7} common word{i % 3}") for i in range(0, 30)],
+        [(i, f"tok{i % 7} rare{i}") for i in range(30, 50)],
+        [(i, "common common burst") for i in range(50, 60)],
+    ]
+
+    def write(docs_dir, bs):
+        _os.makedirs(docs_dir, exist_ok=True)
+        for i, rows in enumerate(bs):
+            tbl = pa.table({
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["s"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            })
+            fp = _os.path.join(docs_dir, f"drop{i:03d}.parquet")
+            pq.write_table(tbl, fp)
+            _stamp(fp, i)
+
+    all_rows = [r for b in batches for r in b]
+    want_df = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want_toks = want_df.select(
+        F.explode(tokens_expr(F.col("text"))).alias("tok"))
+    want = sorted(tuple(r) for r in
+                  cms_build(want_toks, "tok", depth=3, width=64).collect())
+    for perm, tag in ((batches, "fwd"), (batches[::-1], "rev")):
+        docs = str(tmp_path / f"cms_docs_{tag}")
+        write(docs, perm)
+        got = sorted(tuple(r) for r in
+                     run_cms_maintenance(
+                         spark, docs, str(tmp_path / f"cms_state_{tag}"),
+                         depth=3, width=64).collect())
+        assert got == want
+
+
+def test_cms_maintenance_empty_stream(spark, tmp_path):
+    from neo4j_graph_algorithms_spark.streaming.dedup import (
+        run_cms_maintenance,
+    )
+
+    docs = str(tmp_path / "cms_empty")
+    os.makedirs(docs)
+    out = run_cms_maintenance(spark, docs, str(tmp_path / "cms_est"))
+    assert out.count() == 0
+    assert out.columns == ["d", "idx", "cnt"]
+
+
 def test_empty_stream(spark, tmp_path):
     pages = str(tmp_path / "pages")
     os.makedirs(pages)
