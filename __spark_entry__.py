@@ -2464,8 +2464,13 @@ def _q_hyperball_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hyperball_anf_oracle_sql(radius: int = 3, b: int = 4) -> str:
+    # The outer CAST matters: DuckDB widens SUM(BIGINT) to HUGEINT,
+    # which the driver's pandas `.df()` converts to float64 — hashing a
+    # float against Spark's int64 (the r4 red row). BIGINT round-trips
+    # to int64 exactly.
     return (
-        "SELECT r, SUM(CAST(ROUND(ball_est * 1e6) AS BIGINT)) AS anf_micro "
+        "SELECT r, CAST(SUM(CAST(ROUND(ball_est * 1e6) AS BIGINT)) AS BIGINT)"
+        " AS anf_micro "
         f"FROM ({_hyperball_oracle_sql(radius, b)}) GROUP BY r"
     )
 
@@ -3824,10 +3829,17 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted index: sorted posting arrays (≤50 doc ids per
     token, capped by a rank window BEFORE collecting) + true df
-    (pipeline/index.py:inverted_index)."""
+    (pipeline/index.py:inverted_index). The postings array is emitted
+    as a comma-joined string: array columns are unhashable in the
+    driver's pandas sort (the r4 red row) — the library keeps the
+    typed array; only this proof row serializes it."""
     from neo4j_graph_algorithms_spark.pipeline.index import inverted_index
 
-    return inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
+    out = inverted_index(_t(spark, sf_dir, "documents"), max_postings=50)
+    return out.select(
+        "token", "df",
+        F.array_join(F.col("postings").cast("array<string>"), ",")
+        .alias("postings"))
 
 
 def _q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4795,7 +4807,9 @@ def _q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         "content_type",
         F.md5(F.col("html")).alias("body_md5"),
-        F.length(F.col("html")).cast("long").alias("body_len"),
+        # octet_length (bytes), NOT length (chars): the oracle measures
+        # UTF-8 bytes, and the two only coincide on ASCII fixtures.
+        F.octet_length(F.col("html")).cast("long").alias("body_len"),
     )
 
 
@@ -4809,6 +4823,170 @@ _WARC_ROUNDTRIP_SQL = """
                 '<html><body>' || text || '</body></html>'))
                 AS BIGINT) AS body_len
     FROM documents WHERE doc_id < 100
+"""
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image driver row (warc_roundtrip recipe): synthesize
+    a deterministic binary-PPM (P6) payload per doc_id < 80 — w = 4 +
+    id%5, h = 3 + id%4, raw byte j = (id·31 + j) % 256 — decode it for
+    REAL through pipeline/multimodal.py:extract_image_features
+    (mapInPandas Arrow kernel → pure-numpy P6 parser → 16-bin Rec.601
+    integer-luminance histogram) and emit the histogram DE-normalized
+    back to exact integer pixel counts (cnt = round(f·w·h); the
+    float32 representation error of c/(w·h) is ≪ 0.5 at w·h ≤ 48, so
+    the roundtrip is exact). The oracle rebuilds every count
+    relationally from the same byte formula — a decode that misreads
+    the header, channel order, or stride mismatches. Zero-count bins
+    are filtered on the Spark side to match the oracle's group-by."""
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        extract_image_features,
+    )
+
+    ids = [r[0] for r in _t(spark, sf_dir, "documents")
+           .select("doc_id").filter(F.col("doc_id") < 80)
+           .orderBy("doc_id").collect()]  # bounded fixture — ≤80 rows
+    rows = []
+    for i in ids:
+        w, h = 4 + i % 5, 3 + i % 4
+        body = bytes((i * 31 + j) % 256 for j in range(3 * w * h))
+        rows.append((i, bytearray(f"P6\n{w} {h}\n255\n".encode() + body)))
+    payloads = spark.createDataFrame(rows, "item_id long, payload binary")
+    feats = extract_image_features(payloads)
+    return (
+        feats.select(
+            "item_id", "n_bytes", "width", "height",
+            F.posexplode("features").alias("bin", "_f"))
+        .select(
+            "item_id", "n_bytes", "width", "height",
+            F.col("bin").cast("int").alias("bin"),
+            F.round(F.col("_f").cast("double")
+                    * F.col("width") * F.col("height"))
+            .cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+
+
+_IMAGE_FEATURES_SQL = """
+    WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+               FROM documents WHERE doc_id < 80),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+    lum AS (SELECT doc_id, w, h,
+              (((doc_id * 31 + 3 * i) % 256) * 299
+             + ((doc_id * 31 + 3 * i + 1) % 256) * 587
+             + ((doc_id * 31 + 3 * i + 2) % 256) * 114) // 1000 AS l
+            FROM px)
+    SELECT doc_id AS item_id,
+           CAST(11 + 3 * w * h AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(l // 16 AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lum GROUP BY doc_id, w, h, l // 16
+"""
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio driver row: synthesize a deterministic 16-bit
+    PCM mono WAV per doc_id < 80 (stdlib ``wave`` writer; rate 8000,
+    n = 200 + id%100 frames, sample s_j = (id·7919 + j·104729) % 65536
+    − 32768), decode it for REAL through pipeline/multimodal.py:
+    extract_audio_features (mapInPandas → stdlib wave parser), and
+    emit integer-exact fields: n_bytes (44-byte canonical header +
+    2n), channel/rate/frame counts, duration and RMS in micro-units
+    (round(x·1e6) — the Σs² under the RMS is an exact integer < 2^53,
+    so both engines sqrt/divide identical doubles), plus the 16-bin
+    |amplitude|>>11 histogram de-normalized to exact counts."""
+    import io
+    import wave
+
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        extract_audio_features,
+    )
+
+    ids = [r[0] for r in _t(spark, sf_dir, "documents")
+           .select("doc_id").filter(F.col("doc_id") < 80)
+           .orderBy("doc_id").collect()]  # bounded fixture — ≤80 rows
+    rows = []
+    for i in ids:
+        n = 200 + i % 100
+        pcm = b"".join(
+            int((i * 7919 + j * 104729) % 65536 - 32768)
+            .to_bytes(2, "little", signed=True) for j in range(n))
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(pcm)
+        rows.append((i, bytearray(bio.getvalue())))
+    payloads = spark.createDataFrame(rows, "item_id long, payload binary")
+    feats = extract_audio_features(payloads)
+    return (
+        feats.select(
+            "item_id", "n_bytes", "n_channels", "sample_rate", "n_samples",
+            F.round(F.col("duration_sec") * 1e6).cast("long")
+            .alias("dur_micro"),
+            F.round(F.col("rms") * 1e6).cast("long").alias("rms_micro"),
+            F.posexplode("features").alias("bin", "_f"))
+        .select(
+            "item_id", "n_bytes", "n_channels", "sample_rate", "n_samples",
+            "dur_micro", "rms_micro",
+            F.col("bin").cast("int").alias("bin"),
+            F.round(F.col("_f").cast("double") * F.col("n_samples"))
+            .cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+
+
+_AUDIO_FEATURES_SQL = """
+    WITH d AS (SELECT doc_id, 200 + doc_id % 100 AS n
+               FROM documents WHERE doc_id < 80),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM d),
+    smp AS (SELECT doc_id, n,
+                   (doc_id * 7919 + j * 104729) % 65536 - 32768 AS v
+            FROM s),
+    agg AS (SELECT doc_id, n,
+                   sqrt(CAST(sum(v * v) AS DOUBLE) / n) AS rms
+            FROM smp GROUP BY doc_id, n),
+    hist AS (SELECT doc_id, n,
+                    CAST(least(abs(v) // 2048, 15) AS INT) AS bin,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM smp GROUP BY doc_id, n, bin)
+    SELECT h.doc_id AS item_id,
+           CAST(44 + 2 * h.n AS BIGINT) AS n_bytes,
+           1 AS n_channels, 8000 AS sample_rate,
+           CAST(h.n AS BIGINT) AS n_samples,
+           CAST(ROUND(h.n / 8000.0 * 1e6) AS BIGINT) AS dur_micro,
+           CAST(ROUND(a.rms * 1e6) AS BIGINT) AS rms_micro,
+           h.bin, h.cnt
+    FROM hist h JOIN agg a ON a.doc_id = h.doc_id
+"""
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling shape (one input row → many sampled rows)
+    over an opaque binary payload — pipeline/multimodal.py:
+    frame_sample, all-JVM posexplode over a computed chunk index; the
+    payload is each document's UTF-8 bytes, one frame per 64-byte
+    chunk. The oracle regenerates the chunk indexes from
+    octet_length."""
+    from neo4j_graph_algorithms_spark.pipeline.multimodal import (
+        frame_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    return frame_sample(d, every_n_bytes=64, payload_col="payload",
+                        id_col="doc_id")
+
+
+_FRAME_SAMPLE_SQL = """
+    WITH d AS (SELECT doc_id,
+                      greatest(1, CAST(ceil(
+                          octet_length(encode(text)) / 64.0) AS BIGINT))
+                      AS nc
+               FROM documents)
+    SELECT doc_id, CAST(unnest(range(0, nc)) AS INT) AS frame_no FROM d
 """
 
 
@@ -5269,6 +5447,59 @@ def _q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "canonical_url", F.col("doc_id").alias("winner_doc_id"),
         "n_variants")
+
+
+def _q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained Count-Min token-frequency sketch: the
+    documents table arrives as FOUR crawl-drop micro-batches
+    (streaming/dedup.py:run_cms_maintenance); each drop's 4x1024
+    sketch folds into the durable counter table with cms_merge.
+    Counters are a commutative monoid under cell-wise addition, so the
+    maintained table equals the batch sketch of the whole corpus
+    cell-for-cell in ANY drop order — the oracle replays that batch
+    sketch bit-for-bit (every counter an exact integer)."""
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.streaming.dedup import (
+        run_cms_maintenance,
+    )
+
+    root = tempfile.mkdtemp(prefix="nga_stream_cms_")
+    drops = os.path.join(root, "docs")
+    os.makedirs(drops)
+    docs = _t(spark, sf_dir, "documents")
+    for i in range(4):
+        stage = os.path.join(root, f"stage{i}")
+        (docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        os.rename(os.path.join(stage, part),
+                  os.path.join(drops, f"drop{i}.parquet"))
+    out = run_cms_maintenance(
+        spark, drops, os.path.join(root, "state"),
+        depth=4, width=1024, max_files_per_trigger=1)
+    return out.select(
+        F.col("d").cast("int").alias("d"),
+        F.col("idx").cast("long").alias("idx"),
+        F.col("cnt").cast("long").alias("cnt"))
+
+
+def _streaming_cms_sql(depth: int = 4, width: int = 1024) -> str:
+    # the batch sketch of the whole corpus — what the fold must equal
+    cms_parts = " UNION ALL ".join(
+        f"SELECT {d} AS d, "
+        f"CAST(('0x' || substr(md5(tok || '#cms{d}'), 1, 8)) AS BIGINT) "
+        f"% {width} AS idx, count(*) AS cnt FROM toks GROUP BY idx"
+        for d in range(depth))
+    return f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                x -> x <> '')) AS tok
+      FROM documents)
+    SELECT CAST(d AS INT) AS d, idx, CAST(cnt AS BIGINT) AS cnt
+    FROM ({cms_parts})
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -5850,47 +6081,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks only the FIRST 50 queries() entries, so this
-# list is the round's curated proof window (VERDICT r3 next-round #1:
-# burn down the entries that have never held a driver row). Composition:
+# list is the round's curated proof window. Round-5 composition
+# (VERDICT r4 next-round #1-#5):
 # - the core-four anchors (pagerank/wcc/lpa/triangles);
-# - every query whose code or oracle changed this round (hyperball
-#   quantization, urlnorm regex, packed walk steps, matching schema)
-#   plus the three entries NEW this round (betweenness_sampled,
-#   louvain_invariants, infomap_invariants);
-# - 39 entries that had never been driver-checked through r3 (pytest
-#   parity evidence only), including every one the r3 verdict named.
+# - the two r4 red rows, re-proven after their serialization fixes
+#   (hyperball_anf: oracle SUM cast to BIGINT against DuckDB HUGEINT
+#   widening; inverted_index: postings stringified on both engines);
+# - the LAST 16 never-driver-checked entries — after this rotation
+#   every oracle-backed registry entry has held a driver row;
+# - the four entries NEW this round (streaming_cms — post-r4 frozen-
+#   registry rule; image_features / audio_features / frame_sample —
+#   the multimodal family's first driver rows) plus the two whose
+#   code changed this round (warc_roundtrip octet_length,
+#   quality_classifier trained-path keep);
+# - 22 re-confirmation slots for prior-green entries (streaming folds,
+#   sketches, invariant rows, walks, dedup) so regressions in the most
+#   state-heavy paths surface in the driver artifact, not just pytest.
 # Families whose every member is absent here are all driver-proven in a
-# prior round's CORRECTNESS_r0{1,2,3}.json (pinned by
+# prior round's CORRECTNESS_r0{1,2,3,4}.json (pinned by
 # tests/test_driver_window.py, which loads those artifacts).
-# Still never-driver-checked after r4 (rotate these in next round):
-# ngram_jaccard_pairs, label_propagation_seeded, duplicate_span_scores,
-# repetition_scores, tfidf_top_terms, cooccurrence_pmi, ngram_lm_score,
-# semantic_dedup, simhash_near_dup, embedding_near_dup, vertex_cover,
-# greedy_coloring, weighted_sample, rewire_null_model, events_latest,
-# containment_pairs — all replayed green vs their oracles every pytest
-# run meanwhile.
 _WINDOW = [
     # anchors
     "pagerank", "wcc", "label_propagation", "triangles_per_node",
-    # changed this round
-    "hyperball_balls", "url_dedup", "canonical_urls",
-    "streaming_url_dedup", "random_walks_weighted", "node2vec_pairs",
-    "lsh_eval", "coarsen_matching",
-    # new this round
-    "betweenness_sampled", "louvain_invariants", "infomap_invariants",
-    "warc_roundtrip", "quality_classifier", "cms_heavy_hitters",
-    # never-driver-checked until now (r3 verdict list + the rest)
-    "opic_importance", "bowtie_classes", "salsa", "katz",
-    "anti_trust_rank", "butterfly_count", "multilevel_bisect",
-    "curation_e2e", "ensemble_dedup", "triangles_sampled",
-    "landmark_distances", "modularity",
-    "pagerank_dangling", "pagerank_batch_ppr", "ppr_sweep_cut",
-    "powerlaw_fit", "diameter_sweep", "coupling_pairs",
-    "community_compare", "community_conductance", "degree_histogram",
-    "temperature_mix", "pii_scrub", "streaming_near_dup",
-    "streaming_wcc", "hyperball_anf", "effective_diameter",
-    "approx_eccentricity", "wcc_stats", "stratified_sample",
-    "hll_source_distinct", "inverted_index",
+    # r4 red rows, fixed this round
+    "hyperball_anf", "inverted_index",
+    # the last 16 never-driver-checked entries
+    "ngram_jaccard_pairs", "label_propagation_seeded",
+    "duplicate_span_scores", "repetition_scores", "tfidf_top_terms",
+    "cooccurrence_pmi", "ngram_lm_score", "semantic_dedup",
+    "simhash_near_dup", "embedding_near_dup", "vertex_cover",
+    "greedy_coloring", "weighted_sample", "rewire_null_model",
+    "events_latest", "containment_pairs",
+    # new or changed this round
+    "streaming_cms", "image_features", "audio_features", "frame_sample",
+    "warc_roundtrip", "quality_classifier",
+    # re-confirmation of prior-green, state-heavy or recently-touched
+    "hyperball_balls", "effective_diameter", "streaming_wcc",
+    "streaming_near_dup", "streaming_url_dedup", "cms_heavy_hitters",
+    "hll_source_distinct", "louvain_invariants", "infomap_invariants",
+    "betweenness_sampled", "ensemble_dedup", "lsh_eval",
+    "node2vec_pairs", "random_walks_weighted", "url_dedup",
+    "canonical_urls", "pagerank_dangling", "pagerank_batch_ppr",
+    "wcc_stats", "triangles_sampled", "coarsen_matching",
+    "stratified_sample",
 ]
 
 
@@ -6065,6 +6298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "warc_roundtrip": _q_warc_roundtrip,
+        "streaming_cms": _q_streaming_cms,
+        "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "frame_sample": _q_frame_sample,
         "coarsen_matching": _q_coarsen_matching,
         "vertex_cover": _q_vertex_cover,
         "multilevel_bisect": _q_multilevel_bisect,
@@ -6210,6 +6447,10 @@ def oracle_sql() -> dict[str, str]:
         "louvain_invariants": _louvain_invariants_oracle_sql(2),
         "infomap_invariants": _infomap_invariants_oracle_sql(),
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "streaming_cms": _streaming_cms_sql(depth=4, width=1024),
+        "image_features": _IMAGE_FEATURES_SQL,
+        "audio_features": _AUDIO_FEATURES_SQL,
+        "frame_sample": _FRAME_SAMPLE_SQL,
         "quality_classifier": _quality_classifier_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "random_walks": _random_walks_oracle_sql(),
@@ -6321,7 +6562,8 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT lo AS id FROM scanon UNION ALL SELECT hi FROM scanon)
                      GROUP BY id)
             SELECT n.id,
-                   round(coalesce(p.triangles, 0) * 8.0, 6) AS triangles_est,
+                   round(CAST(coalesce(p.triangles, 0) AS DOUBLE) * 8.0, 6)
+                       AS triangles_est,
                    round(CASE WHEN coalesce(d.deg, 0) >= 2
                          THEN 2.0 * coalesce(p.triangles, 0) / (d.deg * (d.deg - 1))
                          ELSE 0.0 END, 6) AS coefficient

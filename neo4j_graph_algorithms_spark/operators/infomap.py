@@ -36,7 +36,15 @@ aggregation:
 Both paths run the SAME selection rule — ΔL rounded to 9 dp (gridding
 JVM/libm log2 ulp differences), ties ascending on (ΔL, c_j, c_k) with
 pairs canonicalized c_j < c_k, higher id merges into lower — so the
-result is independent of which path executed.
+result is path-independent up to the 9-dp ΔL grid: distributed
+``F.sum`` over doubles is partition-order-nondeterministic (and local
+Python rounds half-to-even where Spark rounds HALF_UP), so a ΔL
+landing exactly on a rounding boundary can in principle pick a
+different merge on the two paths, after which the chains diverge.
+The driver-checked contracts are therefore the map-equation
+INVARIANTS (infomap_invariants row), not merge-chain identity; the
+fixed-merge twin (``infomap_fixedmerges``) pins the chain itself on a
+fixture where no ΔL sits on a boundary.
 
 Determinism deviation (documented): the reference iterates module
 neighbors in HPPC scatter-map hash order, aborts neighbor scans on

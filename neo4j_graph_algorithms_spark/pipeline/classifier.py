@@ -100,7 +100,7 @@ def quality_classifier_score(
             "doc_id",
             n_tok.cast("long").alias("n_tokens"),
             margin_num.alias("margin_num"),
-        )
+        ).withColumn("_mnum_exact", F.col("margin_num").cast("double"))
     else:
         feats = docs.select(
             "doc_id", F.size(toks).cast("long").alias("n_tokens"),
@@ -109,22 +109,31 @@ def quality_classifier_score(
             ).alias("idx"),
         )
         # weight sums are floats on this path (a trained model is not
-        # integer-valued); margin_num carries the scaled sum for a
-        # uniform output schema
+        # integer-valued); margin_num carries the scaled sum ROUNDED for
+        # a uniform output schema, but score/keep below use the exact
+        # float sum — quantizing first could flip a keep decision whose
+        # true and quantized margins straddle the -bias threshold
         joined = feats.join(F.broadcast(weights), "idx", "left")
         base = (
             joined.groupBy("doc_id", "n_tokens")
-            .agg(F.round(F.sum(F.coalesce("w", F.lit(0.0)))
-                         * float(WSCALE)).cast("long").alias("margin_num"))
+            .agg(F.sum(F.coalesce("w", F.lit(0.0))).alias("_wsum"))
+            .select(
+                "doc_id", "n_tokens",
+                F.round(F.col("_wsum") * float(WSCALE))
+                .cast("long").alias("margin_num"),
+                (F.col("_wsum") * float(WSCALE)).alias("_mnum_exact"),
+            )
         )
 
     margin = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
-        F.col("margin_num").cast("double")
+        F.col("_mnum_exact")
         / (F.col("n_tokens") * F.lit(float(WSCALE))))
     x = margin + F.lit(float(bias))
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 9)
     # sigmoid(x) >= 1/2  <=>  x >= 0  <=>  margin_num >= -bias·n·2^20
-    keep = (F.col("margin_num").cast("double")
+    # (on the default path _mnum_exact IS margin_num, so the decision
+    # stays integer-exact there)
+    keep = (F.col("_mnum_exact")
             >= -F.lit(float(bias)) * F.col("n_tokens") * F.lit(float(WSCALE)))
     return base.select(
         "doc_id", "n_tokens", "margin_num",

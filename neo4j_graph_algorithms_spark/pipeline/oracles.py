@@ -785,7 +785,9 @@ def pipeline_oracles() -> dict[str, str]:
                      row_number() OVER (PARTITION BY token
                                         ORDER BY doc_id) AS rk
               FROM td),
-        p AS (SELECT token, list(doc_id ORDER BY doc_id) AS postings
+        p AS (SELECT token,
+                     array_to_string(list(CAST(doc_id AS VARCHAR)
+                                          ORDER BY doc_id), ',') AS postings
               FROM r WHERE rk <= 50 GROUP BY token)
         SELECT dfq.token, dfq.df, p.postings FROM dfq JOIN p USING (token)
     """

@@ -90,9 +90,11 @@ FAMILIES = {
     "bpe": ["bpe_train", "bpe_encode"],
     "wtf": ["who_to_follow"],
     "hostextra": ["mirror_hosts", "crawl_frontier"],
-    "sketches": ["hll_source_distinct", "cms_heavy_hitters"],
+    "sketches": ["hll_source_distinct", "cms_heavy_hitters",
+                 "streaming_cms"],
     "warc": ["warc_roundtrip"],
     "classifier": ["quality_classifier"],
+    "multimodal": ["image_features", "audio_features", "frame_sample"],
 }
 
 # Registry as of the end of round 4. Anything added after this point
@@ -219,6 +221,33 @@ def test_new_entries_enter_the_window():
     outside = sorted(newcomers - window)
     assert not outside, \
         f"registry entries added after r4 but not in the window: {outside}"
+
+
+def test_window_oracles_have_driver_safe_types():
+    """The two r4 red rows were both pandas-serialization hazards the
+    fetchall()-based rehearsal couldn't see: an uncast SUM(BIGINT)
+    widening to HUGEINT (float64 in the driver's ``.df()``), and a raw
+    LIST column (unhashable in the driver's ``sort_values``). Lint
+    every window oracle's result schema via DuckDB DESCRIBE (binding
+    only, no data, no Spark): no HUGEINT/DECIMAL numerics, no
+    LIST/STRUCT/MAP columns may reach the driver compare."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'/root/testdata/sf0.001/{t}.parquet'")
+    oracles = em.oracle_sql()
+    bad = []
+    for k in list(em.queries())[:50]:
+        desc = con.execute(f"DESCRIBE {oracles[k]}").fetchall()
+        for row in desc:
+            col, typ = row[0], row[1].upper()
+            if ("HUGEINT" in typ or "DECIMAL" in typ or "[]" in typ
+                    or typ.startswith(("STRUCT", "MAP", "LIST"))):
+                bad.append((k, col, typ))
+    assert not bad, f"driver-unsafe oracle column types in window: {bad}"
 
 
 def test_rows_only_entries_are_documented_tail():

@@ -1,12 +1,17 @@
 """Driver-gate rehearsal: run every ``queries()`` entry in Spark and its
 ``oracle_sql()`` twin in DuckDB on the same parquet tables; compare row
 count, column names, and exact (order-insensitive) values — the same
-check CORRECTNESS_r{N}.json records.
+check CORRECTNESS_r{N}.json records, through the same SERIALIZATION
+PATH the driver uses: both sides convert to pandas (Spark
+``.toPandas()``, DuckDB ``.df()``) before sorting/hashing. The r4 gate
+lost two rows to hazards only visible on that path — DuckDB HUGEINT
+(an uncast SUM) widening to float64, and a raw array column blowing up
+pandas ``sort_values`` — which the previous ``fetchall()``-based
+comparator here could not reproduce.
 
 Runs at sf0.001 for speed (the driver uses sf0.01; shapes are identical).
 """
 
-import math
 import os
 import sys
 
@@ -31,23 +36,19 @@ def ddb():
     con.close()
 
 
-def _norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _canon(pdf):
+    """Driver-faithful: column-name-sorted, row-sorted (pandas
+    sort_values — raises TypeError on unhashable list/struct cells,
+    exactly like the gate), values stringified with floats via repr so
+    dtype widening (int64 vs float64) and 1-ulp drift stay visible."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
     out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 9)
-                    if v == -0.0:
-                        v = 0.0
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=repr)
+    for row in pdf.itertuples(index=False, name=None):
+        out.append("\x01".join(
+            repr(v) if isinstance(v, float) else str(v) for v in row))
+    out.sort()
     return out
 
 
@@ -58,15 +59,19 @@ QUERIES = entrymod.queries()
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_parity(spark, ddb, name):
     assert name in QUERIES, f"oracle without query: {name}"
-    sdf = QUERIES[name](spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    res = ddb.sql(ORACLES[name])
-    dcols = res.columns
-    drows = res.fetchall()
-    assert sorted(scols) == sorted(dcols), (scols, dcols)
-    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)} rows"
-    a, b = _norm(srows, scols), _norm(drows, dcols)
+    spdf = QUERIES[name](spark, SF_DIR).toPandas()
+    opdf = ddb.sql(ORACLES[name]).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), \
+        (list(spdf.columns), list(opdf.columns))
+    assert len(spdf) == len(opdf), \
+        f"{name}: {len(spdf)} vs {len(opdf)} rows"
+    for c in spdf.columns:
+        sk, ok = spdf[c].dtype.kind, opdf[c].dtype.kind
+        assert sk == ok, (
+            f"{name}.{c}: pandas dtype kind {sk} (spark) vs {ok} (oracle)"
+            " — the driver hashes these differently (HUGEINT/DECIMAL"
+            " widening?)")
+    a, b = _canon(spdf), _canon(opdf)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 

@@ -32,19 +32,34 @@ TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
 
-def _canon(rows, cols):
-    """Column-name-sorted, row-sorted value strings — floats via repr so
-    a -0.0/0.0 or 1-ulp difference is visible, like the driver's hash."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _canon(pdf):
+    """Driver-faithful canonicalization: the real gate converts BOTH
+    sides to pandas (Spark ``.toPandas()``, DuckDB ``.df()``) and then
+    sorts/hashes the frame. Replaying through pandas is what reproduces
+    the two r4 serialization hazards the old fetchall()-based compare
+    silently papered over:
+
+    - DuckDB HUGEINT (e.g. an uncast SUM(BIGINT)) becomes **float64**
+      in ``.df()`` while Spark's long stays int64 — repr(3.3e9) !=
+      str(3300000000), so the mismatch is visible here exactly as it is
+      in the driver (r4 red row ``hyperball_anf``).
+    - list/array columns make ``DataFrame.sort_values`` raise
+      TypeError (unhashable) — we deliberately do NOT catch it, so a
+      window query emitting a raw array column fails rehearsal the way
+      it failed the driver (r4 red row ``inverted_index``).
+
+    Returns row-sorted, column-name-sorted value strings; floats via
+    repr so -0.0/0.0 and 1-ulp diffs stay visible.
+    """
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
     out = []
-    for r in rows:
+    for row in pdf.itertuples(index=False, name=None):
         vals = []
-        for i in order:
-            v = r[i]
+        for v in row:
             if isinstance(v, float):
                 vals.append(repr(v))
-            elif isinstance(v, list):
-                vals.append(json.dumps(v, default=str))
             else:
                 vals.append(str(v))
         out.append("\x01".join(vals))
@@ -84,17 +99,16 @@ def main() -> int:
         rec: dict = {}
         try:
             sdf = qs[k](spark, sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()  # the driver's serialization path
+            scols = list(spdf.columns)
             if k in oracles:
-                cur = con.execute(oracles[k])
-                orows = cur.fetchall()
-                ocols = [d[0] for d in cur.description]
-                rec["spark_rows"], rec["oracle_rows"] = len(srows), len(orows)
-                rec["rows_match"] = len(srows) == len(orows)
+                opdf = con.execute(oracles[k]).df()
+                ocols = list(opdf.columns)
+                rec["spark_rows"], rec["oracle_rows"] = len(spdf), len(opdf)
+                rec["rows_match"] = len(spdf) == len(opdf)
                 rec["schema_match"] = sorted(scols) == sorted(ocols)
                 if rec["rows_match"] and rec["schema_match"]:
-                    a, b = _canon(srows, scols), _canon(orows, ocols)
+                    a, b = _canon(spdf), _canon(opdf)
                     rec["hash_match"] = a == b
                     if not rec["hash_match"]:
                         rec["first_diffs"] = [
@@ -103,7 +117,8 @@ def main() -> int:
                     rec["hash_match"] = False
                     rec["spark_cols"], rec["oracle_cols"] = scols, ocols
             else:
-                rec["spark_rows"] = len(srows)
+                _canon(spdf)  # rows-only entries still must survive pandas
+                rec["spark_rows"] = len(spdf)
                 rec["hash_match"] = None  # rows-only entry
             rec["err"] = None
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
