@@ -4066,6 +4066,57 @@ def _q_jaccard_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """algo.similarity.overlap (OverlapProc, |A∩B| / min(|A|,|B|))
+    over the same category sets as jaccard_categories; cutoff 0.25
+    (overlap dominates jaccard, so the jaccard cutoff would keep
+    nearly every pair) — operators/similarity.py:overlap_categories.
+    SURVEY §2 #41's first driver row; previously pytest-only."""
+    from neo4j_graph_algorithms_spark.operators.similarity import (
+        overlap_categories,
+    )
+
+    e = _edges(spark, sf_dir)
+    items = e.filter(F.col("src") < 60).groupBy(F.col("src").alias("item")).agg(
+        F.collect_set("dst").alias("categories")
+    )
+    return overlap_categories(items, cutoff=0.25).select(
+        "item1", "item2", F.round("similarity", 6).alias("similarity")
+    )
+
+
+def _q_relationship_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship write-back sink driver row (SURVEY §2 #6/#8,
+    previously pytest-only): the jaccard similarity pairs are written
+    through sources/iceberg.py:write_similarity_relationships (the
+    SimilarityExporter equivalent — one distributed typed-edge write,
+    no per-row transactions) and read BACK through read_table; the
+    oracle recomputes the pairs relationally, so a sink that drops,
+    duplicates, or mistypes rows (or a read path that breaks schema)
+    mismatches. Parquet fallback path in-sandbox; identical call shape
+    targets Iceberg on a real cluster."""
+    import tempfile
+
+    from neo4j_graph_algorithms_spark.operators.similarity import (
+        jaccard_categories,
+    )
+    from neo4j_graph_algorithms_spark.sources.iceberg import (
+        read_table,
+        write_similarity_relationships,
+    )
+
+    e = _edges(spark, sf_dir)
+    items = e.filter(F.col("src") < 60).groupBy(F.col("src").alias("item")).agg(
+        F.collect_set("dst").alias("categories")
+    )
+    pairs = jaccard_categories(items, cutoff=0.05)
+    path = tempfile.mkdtemp(prefix="nga_relsink_") + "/similar"
+    write_similarity_relationships(pairs, path, relationship_type="SIMILAR")
+    return read_table(spark, path).select(
+        "src", "dst", "rel_type",
+        F.round("similarity", 6).alias("similarity"))
+
+
 def _q_jaccard_degree_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jaccard with degree_cutoff=3 (JaccardProc degreeCutoff config,
     similarity.py:43-45): items with fewer than 3 categories are
@@ -6089,12 +6140,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #   widening; inverted_index: postings stringified on both engines);
 # - the LAST 16 never-driver-checked entries — after this rotation
 #   every oracle-backed registry entry has held a driver row;
-# - the four entries NEW this round (streaming_cms — post-r4 frozen-
+# - the six entries NEW this round (streaming_cms — post-r4 frozen-
 #   registry rule; image_features / audio_features / frame_sample —
-#   the multimodal family's first driver rows) plus the two whose
-#   code changed this round (warc_roundtrip octet_length,
+#   the multimodal family's first driver rows; similarity_overlap and
+#   relationship_writeback — first driver rows for SURVEY §2 #41 and
+#   the #6/#8 write-back sinks, previously pytest-only) plus the two
+#   whose code changed this round (warc_roundtrip octet_length,
 #   quality_classifier trained-path keep);
-# - 22 re-confirmation slots for prior-green entries (streaming folds,
+# - 20 re-confirmation slots for prior-green entries (streaming folds,
 #   sketches, invariant rows, walks, dedup) so regressions in the most
 #   state-heavy paths surface in the driver artifact, not just pytest.
 # Families whose every member is absent here are all driver-proven in a
@@ -6114,6 +6167,7 @@ _WINDOW = [
     "events_latest", "containment_pairs",
     # new or changed this round
     "streaming_cms", "image_features", "audio_features", "frame_sample",
+    "similarity_overlap", "relationship_writeback",
     "warc_roundtrip", "quality_classifier",
     # re-confirmation of prior-green, state-heavy or recently-touched
     "hyperball_balls", "effective_diameter", "streaming_wcc",
@@ -6121,7 +6175,7 @@ _WINDOW = [
     "hll_source_distinct", "louvain_invariants", "infomap_invariants",
     "betweenness_sampled", "ensemble_dedup", "lsh_eval",
     "node2vec_pairs", "random_walks_weighted", "url_dedup",
-    "canonical_urls", "pagerank_dangling", "pagerank_batch_ppr",
+    "canonical_urls",
     "wcc_stats", "triangles_sampled", "coarsen_matching",
     "stratified_sample",
 ]
@@ -6261,6 +6315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_langid,
         "exact_dedup": _q_exact_dedup,
         "jaccard_categories": _q_jaccard_categories,
+        "similarity_overlap": _q_similarity_overlap,
+        "relationship_writeback": _q_relationship_writeback,
         "sssp_from_0": _q_sssp,
         "eigenvector": _q_eigenvector,
         "louvain_onelevel": _q_louvain_onelevel,
@@ -6663,6 +6719,37 @@ def oracle_sql() -> dict[str, str]:
                     JOIN sizes sa ON sa.item = i.item1
                     JOIN sizes sb ON sb.item = i.item2)
             SELECT item1, item2, round(similarity, 6) AS similarity
+            FROM sim WHERE similarity >= 0.05
+        """,
+        "similarity_overlap": f"""
+            WITH {_EDGES_CTE},
+            cats AS (SELECT DISTINCT src AS item, dst AS cat FROM edges WHERE src < 60),
+            sizes AS (SELECT item, count(*) AS n FROM cats GROUP BY item),
+            inter AS (SELECT a.item AS item1, b.item AS item2, count(*) AS i
+                      FROM cats a JOIN cats b ON a.cat = b.cat AND a.item < b.item
+                      GROUP BY a.item, b.item),
+            sim AS (SELECT i.item1, i.item2,
+                           CAST(i.i AS DOUBLE) / least(sa.n, sb.n) AS similarity
+                    FROM inter i
+                    JOIN sizes sa ON sa.item = i.item1
+                    JOIN sizes sb ON sb.item = i.item2)
+            SELECT item1, item2, round(similarity, 6) AS similarity
+            FROM sim WHERE similarity >= 0.25
+        """,
+        "relationship_writeback": f"""
+            WITH {_EDGES_CTE},
+            cats AS (SELECT DISTINCT src AS item, dst AS cat FROM edges WHERE src < 60),
+            sizes AS (SELECT item, count(*) AS n FROM cats GROUP BY item),
+            inter AS (SELECT a.item AS item1, b.item AS item2, count(*) AS i
+                      FROM cats a JOIN cats b ON a.cat = b.cat AND a.item < b.item
+                      GROUP BY a.item, b.item),
+            sim AS (SELECT i.item1, i.item2,
+                           CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS similarity
+                    FROM inter i
+                    JOIN sizes sa ON sa.item = i.item1
+                    JOIN sizes sb ON sb.item = i.item2)
+            SELECT item1 AS src, item2 AS dst, 'SIMILAR' AS rel_type,
+                   round(similarity, 6) AS similarity
             FROM sim WHERE similarity >= 0.05
         """,
         "jaccard_degree_cutoff": f"""

@@ -49,7 +49,9 @@ FAMILIES = {
     "scalars": ["scalar_functions"],
     "linkpred": ["link_prediction"],
     "similarity": ["jaccard_categories", "euclidean_similarity",
-                   "pearson_similarity", "cosine_knn", "coupling_pairs"],
+                   "pearson_similarity", "cosine_knn", "coupling_pairs",
+                   "similarity_overlap"],
+    "sinks": ["relationship_writeback"],
     "hyperball": ["hyperball_balls", "hyperball_anf",
                   "effective_diameter", "approx_eccentricity"],
     "dedup": ["exact_dedup", "minhash_lsh_candidates", "dedup_clusters",
