@@ -4066,6 +4066,48 @@ def _q_jaccard_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_catalog_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy projection + filters + named-graph catalog in one driver
+    row (SURVEY §2 #5/#9/#14/#53, previously pytest-only): synthetic
+    labels (id%3 → Page/Host/Other) and relationship types
+    ((src+dst)%2 → LINKS/REDIRECTS) are filtered (label ≠ Other,
+    type = LINKS), projected through graph.py:build_graph — whose
+    vertex-table semi-joins drop edges with a missing endpoint, the
+    VisitRelationship idMap-miss rule — then LOADED into the
+    GraphCatalog and loaded AGAIN with empty frames: algo.graph.load
+    is idempotent (LoadGraphProc.java:84-88 returns the cached entry),
+    so if the second load were honored the output would be empty and
+    the row-count would mismatch. Output: out-degrees over the cached
+    graph plus the catalog's node/edge counts as columns the oracle
+    must reproduce relationally (algo.graph.info)."""
+    from neo4j_graph_algorithms_spark.catalog import GraphCatalog
+    from neo4j_graph_algorithms_spark.graph import build_graph, degrees
+
+    e0 = _edges(spark, sf_dir)
+    v = _vertices(e0).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, "Page")
+        .when(F.col("id") % 3 == 1, "Host")
+        .otherwise("Other").alias("label"))
+    e = e0.select(
+        "src", "dst",
+        F.when((F.col("src") + F.col("dst")) % 2 == 0, "LINKS")
+        .otherwise("REDIRECTS").alias("rel_type"))
+    vf = v.filter(F.col("label") != "Other").select("id")
+    ef = e.filter(F.col("rel_type") == "LINKS").select("src", "dst")
+    g = build_graph(ef, vf)
+    cat = GraphCatalog(spark)
+    cat.load("proof_graph", g.vertices, g.edges)
+    cat.load("proof_graph", g.vertices.limit(0), g.edges.limit(0))
+    gg = cat.get("proof_graph")
+    out = degrees(gg.edges, "out").select(
+        "id", "degree",
+        F.lit(gg.node_count).cast("long").alias("n_nodes"),
+        F.lit(gg.edge_count).cast("long").alias("n_edges"))
+    cat.remove("proof_graph")
+    return out
+
+
 def _q_similarity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """algo.similarity.overlap (OverlapProc, |A∩B| / min(|A|,|B|))
     over the same category sets as jaccard_categories; cutoff 0.25
@@ -6168,6 +6210,7 @@ _WINDOW = [
     # new or changed this round
     "streaming_cms", "image_features", "audio_features", "frame_sample",
     "similarity_overlap", "relationship_writeback",
+    "graph_catalog_projection",
     "warc_roundtrip", "quality_classifier",
     # re-confirmation of prior-green, state-heavy or recently-touched
     "hyperball_balls", "effective_diameter", "streaming_wcc",
@@ -6176,7 +6219,7 @@ _WINDOW = [
     "betweenness_sampled", "ensemble_dedup", "lsh_eval",
     "node2vec_pairs", "random_walks_weighted", "url_dedup",
     "canonical_urls",
-    "wcc_stats", "triangles_sampled", "coarsen_matching",
+    "triangles_sampled", "coarsen_matching",
     "stratified_sample",
 ]
 
@@ -6317,6 +6360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_categories": _q_jaccard_categories,
         "similarity_overlap": _q_similarity_overlap,
         "relationship_writeback": _q_relationship_writeback,
+        "graph_catalog_projection": _q_graph_catalog_projection,
         "sssp_from_0": _q_sssp,
         "eigenvector": _q_eigenvector,
         "louvain_onelevel": _q_louvain_onelevel,
@@ -6720,6 +6764,23 @@ def oracle_sql() -> dict[str, str]:
                     JOIN sizes sb ON sb.item = i.item2)
             SELECT item1, item2, round(similarity, 6) AS similarity
             FROM sim WHERE similarity >= 0.05
+        """,
+        "graph_catalog_projection": f"""
+            WITH {_EDGES_CTE},
+            v AS (SELECT DISTINCT id FROM
+                  (SELECT src AS id FROM edges
+                   UNION ALL SELECT dst FROM edges)),
+            vf AS (SELECT id FROM v WHERE id % 3 <> 2),
+            ef AS (SELECT src, dst FROM edges
+                   WHERE (src + dst) % 2 = 0
+                     AND src IN (SELECT id FROM vf)
+                     AND dst IN (SELECT id FROM vf)),
+            deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS degree
+                    FROM ef GROUP BY src)
+            SELECT d.id, d.degree,
+                   CAST((SELECT count(*) FROM vf) AS BIGINT) AS n_nodes,
+                   CAST((SELECT count(*) FROM ef) AS BIGINT) AS n_edges
+            FROM deg d
         """,
         "similarity_overlap": f"""
             WITH {_EDGES_CTE},

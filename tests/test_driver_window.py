@@ -52,6 +52,7 @@ FAMILIES = {
                    "pearson_similarity", "cosine_knn", "coupling_pairs",
                    "similarity_overlap"],
     "sinks": ["relationship_writeback"],
+    "catalog": ["graph_catalog_projection"],
     "hyperball": ["hyperball_balls", "hyperball_anf",
                   "effective_diameter", "approx_eccentricity"],
     "dedup": ["exact_dedup", "minhash_lsh_candidates", "dedup_clusters",
