@@ -4066,6 +4066,92 @@ def _q_jaccard_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The reference's full @Procedure surface — the literal name extraction
+# of `grep -rh '@Procedure' /root/reference/algo/src/main/java -A1`
+# (same independent derivation tests/test_registry_surface.py pins).
+_REFERENCE_SURFACE = [
+    "algo.allShortestPaths.stream",
+    "algo.articleRank", "algo.articleRank.stream",
+    "algo.asPath",
+    "algo.balancedTriads", "algo.balancedTriads.stream",
+    "algo.betweenness", "algo.betweenness.sampled",
+    "algo.betweenness.sampled.stream", "algo.betweenness.stream",
+    "algo.bfs.stream",
+    "algo.closeness", "algo.closeness.dangalchev",
+    "algo.closeness.dangalchev.stream", "algo.closeness.harmonic",
+    "algo.closeness.harmonic.stream", "algo.closeness.stream",
+    "algo.degree", "algo.degree.stream",
+    "algo.dfs.stream",
+    "algo.eigenvector", "algo.eigenvector.stream",
+    "algo.graph.info", "algo.graph.load", "algo.graph.remove",
+    "algo.infoMap", "algo.infoMap.stream",
+    "algo.kShortestPaths", "algo.kShortestPaths.stream",
+    "algo.labelPropagation", "algo.labelPropagation.stream",
+    "algo.list",
+    "algo.louvain", "algo.louvain.stream",
+    "algo.mst",
+    "algo.pageRank", "algo.pageRank.stream",
+    "algo.randomWalk.stream",
+    "algo.scc", "algo.scc.forwardBackward.stream", "algo.scc.iterative",
+    "algo.scc.iterative.stream", "algo.scc.multistep",
+    "algo.scc.multistep.stream", "algo.scc.recursive.tarjan",
+    "algo.scc.recursive.tunedTarjan",
+    "algo.scc.recursive.tunedTarjan.stream", "algo.scc.stream",
+    "algo.shortestPath", "algo.shortestPath.astar.stream",
+    "algo.shortestPath.deltaStepping",
+    "algo.shortestPath.deltaStepping.stream", "algo.shortestPath.stream",
+    "algo.shortestPaths", "algo.shortestPaths.stream",
+    "algo.similarity.cosine", "algo.similarity.cosine.stream",
+    "algo.similarity.euclidean", "algo.similarity.euclidean.stream",
+    "algo.similarity.jaccard", "algo.similarity.jaccard.stream",
+    "algo.similarity.overlap", "algo.similarity.overlap.stream",
+    "algo.similarity.pearson", "algo.similarity.pearson.stream",
+    "algo.spanningTree", "algo.spanningTree.kmax", "algo.spanningTree.kmin",
+    "algo.spanningTree.maximum", "algo.spanningTree.minimum",
+    "algo.triangle.stream",
+    "algo.triangleCount", "algo.triangleCount.forkJoin",
+    "algo.triangleCount.forkJoin.stream", "algo.triangleCount.stream",
+    "algo.unionFind", "algo.unionFind.forkJoin",
+    "algo.unionFind.forkJoin.stream", "algo.unionFind.forkJoinMerge",
+    "algo.unionFind.forkJoinMerge.stream", "algo.unionFind.mscoloring",
+    "algo.unionFind.mscoloring.stream", "algo.unionFind.queue",
+    "algo.unionFind.queue.stream", "algo.unionFind.stream",
+]
+
+
+def _q_algo_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """algo.list / algo.version driver row (SURVEY §2 #52, previously
+    pytest-only): for every procedure of the reference's @Procedure
+    surface, the registry must contain it AND its entry point must
+    actually import (registry.py:resolve) — a migration-path-total
+    claim recorded in the gate artifact. The oracle states the
+    contract: every reference procedure resolves. A registry
+    regression (missing name, broken import) flips ``resolves`` and
+    mismatches."""
+    from neo4j_graph_algorithms_spark.registry import (
+        list_algorithms,
+        resolve,
+    )
+
+    reg = list_algorithms()
+
+    def _resolves(p: str) -> bool:
+        if p not in reg:
+            return False
+        try:
+            return callable(resolve(p))
+        except Exception:
+            return False
+
+    rows = [(p, _resolves(p)) for p in _REFERENCE_SURFACE]
+    return spark.createDataFrame(rows, "proc string, resolves boolean")
+
+
+def _algo_list_sql() -> str:
+    vals = ", ".join(f"('{p}', true)" for p in _REFERENCE_SURFACE)
+    return f"SELECT * FROM (VALUES {vals}) AS t(proc, resolves)"
+
+
 def _q_graph_catalog_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy projection + filters + named-graph catalog in one driver
     row (SURVEY §2 #5/#9/#14/#53, previously pytest-only): synthetic
@@ -6210,7 +6296,7 @@ _WINDOW = [
     # new or changed this round
     "streaming_cms", "image_features", "audio_features", "frame_sample",
     "similarity_overlap", "relationship_writeback",
-    "graph_catalog_projection",
+    "graph_catalog_projection", "algo_list",
     "warc_roundtrip", "quality_classifier",
     # re-confirmation of prior-green, state-heavy or recently-touched
     "hyperball_balls", "effective_diameter", "streaming_wcc",
@@ -6220,7 +6306,6 @@ _WINDOW = [
     "node2vec_pairs", "random_walks_weighted", "url_dedup",
     "canonical_urls",
     "triangles_sampled", "coarsen_matching",
-    "stratified_sample",
 ]
 
 
@@ -6361,6 +6446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_overlap": _q_similarity_overlap,
         "relationship_writeback": _q_relationship_writeback,
         "graph_catalog_projection": _q_graph_catalog_projection,
+        "algo_list": _q_algo_list,
         "sssp_from_0": _q_sssp,
         "eigenvector": _q_eigenvector,
         "louvain_onelevel": _q_louvain_onelevel,
@@ -6765,6 +6851,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT item1, item2, round(similarity, 6) AS similarity
             FROM sim WHERE similarity >= 0.05
         """,
+        "algo_list": _algo_list_sql(),
         "graph_catalog_projection": f"""
             WITH {_EDGES_CTE},
             v AS (SELECT DISTINCT id FROM

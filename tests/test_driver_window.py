@@ -53,6 +53,7 @@ FAMILIES = {
                    "similarity_overlap"],
     "sinks": ["relationship_writeback"],
     "catalog": ["graph_catalog_projection"],
+    "registry": ["algo_list"],
     "hyperball": ["hyperball_balls", "hyperball_anf",
                   "effective_diameter", "approx_eccentricity"],
     "dedup": ["exact_dedup", "minhash_lsh_candidates", "dedup_clusters",
